@@ -1,0 +1,795 @@
+"""General relational operator surface (SURVEY.md §7 Phase 1).
+
+The reference composes only scan/filter/project/hash-agg (§2.3 note: no
+joins, sorts, set-ops, or window functions). A complete engine needs them,
+so each is implemented Spark-first over the driver tables and oracle-checked.
+
+Plan-shape notes (verified via .explain, see tests/test_plans.py):
+- dim joins (region/nation/supplier/customer) -> BroadcastHashJoin
+- fact-fact joins -> SortMergeJoin with AQE free to switch
+- aggregations -> partial+final HashAggregate (map-side combine)
+- top-k -> TakeOrderedAndProject (no global sort)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exactmath import (
+    exact_avg,
+    exact_avg_sql,
+    exact_sum,
+    exact_sum_sql,
+)
+from ..sources.catalog import load_table
+from .registry import QuerySpec, register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: TPC-H Q1 shape (multi-agg hash aggregate, few groups)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantities are integer-valued (exact); money sums of k-decimal data
+    are either rounded back to the decimal grid (sum_base_price) or
+    aggregated in scaled int64 (products widen to 4/6 decimals) — see
+    functions.exactmath for the cross-engine discipline.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            exact_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_sum(charge, 6).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            exact_avg("l_extendedprice", 2).alias("avg_price"),
+            exact_avg("l_discount", 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+register(
+    QuerySpec(
+        name="pricing_summary",
+        description="TPC-H Q1 shape: 8-aggregate hash agg over lineitem",
+        spark=q_pricing_summary,
+        oracle=f"""
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   {exact_sum_sql('l_extendedprice * (1 - l_discount)', 4)}
+                     AS sum_disc_price,
+                   {exact_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
+                     AS sum_charge,
+                   sum(l_quantity) / count(*) AS avg_qty,
+                   {exact_avg_sql('l_extendedprice', 2)} AS avg_price,
+                   {exact_avg_sql('l_discount', 2)} AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+def q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier ⋈ nation ⋈ region — a broadcast-hash chain.
+
+    nation (25 rows) and region (5 rows) are canonical broadcast sides; no
+    shuffle of supplier happens at any scale.
+    """
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="join_broadcast_dims",
+        description="broadcast-hash join chain supplier⋈nation⋈region + agg",
+        spark=q_join_broadcast_dims,
+        oracle="""
+            SELECT r.r_name AS region_name,
+                   count(*) AS n_suppliers,
+                   round(sum(s.s_acctbal), 2) AS total_acctbal
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+    )
+)
+
+
+def q_join_fact_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem ⋈ customer, revenue per market segment (Q3 shape).
+
+    lineitem⋈orders is the fact-fact join: sort-merge/shuffle-hash on
+    l_orderkey with AQE free to re-plan; customer joins in on the already
+    aggregated (smaller) side at real scale — here Catalyst broadcasts it.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="join_fact_fact_revenue",
+        description="TPC-H Q3 shape: lineitem⋈orders⋈customer, revenue per segment",
+        spark=q_join_fact_fact_revenue,
+        oracle=f"""
+            SELECT c.c_mktsegment AS mktsegment,
+                   {exact_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+    )
+)
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one 'F' order — left-semi join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+register(
+    QuerySpec(
+        name="join_semi",
+        description="left-semi join: customers with >=1 cancelled-status order",
+        spark=q_join_semi,
+        oracle="""
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        """,
+    )
+)
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all — left-anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+register(
+    QuerySpec(
+        name="join_anti",
+        description="left-anti join: customers with no orders",
+        spark=q_join_anti,
+        oracle="""
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+    )
+)
+
+
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer LEFT JOIN orders with per-customer counts (nulls -> 0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="join_left_outer",
+        description="left outer join customer->orders, count/sum with null handling",
+        spark=q_join_left_outer,
+        oracle="""
+            SELECT c.c_custkey,
+                   count(o.o_orderkey) AS n_orders,
+                   round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spent
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        """,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer — row_number with tiebreak.
+
+    The canonical distributed top-k-per-group: one shuffle on the partition
+    key, per-partition sort, early limit. Tiebreak on o_orderkey keeps it
+    deterministic (oracle-safe).
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+register(
+    QuerySpec(
+        name="topk_per_group",
+        description="window row_number top-3 orders per customer (deterministic tiebreak)",
+        spark=q_topk_per_group,
+        oracle="""
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey)
+                         AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+    )
+)
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum of event values ordered by time (analytic window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+register(
+    QuerySpec(
+        name="window_running_sum",
+        description="analytic window: per-user cumulative sum ordered by ts",
+        spark=q_window_running_sum,
+        oracle="""
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW), 2) AS running_value
+            FROM events
+        """,
+    )
+)
+
+
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user: lag() on ts, seconds between events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts))
+        .cast("bigint")
+        .alias("gap_seconds"),
+    )
+
+
+register(
+    QuerySpec(
+        name="window_lag_delta",
+        description="window lag: whole-second gap since previous event per user",
+        spark=q_window_lag_delta,
+        oracle="""
+            SELECT event_id, user_id,
+                   CAST(epoch(date_trunc('second', ts)) -
+                        epoch(date_trunc('second',
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                        AS BIGINT) AS gap_seconds
+            FROM events
+        """,
+    )
+)
+
+
+def q_window_rank_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank of event values within event_type (tie-stable)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).alias("value_rank"),
+        F.dense_rank().over(w).alias("value_dense_rank"),
+    )
+
+
+register(
+    QuerySpec(
+        name="window_rank_by_value",
+        description="rank + dense_rank within event_type (deterministic under ties)",
+        spark=q_window_rank_by_value,
+        oracle="""
+            SELECT event_id, event_type,
+                   rank() OVER (PARTITION BY event_type ORDER BY value DESC)
+                     AS value_rank,
+                   dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC)
+                     AS value_dense_rank
+            FROM events
+        """,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+register(
+    QuerySpec(
+        name="rollup_qty",
+        description="ROLLUP over (returnflag, linestatus) with subtotals + grand total",
+        spark=q_rollup_qty,
+        oracle="""
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+    )
+)
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+register(
+    QuerySpec(
+        name="cube_orders",
+        description="CUBE over (status, priority), count + rounded sum",
+        spark=q_cube_orders,
+        oracle="""
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+    )
+)
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same Catalyst Expand as cube)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+register(
+    QuerySpec(
+        name="grouping_sets",
+        description="GROUPING SETS ((status),(priority),()) via SQL",
+        spark=q_grouping_sets,
+        oracle="""
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct
+# ---------------------------------------------------------------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both open ('O') and finished ('F') orders — INTERSECT."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return open_c.intersect(fin_c)
+
+
+register(
+    QuerySpec(
+        name="set_ops",
+        description="INTERSECT of distinct customer sets (open vs finished orders)",
+        spark=q_set_ops,
+        oracle="""
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+    )
+)
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with open orders but no finished ones — EXCEPT."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return open_c.exceptAll(fin_c)
+
+
+register(
+    QuerySpec(
+        name="set_except",
+        description="EXCEPT ALL on distinct customer key sets",
+        spark=q_set_except,
+        oracle="""
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT ALL
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+    )
+)
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (dedup) of nation keys present in customers vs suppliers."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+register(
+    QuerySpec(
+        name="union_distinct",
+        description="UNION + DISTINCT over customer/supplier nation keys",
+        spark=q_union_distinct,
+        oracle="""
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+    )
+)
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + grouped distinct counts (Expand-based two-phase distinct agg)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+register(
+    QuerySpec(
+        name="count_distinct",
+        description="count(DISTINCT custkey) per order priority",
+        spark=q_count_distinct,
+        oracle="""
+            SELECT o_orderpriority,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Sort / limit
+# ---------------------------------------------------------------------------
+
+
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by price — TakeOrderedAndProject, not a full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+register(
+    QuerySpec(
+        name="order_limit",
+        description="ORDER BY DESC LIMIT 10 (TakeOrderedAndProject)",
+        spark=q_order_limit,
+        oracle="""
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Scalar function surface: strings, dates, JSON, conditional bucketing
+# ---------------------------------------------------------------------------
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+    )
+
+
+register(
+    QuerySpec(
+        name="string_funcs",
+        description="string surface: upper/length/substr/concat_ws/regexp/split",
+        spark=q_string_funcs,
+        oracle="""
+            SELECT p_partkey,
+                   upper(p_name) AS name_upper,
+                   CAST(length(p_name) AS INT) AS name_len,
+                   substring(p_name, 1, 5) AS name_prefix,
+                   concat_ws('|', p_brand, p_type) AS brand_type,
+                   regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+                   string_split(p_name, ' ')[1] AS first_word
+            FROM part
+        """,
+    )
+)
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.lit("2025-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_until_2025"
+        ),
+    )
+
+
+register(
+    QuerySpec(
+        name="date_funcs",
+        description="date surface: year/month/day/trunc/date_add/datediff",
+        spark=q_date_funcs,
+        oracle="""
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS order_year,
+                   CAST(month(o_orderdate) AS INT) AS order_month,
+                   CAST(day(o_orderdate) AS INT) AS order_day,
+                   date_trunc('month', o_orderdate) AS month_start,
+                   CAST(o_orderdate AS DATE) + 30 AS due_date,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                  DATE '2025-01-01') AS INT) AS days_until_2025
+            FROM orders
+        """,
+    )
+)
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props payload column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+register(
+    QuerySpec(
+        name="json_extract",
+        description="get_json_object over events.props ($.k as int)",
+        spark=q_json_extract,
+        oracle="""
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+            FROM events
+        """,
+    )
+)
+
+
+def q_conditional_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN value bucketing + conditional aggregation (pivot shape)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+    )
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="conditional_bucketing",
+        description="CASE bucketing + conditional counts (manual pivot)",
+        spark=q_conditional_bucketing,
+        oracle="""
+            SELECT CASE WHEN value < 50 THEN 'low'
+                        WHEN value < 200 THEN 'mid'
+                        ELSE 'high' END AS bucket,
+                   count(*) AS n,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+                   count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+            FROM events
+            GROUP BY 1
+        """,
+    )
+)
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per event_type (stddev/var, rounded)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        exact_avg("value", 2).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+register(
+    QuerySpec(
+        name="stats_agg",
+        description="stddev_samp/var_samp/avg/min/max per event_type",
+        spark=q_stats_agg,
+        oracle=f"""
+            SELECT event_type,
+                   {exact_avg_sql('value', 2)} AS avg_value,
+                   round(stddev_samp(value), 4) AS stddev_value,
+                   round(var_samp(value), 4) AS var_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events
+            GROUP BY event_type
+        """,
+    )
+)
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery via Spark SQL (decorrelated by Catalyst)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer_sq c
+        WHERE c_acctbal > 0 AND EXISTS (
+            SELECT 1 FROM orders_sq o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+        )
+        """
+    )
+
+
+register(
+    QuerySpec(
+        name="exists_subquery",
+        description="correlated EXISTS subquery (Catalyst decorrelation -> semi join)",
+        spark=q_exists_subquery,
+        oracle="""
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE c_acctbal > 0 AND EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+            )
+        """,
+    )
+)
+
+
+def q_scalar_subquery_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price — scalar subquery."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders_ssq
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_ssq)
+        """
+    )
+
+
+register(
+    QuerySpec(
+        name="scalar_subquery_agg",
+        description="scalar aggregate subquery in WHERE (above-average filter)",
+        spark=q_scalar_subquery_agg,
+        oracle="""
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        """,
+    )
+)

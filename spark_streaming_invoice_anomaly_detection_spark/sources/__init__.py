@@ -1,0 +1,5 @@
+"""Source & sink adapters (SURVEY.md §2.1)."""
+
+from .catalog import load_table, load_tables, register_views
+
+__all__ = ["load_table", "load_tables", "register_views"]

@@ -1,0 +1,55 @@
+"""Parquet table catalog over the driver's test data (TESTDATA.md).
+
+Columnar parquet scans are the engine's default source: Catalyst pushes
+filters and prunes columns into the scan (check ``PushedFilters`` /
+``ReadSchema`` in ``.explain``), which is the behavior that matters at
+100 TB — never read a column you don't project.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+#: Columns written as parquet TIMESTAMP(NANOS), which Spark's reader rejects.
+#: We read them as int64 nanos (legacy conf) and truncate to microseconds —
+#: the same truncation DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one test table. Schema comes from the parquet footer (exact)."""
+    sf_dir = sf_dir or sf_dir_from_env()
+    if name in _NANOS_TS_COLS:
+        # runtime-settable SQLConf; required before the scan is planned
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            # integer division: ns -> us without a double round-trip
+            # (1.7e18 ns exceeds double's 2^53 exact-integer range)
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every test table as a temp view for spark.sql() queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,32 @@
+"""Smoke: the driver contract module loads and entry() produces rows."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_returns_rows(spark):
+    mod = _load_entry_module()
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert "invoice_no" in df.columns
+
+
+def test_queries_and_oracles_aligned():
+    mod = _load_entry_module()
+    qs = mod.queries()
+    os_ = mod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    assert set(os_).issubset(set(qs)), "oracle_sql keys must be a subset of queries"
