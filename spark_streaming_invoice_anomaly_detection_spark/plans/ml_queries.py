@@ -1,8 +1,200 @@
-"""ML-path queries (clustering sweep / scoring) — rows-only oracle checks.
+"""ML-path queries (SURVEY.md §2.6) over the driver test tables.
 
-Filled in Phase 2 (SURVEY.md §7). KMeans itself isn't SQL-expressible, so
-these register with oracle=None except for the pieces that are (distance
-scoring against fixed centroids IS expressible — see ml_queries below).
+Two kinds:
+
+- ``centroid_distance_score``: the scoring half of the anomaly detector
+  (M4/M5/M6) against FIXED centroids — pure arithmetic, fully
+  SQL-expressible, so it gets a DuckDB oracle. Distances are written as the
+  same left-associated expression on both sides: IEEE ops on identical
+  inputs are bit-identical, no rounding needed.
+- ``kmeans_invoice_anomalies`` / ``bisecting_invoice_anomalies``: the full
+  reference training flow (M1-M6 sweep -> elbow -> threshold -> filter).
+  KMeans isn't SQL-expressible -> oracle=None (driver records rows-only);
+  invariants are pytest-checked instead (tests/test_ml.py).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exactmath import exact_avg, exact_avg_sql
+from ..sources.catalog import load_table
+from .registry import QuerySpec, register
+
+# ---------------------------------------------------------------------------
+# Shared featurization (the invoice feature vector over lineitem)
+# ---------------------------------------------------------------------------
+
+
+def _featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy(F.col("l_orderkey").alias("invoice_no")).agg(
+        exact_avg("l_extendedprice", 2).alias("avg_unit_price"),
+        F.min("l_extendedprice").alias("min_unit_price"),
+        F.max("l_extendedprice").alias("max_unit_price"),
+        F.max(F.hour("l_shipdate")).cast("double").alias("time"),
+        F.sum("l_quantity").alias("number_items"),
+    )
+
+
+_FEATURIZE_SQL = f"""
+    SELECT l_orderkey AS invoice_no,
+           {exact_avg_sql('l_extendedprice', 2)} AS avg_unit_price,
+           min(l_extendedprice) AS min_unit_price,
+           max(l_extendedprice) AS max_unit_price,
+           CAST(max(hour(l_shipdate)) AS DOUBLE) AS time,
+           sum(l_quantity) AS number_items
+    FROM lineitem
+    GROUP BY l_orderkey
+"""
+
+# ---------------------------------------------------------------------------
+# M4/M5/M6 scoring vs fixed centroids (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+#: Three hand-fixed centroids in feature order [avg, min, max, time, items].
+CENTROIDS = [
+    [10000.0, 5000.0, 20000.0, 8.0, 50.0],
+    [30000.0, 10000.0, 60000.0, 12.0, 120.0],
+    [60000.0, 30000.0, 90000.0, 18.0, 200.0],
+]
+FIXED_THRESHOLD = 1.5e9
+
+_FEATS = ["avg_unit_price", "min_unit_price", "max_unit_price", "time", "number_items"]
+
+
+def q_centroid_distance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqdist to each centroid, argmin cluster, threshold flag (M4/M5/M6).
+
+    The real detector does this with model.transform + a broadcast centroid
+    join (ml/clustering.py); this fixed-centroid variant proves the
+    arithmetic against the oracle.
+    """
+    feats = _featurize(spark, sf_dir)
+
+    def sqdist(c: list[float]):
+        expr = None
+        for col, cv in zip(_FEATS, c):
+            term = (F.col(col) - F.lit(cv)) * (F.col(col) - F.lit(cv))
+            expr = term if expr is None else expr + term
+        return expr
+
+    d = [sqdist(c) for c in CENTROIDS]
+    scored = feats.select(
+        "invoice_no",
+        d[0].alias("d0"),
+        d[1].alias("d1"),
+        d[2].alias("d2"),
+    )
+    nearest = (
+        F.when((F.col("d0") <= F.col("d1")) & (F.col("d0") <= F.col("d2")), 0)
+        .when(F.col("d1") <= F.col("d2"), 1)
+        .otherwise(2)
+    )
+    dist = (
+        F.when((F.col("d0") <= F.col("d1")) & (F.col("d0") <= F.col("d2")), F.col("d0"))
+        .when(F.col("d1") <= F.col("d2"), F.col("d1"))
+        .otherwise(F.col("d2"))
+    )
+    return scored.select(
+        "invoice_no",
+        nearest.alias("cluster"),
+        dist.alias("dist"),
+        (dist > F.lit(FIXED_THRESHOLD)).alias("is_anomaly"),
+    )
+
+
+def _sqdist_sql(c: list[float]) -> str:
+    return " + ".join(f"(({col}) - {v!r}) * (({col}) - {v!r})" for col, v in zip(_FEATS, c))
+
+
+register(
+    QuerySpec(
+        name="centroid_distance_score",
+        description="M4/M5/M6: nearest-centroid sqdist + threshold flag vs fixed "
+        "centroids (KMeansClusterInvoices.scala:72-76)",
+        spark=q_centroid_distance_score,
+        oracle=f"""
+            WITH feats AS ({_FEATURIZE_SQL}),
+            dists AS (
+                SELECT invoice_no,
+                       {_sqdist_sql(CENTROIDS[0])} AS d0,
+                       {_sqdist_sql(CENTROIDS[1])} AS d1,
+                       {_sqdist_sql(CENTROIDS[2])} AS d2
+                FROM feats
+            )
+            SELECT invoice_no,
+                   CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+                        WHEN d1 <= d2 THEN 1 ELSE 2 END AS cluster,
+                   CASE WHEN d0 <= d1 AND d0 <= d2 THEN d0
+                        WHEN d1 <= d2 THEN d1 ELSE d2 END AS dist,
+                   (CASE WHEN d0 <= d1 AND d0 <= d2 THEN d0
+                         WHEN d1 <= d2 THEN d1 ELSE d2 END) > {FIXED_THRESHOLD!r}
+                     AS is_anomaly
+            FROM dists
+        """,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Full training flow (rows-only: not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def _train_and_flag(spark: SparkSession, sf_dir: str, algo: str) -> DataFrame:
+    from ..ml.clustering import (
+        assemble_features,
+        detect_anomalies,
+        distance_to_centroid,
+        train_detector,
+    )
+
+    # The featurized frame is small relative to the lineitem input (one row
+    # per invoice); iterative fitting over many near-empty shuffle partitions
+    # is pure scheduling overhead, so coalesce before the sweep. At real
+    # scale the same rule applies with a larger target (rows per partition,
+    # not partition count, is the invariant).
+    feats = (
+        assemble_features(_featurize(spark, sf_dir), _FEATS).coalesce(8).persist()
+    )
+    # k swept 1..8 (reference uses 1..20; shortened for per-round runtime —
+    # elbow lands well under 8 on this data), seeded for reproducibility.
+    model, threshold, _costs = train_detector(
+        feats, algo=algo, k_range=range(1, 9), threshold_k=2000
+    )
+    scored = distance_to_centroid(feats, model)
+    return detect_anomalies(scored, threshold).select(
+        "invoice_no", F.col("prediction").alias("cluster"), "dist"
+    )
+
+
+def q_kmeans_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M3+M4+M5+M6+A4: KMeans sweep, elbow(0.7), exact 2000th-largest
+    threshold, anomaly filter (KMeansClusterInvoices.scala end-to-end)."""
+    return _train_and_flag(spark, sf_dir, "kmeans")
+
+
+def q_bisecting_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 variant: BisectingKMeans (BisectingKMeansClusterInvoices.scala)."""
+    return _train_and_flag(spark, sf_dir, "bisecting")
+
+
+register(
+    QuerySpec(
+        name="kmeans_invoice_anomalies",
+        description="full KMeans training flow: sweep+elbow+threshold+filter "
+        "(rows-only; invariants in tests/test_ml.py)",
+        spark=q_kmeans_anomalies,
+        oracle=None,
+    )
+)
+
+register(
+    QuerySpec(
+        name="bisecting_invoice_anomalies",
+        description="full BisectingKMeans training flow (rows-only)",
+        spark=q_bisecting_anomalies,
+        oracle=None,
+    )
+)
