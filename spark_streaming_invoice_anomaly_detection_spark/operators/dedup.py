@@ -1,0 +1,330 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §7 Phase 4).
+
+Five families, all Spark-first:
+
+- exact: content-hash groupBy (one shuffle on the hash)
+- MinHash + LSH: shingle -> k minhashes -> banded bucket join -> exact
+  Jaccard verify. Candidate generation touches only same-bucket pairs —
+  the 100 TB path (all-pairs is quadratic; LSH is ~linear in docs+pairs)
+- SimHash: 64-bit bit-voting signature; near-dups share bands/prefixes
+- n-gram Jaccard: exact pairwise similarity within cheap blocks
+- embedding cosine: exact pairwise cosine within blocks (the brute-force
+  baseline; the LSH path for vectors lives in operators/similarity.py)
+
+Everything is built on the md5-derived :func:`..operators.text.h60` hash so
+DuckDB oracles reproduce every signature bit-for-bit: same hashes -> same
+buckets -> same candidate pairs -> same verified output (no probabilistic
+mismatch between engine and oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import h60, tokenize, word_ngrams
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate grouping by sha256 of the raw text.
+
+    Output: one row per document with its content hash, the canonical
+    (minimum) id of its duplicate group, and the group size. A plain
+    keep-first dedup is ``filter(id == canonical_id)``.
+    """
+    hashed = df.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash")
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return hashed.join(groups, "content_hash").select(
+        id_col, "content_hash", "canonical_id", "group_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """k-permutation MinHash: min over shingles of h60(seed || shingle).
+
+    Seeded string-concat hashing instead of the classic (a*x+b) mod p so the
+    oracle can reproduce it; statistically it is the same construction
+    (k independent hash functions).
+    """
+
+    def seeded_min(seed: int) -> Column:
+        prefix = f"{seed}:"
+        # one-arg lambda only: F.transform passes (element, index) to
+        # two-arg lambdas, which would silently replace a captured seed
+        return F.array_min(
+            F.transform(shingles, lambda s: h60(F.concat(F.lit(prefix), s)))
+        )
+
+    return F.array(*[seeded_min(i) for i in range(num_hashes)])
+
+
+def shingle_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram: int = 3
+) -> DataFrame:
+    """Documents -> distinct word-ngram shingle arrays (empty docs kept)."""
+    return df.select(
+        F.col(id_col), word_ngrams(tokenize(F.col(text_col)), ngram).alias("shingles")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become a candidate
+    pair. One explode + one self-equi-join on (band_id, band_hash) — the
+    join co-locates buckets, so cost scales with bucket sizes, not n^2.
+    """
+    rows_per_band = num_hashes // bands
+    band_entries = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(sig_col)[b * rows_per_band + r].cast(
+                                        "string"
+                                    )
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string arrays (intersection over union),
+    computed as ints then one deterministic double division."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band-join ->
+    exact-Jaccard verify. Output: (id_a, id_b, jaccard) pairs >= threshold
+    among LSH candidates.
+
+    bands=4 of 2 rows at k=8 gives the classic s-curve with ~50% candidate
+    recall at J=0.5 and >95% at J=0.8; raise num_hashes/bands for recall,
+    verification keeps precision exact.
+    """
+    shingled = shingle_docs(df, text_col, id_col, ngram)
+    signed = shingled.select(
+        id_col, minhash_signature(F.col("shingles"), num_hashes).alias("signature")
+    )
+    pairs = lsh_candidate_pairs(signed, num_hashes, bands, id_col)
+    a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+SIMHASH_BITS = 60  # h60 yields 60 meaningful bits
+
+
+def simhash_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash per document: per-token h60, per-bit +/-1 votes, bit j
+    set iff the vote is positive. Output: (id, simhash, prefix8).
+
+    Shaped as explode + one hash aggregation (60 conditional integer sums)
+    rather than 60 array folds per row — linear work, map-side combined, and
+    the whole signature is integer arithmetic so any engine reproduces it
+    exactly. ``prefix8`` (top 8 bits) is the cheap blocking key: near-dups
+    usually agree on it, and grouping by it bounds pairwise comparison.
+
+    Documents with no tokens get simhash 0.
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode_outer(tokenize(F.col(text_col))).alias("token")
+    )
+    hashed = tokens.select(id_col, h60(F.col("token")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").isNull(), 0)
+            .when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    voted = hashed.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return voted.select(
+        F.col(id_col),
+        sig.cast("long").alias("simhash"),
+        F.shiftright(sig.cast("long"), SIMHASH_BITS - 8).alias("prefix8"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact blocked n-gram Jaccard (the verification-only baseline)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    ngram: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact all-pairs Jaccard within blocks (e.g. same language).
+
+    The block equi-join bounds the pair count; at 100 TB the block column
+    should be a coarse shard (lang x length-bucket x source) or replaced by
+    the LSH path above.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        word_ngrams(tokenize(F.col(text_col)), ngram).alias("shingles"),
+    )
+    a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("block"), F.col("shingles").alias("sh_a")
+    )
+    b = shingled.select(
+        F.col(id_col).alias("id_b"),
+        F.col("block").alias("block_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    return (
+        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (brute force within blocks)
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine over two float arrays, computed in double with sequential
+    left-folds (deterministic, oracle-reproducible order)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Pairs of vectors with cosine >= threshold, blocked to bound the join.
+
+    Output ids only — the membership test is robust to last-ulp cosine
+    differences across engines; the scores live in the rows-only variants.
+    """
+    cols = [F.col(id_col), F.col(vec_col)]
+    if block_col:
+        cols.append(F.col(block_col).alias("block"))
+    base = df.select(*cols)
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        *([F.col("block")] if block_col else []),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        *([F.col("block").alias("block_b")] if block_col else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("block") == F.col("block_b"))
+    return (
+        a.join(b, cond)
+        .filter(cosine(F.col("v_a"), F.col("v_b")) >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )

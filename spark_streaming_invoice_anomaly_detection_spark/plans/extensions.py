@@ -1,7 +1,552 @@
-"""LLM-data-pipeline extension queries (dedup, similarity, text analysis).
+"""LLM-data-pipeline extension queries (SURVEY.md §7 Phase 4).
 
-Filled in Phase 4 (SURVEY.md §7). Registered here so each extension operator
-gets a driver-checked queries()/oracle_sql() entry.
+Every operator family gets a driver-checked entry. The documents corpus has
+no natural duplicates, so dedup queries AUGMENT the input inside the query
+(a deterministic mutated copy of each doc — id+1_000_000, prefix-truncated
+text / scaled vector) on BOTH the Spark and oracle side: the planted pairs
+make the candidate-generation + verification path actually fire, and the
+check stays an exact equality.
+
+Hash-derived operators (minhash/simhash/fingerprint) are bit-for-bit
+reproducible in DuckDB via the shared md5-based h60 primitive; embedding
+cosines proved bit-identical to DuckDB's list_dot_product (verified over
+12k pairs), so even floating similarity values are compared raw.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+from ..operators.text import h60_sql
+from ..sources.catalog import load_table
+from .registry import QuerySpec, register
+
+_AUG_OFFSET = 1_000_000
+
+# ---------------------------------------------------------------------------
+# Shared augmented inputs (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents UNION mutated copies: id+1e6, first 20 chars dropped."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
+    mutated = docs.select(
+        (F.col("doc_id") + _AUG_OFFSET).alias("doc_id"),
+        F.substring(F.col("text"), 21, 1_000_000).alias("text"),
+        F.col("lang"),
+    )
+    return docs.unionByName(mutated)
+
+
+_AUG_DOCS_SQL = f"""
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + {_AUG_OFFSET} AS doc_id,
+           substring(text, 21, 1000000) AS text, lang
+    FROM documents
+"""
+
+
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings UNION scaled copies (same direction => cosine 1)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    mutated = emb.select(
+        (F.col("vec_id") + _AUG_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * F.lit(1.5))
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    return base.unionByName(mutated)
+
+
+_AUG_EMB_SQL = f"""
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_AUG_OFFSET} AS vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5) AS embedding,
+           label
+    FROM embeddings
+"""
+
+_TOKENS_SQL = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+
+
+def _shingles_sql(tokens: str, n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""(
+        CASE WHEN len({tokens}) - {n - 1} <= 0 THEN CAST([] AS VARCHAR[])
+             ELSE list_distinct(list_transform(
+                      range(1, len({tokens}) - {n - 2}),
+                      i -> {gram.replace('t[', f'({tokens})[')}))
+        END)"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents + verbatim copies (planted exact dups)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + _AUG_OFFSET).alias("doc_id"), F.col("text")
+    )
+    return D.exact_dedup(docs.unionByName(copies))
+
+
+register(
+    QuerySpec(
+        name="exact_dedup_groups",
+        description="exact dedup: sha256 content hash -> canonical id + group size",
+        spark=q_exact_dedup,
+        oracle=f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + {_AUG_OFFSET}, text FROM documents
+            ),
+            hashed AS (SELECT doc_id, sha256(text) AS content_hash FROM aug),
+            groups AS (
+                SELECT content_hash, min(doc_id) AS canonical_id,
+                       count(*) AS group_size
+                FROM hashed GROUP BY content_hash
+            )
+            SELECT h.doc_id, h.content_hash, g.canonical_id, g.group_size
+            FROM hashed h JOIN groups g USING (content_hash)
+        """,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (fully oracle-checked: same hashes -> same buckets)
+# ---------------------------------------------------------------------------
+
+_MH_K, _MH_BANDS, _MH_NGRAM, _MH_THRESHOLD = 8, 4, 3, 0.3
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_near_dups(
+        _augmented_docs(spark, sf_dir),
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )
+
+
+# string-built oracle: 8 minhash mins, 4 band hashes, bucket self-join,
+# exact jaccard verification — mirrors operators/dedup.py step for step
+_MH_SIG_ENTRIES = ", ".join(
+    "list_aggregate(list_transform(shingles, s -> "
+    + h60_sql(f"'{i}:' || s")
+    + "), 'min')"
+    for i in range(_MH_K)
+)
+_MH_BAND_ENTRIES = ", ".join(
+    f"md5(CAST(mh[{2 * b + 1}] AS VARCHAR) || ',' || CAST(mh[{2 * b + 2}] AS VARCHAR))"
+    for b in range(_MH_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+    WITH aug AS ({_AUG_DOCS_SQL}),
+    sh AS (
+        SELECT doc_id, {_shingles_sql(_TOKENS_SQL, _MH_NGRAM)} AS shingles
+        FROM aug
+    ),
+    sh2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
+    sig AS (SELECT doc_id, shingles, [{_MH_SIG_ENTRIES}] AS mh FROM sh2),
+    bands AS (
+        SELECT doc_id, band_id, band_hashes[band_id + 1] AS band_hash
+        FROM (SELECT doc_id, [{_MH_BAND_ENTRIES}] AS band_hashes FROM sig),
+             range({_MH_BANDS}) r(band_id)
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT c.id_a, c.id_b,
+               CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+                    THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                                AS DOUBLE)
+                    ELSE 0.0 END AS jaccard
+        FROM cand c
+        JOIN sh2 a ON c.id_a = a.doc_id
+        JOIN sh2 b ON c.id_b = b.doc_id
+    ) WHERE jaccard >= {_MH_THRESHOLD!r}
+"""
+
+register(
+    QuerySpec(
+        name="minhash_lsh_neardups",
+        description="MinHash(k=8) + LSH(4 bands) near-dup pairs with exact "
+        "Jaccard verify, over planted near-dups; oracle reproduces every "
+        "hash/bucket bit-for-bit",
+        spark=q_minhash_lsh,
+        oracle=_MINHASH_ORACLE,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# SimHash signatures
+# ---------------------------------------------------------------------------
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_docs(load_table(spark, "documents", sf_dir))
+
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN h.h IS NULL THEN 0 "
+    f"WHEN (h.h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(D.SIMHASH_BITS)
+)
+_SIMHASH_SUM = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+    for j in range(D.SIMHASH_BITS)
+)
+
+register(
+    QuerySpec(
+        name="simhash_signatures",
+        description="60-bit SimHash per document (bit-voting over token "
+        "hashes) + 8-bit blocking prefix",
+        spark=q_simhash,
+        oracle=f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+            ),
+            hashed AS (SELECT doc_id, {h60_sql('token')} AS h FROM toks),
+            votes AS (
+                SELECT d.doc_id, {_SIMHASH_VOTES}
+                FROM documents d LEFT JOIN hashed h ON d.doc_id = h.doc_id
+                GROUP BY d.doc_id
+            )
+            SELECT doc_id, simhash,
+                   simhash >> {D.SIMHASH_BITS - 8} AS prefix8
+            FROM (SELECT doc_id, {_SIMHASH_SUM} AS simhash FROM votes)
+        """,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Exact blocked n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_NJ_THRESHOLD = 0.05
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Jaccard within language blocks over the real corpus (shared
+    vocabulary gives non-trivial overlap even without planted dups)."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir),
+        block_col="lang",
+        ngram=1,
+        threshold=_NJ_THRESHOLD,
+    )
+
+
+register(
+    QuerySpec(
+        name="ngram_jaccard_pairs",
+        description="exact token-set Jaccard, all pairs within lang blocks",
+        spark=q_ngram_jaccard,
+        oracle=f"""
+            WITH sh AS (
+                SELECT doc_id, lang AS block,
+                       {_shingles_sql(_TOKENS_SQL, 1)} AS shingles
+                FROM documents
+            )
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+                            THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                                 / CAST(len(list_distinct(list_concat(a.shingles,
+                                                                      b.shingles))) AS DOUBLE)
+                            ELSE 0.0 END AS jaccard
+                FROM sh a JOIN sh b
+                  ON a.block = b.block AND a.doc_id < b.doc_id
+            ) WHERE jaccard >= {_NJ_THRESHOLD!r}
+        """,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+_EMB_THRESHOLD = 0.8
+
+
+def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dups(
+        _augmented_embeddings(spark, sf_dir),
+        block_col="label",
+        threshold=_EMB_THRESHOLD,
+    )
+
+
+register(
+    QuerySpec(
+        name="embedding_neardup_pairs",
+        description="pairwise cosine >= 0.8 within label blocks over "
+        "embeddings + planted scaled copies",
+        spark=q_embedding_neardups,
+        oracle=f"""
+            WITH aug AS ({_AUG_EMB_SQL})
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM aug a JOIN aug b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding, b.embedding)
+                  / (sqrt(list_dot_product(a.embedding, a.embedding))
+                     * sqrt(list_dot_product(b.embedding, b.embedding)))
+                  >= {_EMB_THRESHOLD!r}
+        """,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force top-k (exact) + RP-LSH (rows-only)
+# ---------------------------------------------------------------------------
+
+#: Fixed 64-dim query vector, exact binary fractions (k/32) on both sides.
+QUERY_VEC = [((i * 37) % 64 - 32) / 32.0 for i in range(64)]
+_TOPK = 25
+
+_QUERY_SQL = "[" + ", ".join(repr(x) for x in QUERY_VEC) + "]"
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.brute_force_topk(emb, QUERY_VEC, k=_TOPK)
+
+
+register(
+    QuerySpec(
+        name="similarity_topk_bruteforce",
+        description="exact cosine top-25 to a fixed query vector "
+        "(TakeOrdered, bit-identical scores cross-engine)",
+        spark=q_similarity_topk,
+        oracle=f"""
+            SELECT vec_id,
+                   list_dot_product(CAST(embedding AS DOUBLE[]), {_QUERY_SQL})
+                   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product({_QUERY_SQL}, {_QUERY_SQL})))
+                     AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT {_TOPK}
+        """,
+    )
+)
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k probing only the query's RP-LSH bucket (the scale
+    path: ~1/2^planes of the corpus scanned). Rows-only: the bucketing is
+    deterministic but the recall/rank contract is approximate by design."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.lsh_topk(emb, QUERY_VEC, k=_TOPK, num_planes=4, dim=64)
+
+
+register(
+    QuerySpec(
+        name="similarity_topk_lsh",
+        description="approximate top-k via random-hyperplane LSH bucket probe "
+        "(rows-only; recall asserted in tests/test_extensions.py)",
+        spark=q_similarity_lsh_topk,
+        oracle=None,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", X.lang_id(F.col("text")).alias("pred_lang"), F.col("lang")
+    )
+
+
+_HITS = {
+    lang: f"len(list_filter({_TOKENS_SQL}, t -> list_contains({words!r}, t)))"
+    for lang, words in X.STOPWORDS.items()
+}
+_BEST = f"greatest({', '.join(_HITS.values())})"
+_LANG_CASE = (
+    f"CASE WHEN {_BEST} <= 0 THEN 'und' "
+    + " ".join(f"WHEN {_HITS[lang]} = {_BEST} THEN '{lang}'" for lang in X.STOPWORDS)
+    + " END"
+)
+
+register(
+    QuerySpec(
+        name="text_lang_id",
+        description="stopword-voting language ID vs the labeled lang column",
+        spark=q_lang_id,
+        oracle=f"SELECT doc_id, {_LANG_CASE} AS pred_lang, lang FROM documents",
+    )
+)
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_EN_SW = X.STOPWORDS["en"]
+_QUALITY_SQL = f"""
+    (CASE WHEN length(text) >= 50 AND length(text) <= 2000 THEN 1.0 ELSE 0.0 END) * 0.25
+    + (CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS DOUBLE)
+       / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.25
+    + (CAST(len(list_filter({_TOKENS_SQL}, t -> list_contains({_EN_SW!r}, t))) AS DOUBLE)
+       / CAST(greatest(len({_TOKENS_SQL}), 1) AS DOUBLE)) * 0.25
+    + (CASE WHEN (CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS DOUBLE)
+                  / CAST(greatest(len({_TOKENS_SQL}), 1) AS DOUBLE)) >= 2.0
+             AND (CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS DOUBLE)
+                  / CAST(greatest(len({_TOKENS_SQL}), 1) AS DOUBLE)) <= 12.0
+            THEN 1.0 ELSE 0.0 END) * 0.25
+"""
+
+register(
+    QuerySpec(
+        name="text_quality_score",
+        description="token count + 4-component quality heuristic per doc",
+        spark=q_quality,
+        oracle=f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT)
+                     AS n_tokens,
+                   {_QUALITY_SQL} AS quality
+            FROM documents
+        """,
+    )
+)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", X.doc_fingerprint(F.col("text"), n=5).alias("fingerprint")
+    )
+
+
+register(
+    QuerySpec(
+        name="doc_fingerprint",
+        description="winnowing-style fingerprint: min h60 over word 5-grams",
+        spark=q_fingerprint,
+        oracle=f"""
+            SELECT doc_id,
+                   list_aggregate(
+                       list_transform({_shingles_sql(_TOKENS_SQL, 5)},
+                                      s -> {h60_sql('s')}),
+                       'min') AS fingerprint
+            FROM documents
+        """,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Multimodal: decode-stub stats (oracle via sha256/octet_length twins)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: synthesize assets, decode via
+    mapInPandas stub, aggregate per modality. feature_0 is the first
+    component of the stub feature (sha256 byte 0 / 255) — reproducible in
+    SQL, proving the Python decode path computed what it claims."""
+    from ..operators.multimodal import decode_assets, synthesize_assets
+
+    docs = load_table(spark, "documents", sf_dir)
+    assets = synthesize_assets(docs)
+    decoded = decode_assets(assets)
+    return (
+        decoded.withColumn("feature_0", F.col("feature")[0])
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            (F.sum("feature_0") / F.count(F.lit(1))).alias("avg_feature_0"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="multimodal_decode_stats",
+        description="binary payload -> mapInPandas decode stub -> per-modality "
+        "stats (sha256-derived feature oracled in SQL)",
+        spark=q_multimodal_decode,
+        oracle=f"""
+            WITH assets AS (
+                SELECT doc_id AS asset_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 'image'
+                            WHEN doc_id % 3 = 1 THEN 'audio'
+                            ELSE 'video' END AS modality,
+                       strlen(text) AS n_bytes,
+                       CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) / 255.0
+                         AS feature_0
+                FROM documents
+            )
+            SELECT modality, count(*) AS n_assets,
+                   sum(n_bytes) AS total_bytes,
+                   sum(feature_0) / count(*) AS avg_feature_0
+            FROM assets GROUP BY modality
+        """,
+    )
+)
+
+
+def q_video_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: per-asset sampled frame count from the real
+    explode+decode path, oracled against the closed-form count."""
+    from ..operators.multimodal import sample_video_frames, synthesize_assets
+
+    docs = load_table(spark, "documents", sf_dir)
+    frames = sample_video_frames(synthesize_assets(docs), every_ms=1000)
+    return frames.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+register(
+    QuerySpec(
+        name="video_frame_counts",
+        description="video frame-sampling plumbing: explode fan-out count vs "
+        "closed-form oracle",
+        spark=q_video_frame_counts,
+        oracle="""
+            SELECT doc_id AS asset_id,
+                   CAST((greatest(length(text) * 10 - 1, 0) // 1000) + 1 AS BIGINT)
+                     AS n_frames
+            FROM documents
+            WHERE doc_id % 3 = 2
+        """,
+    )
+)

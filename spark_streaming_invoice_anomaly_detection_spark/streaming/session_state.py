@@ -33,9 +33,7 @@ see tests/test_streaming.py::_poll).
 
 from __future__ import annotations
 
-import time
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 
@@ -79,76 +77,82 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _extract_hour(date_str: Any) -> float:
-    """Python twin of extractHour (InvoicePipeline.scala:495-498)."""
-    try:
-        return float(date_str.split(" ")[1].split(":")[0])
-    except Exception:
-        return -1.0
-
-
-def _is_empty(s: Any) -> bool:
-    return s is None or (isinstance(s, float) and pd.isna(s)) or s == ""
-
-
-def _finalize(key: str, st: tuple) -> pd.DataFrame:
-    quantities, dates, prices, customers, countries, error_reason = st
-    n = len(prices)
-    if n:
-        row = {
-            "invoice_no": key,
-            "avg_unit_price": sum(prices) / n,
-            "min_unit_price": min(prices),
-            "max_unit_price": max(prices),
-            "time": _extract_hour(dates[0]),
-            "number_items": float(sum(quantities)),
-            "last_updated": int(time.time() * 1000),
-            "lines": n,
-            "customer_id": customers[0],
-            "error_reason": error_reason,
-            "has_missing_customer": any(_is_empty(c) for c in customers),
-            "has_invalid_date": any(_extract_hour(d) < 0 for d in dates),
-            "has_missing_country": any(_is_empty(c) for c in countries),
-        }
-    else:  # only parse-error events ever arrived
-        row = {
-            "invoice_no": key,
-            "avg_unit_price": None,
-            "min_unit_price": None,
-            "max_unit_price": None,
-            "time": None,
-            "number_items": None,
-            "last_updated": int(time.time() * 1000),
-            "lines": 0,
-            "customer_id": None,
-            "error_reason": error_reason,
-            "has_missing_customer": False,
-            "has_invalid_date": False,
-            "has_missing_country": False,
-        }
-    return pd.DataFrame([row])
-
-
 def make_update_fn(timeout_ms: int):
-    """Build the per-group update function with a bound expiry timeout."""
+    """Build the per-group update function with a bound expiry timeout.
+
+    Everything the Python worker executes is nested here so cloudpickle
+    ships it by value — workers never import this package (the hosting
+    session doesn't guarantee the engine on their import path).
+    """
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        import pandas as _pd
+
+        def extract_hour(date_str):
+            # Python twin of extractHour (InvoicePipeline.scala:495-498)
+            try:
+                return float(date_str.split(" ")[1].split(":")[0])
+            except Exception:
+                return -1.0
+
+        def is_empty(s):
+            return (
+                s is None
+                or (isinstance(s, float) and _pd.isna(s))
+                or s == ""
+            )
+
+        def finalize(inv_no, st):
+            quantities, dates, prices, customers, countries, err = st
+            n = len(prices)
+            if n:
+                row = {
+                    "invoice_no": inv_no,
+                    "avg_unit_price": sum(prices) / n,
+                    "min_unit_price": min(prices),
+                    "max_unit_price": max(prices),
+                    "time": extract_hour(dates[0]),
+                    "number_items": float(sum(quantities)),
+                    "last_updated": int(_time.time() * 1000),
+                    "lines": n,
+                    "customer_id": customers[0],
+                    "error_reason": err,
+                    "has_missing_customer": any(is_empty(c) for c in customers),
+                    "has_invalid_date": any(extract_hour(d) < 0 for d in dates),
+                    "has_missing_country": any(is_empty(c) for c in countries),
+                }
+            else:  # only parse-error events ever arrived
+                row = {
+                    "invoice_no": inv_no,
+                    "avg_unit_price": None,
+                    "min_unit_price": None,
+                    "max_unit_price": None,
+                    "time": None,
+                    "number_items": None,
+                    "last_updated": int(_time.time() * 1000),
+                    "lines": 0,
+                    "customer_id": None,
+                    "error_reason": err,
+                    "has_missing_customer": False,
+                    "has_invalid_date": False,
+                    "has_missing_country": False,
+                }
+            return _pd.DataFrame([row])
+
         (invoice_no,) = key
 
         if state.hasTimedOut:
             # expired: emit exactly once, then drop (reference :207-208)
-            yield _finalize(invoice_no, state.get)
+            yield finalize(invoice_no, state.get)
             state.remove()
             return
 
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        prev = (
-            state.get
-            if state.exists
-            else ([], [], [], [], [], None)
-        )
+        batch = _pd.concat(list(pdfs), ignore_index=True)
+        prev = state.get if state.exists else ([], [], [], [], [], None)
         quantities, dates, prices, customers, countries, error_reason = (
             list(prev[0]),
             list(prev[1]),
@@ -169,10 +173,10 @@ def make_update_fn(timeout_ms: int):
             dates += [d for d in goods["invoice_date"]]
             prices += [float(p) for p in goods["unit_price"]]
             customers += [
-                None if pd.isna(c) else str(c) for c in goods["customer_id"]
+                None if _pd.isna(c) else str(c) for c in goods["customer_id"]
             ]
             countries += [
-                None if pd.isna(c) else str(c) for c in goods["country"]
+                None if _pd.isna(c) else str(c) for c in goods["country"]
             ]
 
         state.update((quantities, dates, prices, customers, countries, error_reason))

@@ -1,0 +1,228 @@
+"""Functional tests for the LLM-pipeline extension operators: planted-dup
+recall, LSH behavior, text heuristics on known inputs, multimodal plumbing.
+(Cross-engine equivalence is covered by test_queries_oracle.py.)"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_invoice_anomaly_detection_spark.operators import dedup as D
+from spark_streaming_invoice_anomaly_detection_spark.operators import similarity as S
+from spark_streaming_invoice_anomaly_detection_spark.operators import text as X
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm stone wall near the old garden gate every morning"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("morning", "evening")),  # near-dup of 1 (J ~ 0.9)
+        (3, BASE),  # exact dup of 1
+        (4, "completely different text about distributed query engines and "
+            "columnar storage formats with vectorized execution kernels"),
+        (5, "short doc"),
+        (6, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_groups(self, spark, corpus):
+        out = {r.doc_id: r for r in D.exact_dedup(corpus).collect()}
+        assert out[1].canonical_id == 1 and out[3].canonical_id == 1
+        assert out[1].group_size == 2
+        assert out[2].canonical_id == 2  # near-dup is NOT an exact dup
+        assert out[4].group_size == 1
+
+
+class TestMinHashLSH:
+    def test_planted_neardups_found(self, spark, corpus):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D.minhash_near_dups(corpus, threshold=0.5).collect()
+        }
+        assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # exact dup
+        assert (1, 2) in pairs and pairs[(1, 2)] > 0.8  # near dup
+        assert (2, 3) in pairs
+        assert not any(4 in p or 5 in p or 6 in p for p in pairs)
+
+    def test_signature_similarity_tracks_jaccard(self, spark, corpus):
+        sh = D.shingle_docs(corpus)
+        sig = {
+            r.doc_id: list(r.sig)
+            for r in sh.select(
+                "doc_id", D.minhash_signature(F.col("shingles"), 16).alias("sig")
+            ).collect()
+        }
+        agree_12 = sum(a == b for a, b in zip(sig[1], sig[2])) / 16
+        agree_14 = sum(a == b for a, b in zip(sig[1], sig[4])) / 16
+        assert agree_12 > 0.5  # near-dups agree on most minhashes
+        assert agree_14 < 0.2  # unrelated docs agree on almost none
+
+
+class TestSimHash:
+    def test_hamming_distance_ordering(self, spark, corpus):
+        sig = {r.doc_id: r.simhash for r in D.simhash_docs(corpus).collect()}
+        ham = lambda a, b: bin(a ^ b).count("1")
+        assert sig[1] == sig[3]  # identical docs -> identical simhash
+        assert ham(sig[1], sig[2]) < ham(sig[1], sig[4])  # near < far
+        assert sig[6] == 0  # empty doc
+
+    def test_prefix_blocking_key(self, spark, corpus):
+        rows = {r.doc_id: r for r in D.simhash_docs(corpus).collect()}
+        assert rows[1].prefix8 == rows[1].simhash >> (D.SIMHASH_BITS - 8)
+        assert rows[1].prefix8 == rows[2].prefix8  # near-dups share the block
+
+
+class TestNgramJaccard:
+    def test_exact_pairs(self, spark, corpus):
+        blocked = corpus.withColumn("lang", F.lit("x"))
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D.ngram_jaccard_pairs(blocked, threshold=0.5).collect()
+        }
+        assert pairs[(1, 3)] == 1.0
+        assert 0.8 < pairs[(1, 2)] < 1.0
+
+
+class TestEmbeddingNearDup:
+    def test_planted_pairs(self, spark):
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(20, 16)).astype("float32")
+        vecs2 = vecs * 2.0  # same directions
+        rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(20)] + [
+            (100 + i, [float(x) for x in vecs2[i]], 0) for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in D.embedding_near_dups(df, threshold=0.99).collect()
+        }
+        assert pairs == {(i, 100 + i) for i in range(20)}
+
+
+class TestSimilaritySearch:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+
+    def test_brute_force_matches_numpy(self, spark, emb, sf_dir):
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            QUERY_VEC,
+        )
+
+        got = S.brute_force_topk(emb, QUERY_VEC, k=10).collect()
+        pdf = emb.toPandas()
+        m = np.array([np.asarray(v, dtype="float64") for v in pdf.embedding])
+        q = np.asarray(QUERY_VEC)
+        cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+        want = pdf.vec_id.to_numpy()[np.argsort(-cos)[:10]]
+        assert [r.vec_id for r in got] == list(want)
+        assert abs(got[0].cos_sim - cos.max()) < 1e-12
+
+    def test_lsh_bucket_probe(self, spark, emb):
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            QUERY_VEC,
+        )
+
+        buckets = S.lsh_bucket_vectors(emb, num_planes=4, dim=64)
+        n_buckets = buckets.select("bucket").distinct().count()
+        assert 2 <= n_buckets <= 16  # 2^4 possible buckets, most populated
+        out = S.lsh_topk(emb, QUERY_VEC, k=10, num_planes=4, dim=64).collect()
+        assert 0 < len(out) <= 10
+        # results genuinely come from the query's bucket and are cosine-sorted
+        sims = [r.cos_sim for r in out]
+        assert sims == sorted(sims, reverse=True)
+
+
+class TestTextAnalysis:
+    def test_lang_id_on_real_sentences(self, spark):
+        rows = [
+            (1, "the cat sat on the mat and it was happy for a while", "en"),
+            (2, "el gato que estaba en la casa era de los vecinos", "es"),
+            (3, "der hund ist mit der katze und den kindern im haus", "de"),
+            (4, "le chat est dans la maison avec les enfants pour une heure", "fr"),
+            (5, "xyzzy plugh 42", "und"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, want string")
+        out = df.select("doc_id", "want", X.lang_id(F.col("text")).alias("got"))
+        for r in out.collect():
+            assert r.got == r.want, (r.doc_id, r.got, r.want)
+
+    def test_quality_score_bounds_and_ordering(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog near the garden "
+                "and it was a fine day for running in the sun"),
+            (2, "!!!! ???? ,,,, ...."),  # pure punctuation
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        scores = {
+            r.doc_id: r.q
+            for r in df.select(
+                "doc_id", X.quality_score(F.col("text")).alias("q")
+            ).collect()
+        }
+        assert 0.0 <= scores[2] < scores[1] <= 1.0
+
+    def test_token_count_and_fingerprint(self, spark, corpus):
+        out = {
+            r.doc_id: r
+            for r in corpus.select(
+                "doc_id",
+                X.token_count(F.col("text")).alias("n"),
+                X.doc_fingerprint(F.col("text")).alias("fp"),
+            ).collect()
+        }
+        assert out[5].n == 2
+        assert out[6].n == 0
+        assert out[6].fp is None  # short doc -> no 5-grams -> null
+        assert out[1].fp == out[3].fp  # identical docs
+        assert out[1].fp != out[4].fp
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self, spark, sf_dir):
+        from spark_streaming_invoice_anomaly_detection_spark.operators.multimodal import (
+            decode_assets,
+            synthesize_assets,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        assets = synthesize_assets(docs)
+        assert dict(assets.dtypes)["payload"] == "binary"
+        decoded = decode_assets(assets)
+        row = decoded.first()
+        assert len(row.feature) == 8
+        assert all(0.0 <= x <= 1.0 for x in row.feature)
+        # n_bytes is the payload byte length (utf-8), not the char count
+        joined = decoded.join(docs, decoded.asset_id == docs.doc_id).select(
+            "n_bytes", F.octet_length("text").alias("want")
+        )
+        assert joined.filter(F.col("n_bytes") != F.col("want")).count() == 0
+
+    def test_video_frame_sampling(self, spark, sf_dir):
+        from spark_streaming_invoice_anomaly_detection_spark.operators.multimodal import (
+            sample_video_frames,
+            synthesize_assets,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+        assets = synthesize_assets(docs)
+        frames = sample_video_frames(assets, every_ms=1000)
+        counts = {r.asset_id: r.n for r in frames.groupBy("asset_id").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        durations = {
+            r.asset_id: r.duration_ms
+            for r in assets.filter(F.col("modality") == "video").collect()
+        }
+        assert counts, "expected at least one video asset"
+        for aid, n in counts.items():
+            assert n == max(durations[aid] - 1, 0) // 1000 + 1
