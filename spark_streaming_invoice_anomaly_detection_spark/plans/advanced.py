@@ -1,0 +1,294 @@
+"""Advanced relational coverage: arrays, explode, pivot, exact percentiles,
+as-of join, and batch gap-sessionization.
+
+These extend SURVEY.md §2's inventory with operator families the reference
+never needed but a complete engine must have (SURVEY.md §2.3 "not present in
+the reference ... additions"). Each is expressed as a declarative DataFrame
+plan (Catalyst picks the physical strategy) with a DuckDB oracle twin.
+
+Scale notes per query live in the docstrings — the common themes: arrays are
+built with map-side combine (collect_list inside a hash agg), the as-of join
+is a single shuffle-by-user_id + one window pass (no range-explosion), and
+sessionization is two window passes over the same partitioning (one
+Exchange, reused by AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import QuerySpec, register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Arrays: collect_list / array_sort / element_at / array_join
+# ---------------------------------------------------------------------------
+
+
+def q_array_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sorted quantity array, serialized for exact comparison.
+
+    collect_list happens inside the hash aggregate (partial per partition,
+    merged in the final agg) — one shuffle on l_orderkey. The sort makes the
+    array deterministic; array_join fixes the cross-engine representation.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    qtys = F.array_sort(F.collect_list(F.col("l_quantity").cast("int")))
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(qtys, ",").alias("qtys"),
+        F.size(qtys).alias("n_lines"),
+        F.element_at(qtys, 1).alias("min_qty"),
+        F.element_at(qtys, -1).alias("max_qty"),
+    )
+
+
+register(
+    QuerySpec(
+        name="array_agg_funcs",
+        description="collect_list -> array_sort/element_at/array_join per order",
+        spark=q_array_agg_funcs,
+        oracle="""
+            SELECT l_orderkey,
+                   array_to_string(list_sort(list(CAST(l_quantity AS INT))), ',')
+                       AS qtys,
+                   CAST(count(*) AS INT) AS n_lines,
+                   list_sort(list(CAST(l_quantity AS INT)))[1] AS min_qty,
+                   list_sort(list(CAST(l_quantity AS INT)))[-1] AS max_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Explode / unnest: word count over documents
+# ---------------------------------------------------------------------------
+
+
+def q_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 words: explode(split) -> hash agg -> TakeOrdered.
+
+    The generate (explode) runs inside whole-stage codegen; the count is a
+    partial+final hash agg, and the top-100 is a per-partition TakeOrdered
+    merge on the driver — no global sort at any scale. Deterministic
+    tie-break (count desc, word asc) so the limit boundary is stable.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(100)
+    )
+
+
+register(
+    QuerySpec(
+        name="explode_wordcount",
+        description="explode(split(text)) word count, deterministic top-100",
+        spark=q_explode_wordcount,
+        oracle=r"""
+            SELECT word, count(*) AS n
+            FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+                FROM documents
+            )
+            WHERE word <> ''
+            GROUP BY word
+            ORDER BY n DESC, word ASC
+            LIMIT 100
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns (explicit value list -> no extra
+    distinct-values job; min() is order-insensitive so exact cross-engine).
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.min("o_totalprice"))
+    )
+
+
+register(
+    QuerySpec(
+        name="pivot_status",
+        description="groupBy().pivot() with pinned values, min aggregate",
+        spark=q_pivot_status,
+        oracle="""
+            SELECT o_orderpriority,
+                   min(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS "F",
+                   min(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS "O",
+                   min(o_totalprice) FILTER (WHERE o_orderstatus = 'P') AS "P"
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (interpolated), per group
+# ---------------------------------------------------------------------------
+
+
+def q_percentile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quartiles of l_quantity per return flag.
+
+    Spark's `percentile` (exact, not approx) and DuckDB's `quantile_cont`
+    share the (n-1)*p rank definition; l_quantity is integral so the
+    interpolation arithmetic is exact in binary floating point.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q1"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q3"),
+    )
+
+
+register(
+    QuerySpec(
+        name="percentile_quartiles",
+        description="exact interpolated percentile() per group",
+        spark=q_percentile_quartiles,
+        oracle="""
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.25) AS q1,
+                   quantile_cont(l_quantity, 0.5) AS median,
+                   quantile_cont(l_quantity, 0.75) AS q3
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (time-series): latest click at-or-before each purchase
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as union + one window pass (Spark has no native
+    ASOF; DuckDB does — that's the oracle).
+
+    Instead of a range join (which explodes to |purchases| x |clicks| per
+    user before filtering), tag both streams, sort each user's events once,
+    and carry the last non-null click timestamp forward:
+    one shuffle on user_id, one ordered window scan — O(n log n) per
+    partition, skew bounded by the busiest user. At equal timestamps the
+    (ts, event_type) sort puts 'click' < 'purchase', matching ASOF's
+    inclusive `>=` bound.
+    """
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    both = e.filter(F.col("event_type").isin("click", "purchase")).withColumn(
+        "click_ts", F.when(F.col("event_type") == "click", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        both.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", F.col("last_click_ts").alias("click_ts"))
+    )
+
+
+register(
+    QuerySpec(
+        name="asof_join_last_click",
+        description="as-of join via union+window vs DuckDB native ASOF JOIN",
+        spark=q_asof_join_last_click,
+        oracle="""
+            SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Batch gap-sessionization (relational twin of streaming/session_state.py)
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions: lag -> new-session flag -> running sum -> agg.
+
+    Both window passes and the final aggregate share the user_id
+    partitioning, so the whole query is ONE Exchange; the gap arithmetic is
+    exact integer microseconds (unix_micros / epoch_us on the oracle side).
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lag_us = F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        lag_us.isNull() | (F.unix_micros("ts") - lag_us > _GAP_US), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("session_id", F.sum(new_sess).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="sessionize_events",
+        description="gap-based sessionization: 2 windows + agg, one shuffle",
+        spark=q_sessionize_events,
+        oracle=f"""
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > {_GAP_US}
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM numbered
+            GROUP BY user_id, session_id
+        """,
+    )
+)

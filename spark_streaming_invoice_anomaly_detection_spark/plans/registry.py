@@ -61,6 +61,7 @@ def _load_all() -> None:
         return
     from . import reference_queries  # noqa: F401
     from . import relational  # noqa: F401
+    from . import advanced  # noqa: F401
     from . import extensions  # noqa: F401
     from . import ml_queries  # noqa: F401
 
