@@ -65,9 +65,17 @@ def elbow_selection(costs: list[float], ratio: float = DEFAULT_ELBOW_RATIO) -> i
     """Index of the selected model (Clustering.scala:93-98, verbatim
     semantics): first i>=1 whose cost ratio to the previous k exceeds
     ``ratio`` — i.e. where adding a cluster stopped paying — else the last.
+
+    Zero-cost edge (IEEE division, as the Scala code computes it):
+    cost[i]>0 after cost[i-1]==0 gives +Infinity > ratio -> select i;
+    0/0 is NaN, never > ratio -> keep scanning.
     """
     for i in range(1, len(costs)):
-        if costs[i - 1] != 0 and costs[i] / costs[i - 1] > ratio:
+        if costs[i - 1] == 0:
+            if costs[i] != 0:
+                return i
+            continue  # 0/0 = NaN: not > ratio
+        if costs[i] / costs[i - 1] > ratio:
             return i
     return len(costs) - 1
 
@@ -92,7 +100,9 @@ def train_sweep(
     analytically (WSSSE vs the global mean = sum_j (n-1)*var_j) with no fit,
     and its model slot left as None.
     """
-    features = features.persist()
+    owns_cache = not features.is_cached
+    if owns_cache:
+        features = features.persist()
     models, costs = [], []
     for k in k_range:
         if k == 1:
@@ -108,7 +118,8 @@ def train_sweep(
         model = est.fit(features)
         models.append(model)
         costs.append(float(model.summary.trainingCost))
-    features.unpersist()
+    if owns_cache:
+        features.unpersist()
     return models, costs
 
 

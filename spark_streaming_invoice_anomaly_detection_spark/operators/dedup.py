@@ -162,7 +162,15 @@ def minhash_near_dups(
     recall at J=0.5 and >95% at J=0.8; raise num_hashes/bands for recall,
     verification keeps precision exact.
     """
-    shingled = shingle_docs(df, text_col, id_col, ngram)
+    # Empty-shingle docs (fewer than ngram tokens) would all hash to the
+    # SAME band bucket (array_min of [] is null; concat_ws skips nulls ->
+    # md5('')), forming one quadratic candidate bucket of short docs that
+    # Jaccard-0 verification then discards. Filter them before banding:
+    # same output, no degenerate bucket at scale (mirrors the oracle's sh2
+    # CTE in plans/extensions.py).
+    shingled = shingle_docs(df, text_col, id_col, ngram).filter(
+        F.size("shingles") > 0
+    )
     signed = shingled.select(
         id_col, minhash_signature(F.col("shingles"), num_hashes).alias("signature")
     )
@@ -240,16 +248,29 @@ def ngram_jaccard_pairs(
     block_col: str = "lang",
     ngram: int = 3,
     threshold: float = 0.2,
+    extra_block_cols: tuple[str, ...] = (),
+    length_bucket_width: int | None = None,
 ) -> DataFrame:
-    """Exact all-pairs Jaccard within blocks (e.g. same language).
+    """Exact all-pairs Jaccard within bounded composite blocks.
 
-    The block equi-join bounds the pair count; at 100 TB the block column
-    should be a coarse shard (lang x length-bucket x source) or replaced by
-    the LSH path above.
+    The in-block self-join is O(block_size^2), so the block key must stay
+    bounded as the corpus grows: compose the primary block (lang) with
+    ``extra_block_cols`` (e.g. source shard) and a token-count bucket
+    (``floor(n_tokens / length_bucket_width)`` — near-dups have near-equal
+    length, so same-bucket is where the signal lives). A single unbounded
+    column (a language) is NOT a valid block at 100 TB; for unblocked
+    recall use the MinHash-LSH path above and keep this as the verifier.
     """
+    parts = [F.col(block_col).cast("string")]
+    parts += [F.col(c).cast("string") for c in extra_block_cols]
+    if length_bucket_width:
+        n_tokens = F.size(tokenize(F.col(text_col)))
+        parts.append(
+            F.floor(n_tokens / F.lit(length_bucket_width)).cast("string")
+        )
     shingled = df.select(
         F.col(id_col),
-        F.col(block_col).alias("block"),
+        F.concat_ws("|", *parts).alias("block"),
         word_ngrams(tokenize(F.col(text_col)), ngram).alias("shingles"),
     )
     a = shingled.select(
@@ -300,15 +321,37 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     block_col: str | None = "label",
     threshold: float = 0.9,
+    lsh_planes: int = 0,
+    lsh_dim: int = 64,
 ) -> DataFrame:
     """Pairs of vectors with cosine >= threshold, blocked to bound the join.
+
+    With ``lsh_planes > 0`` the block key is composed with the vector's
+    random-hyperplane LSH bucket (similarity.rp_lsh_signature): candidates
+    must agree on every sign bit, so each label block splits into up to
+    2^planes buckets and the exact cosine runs only within a bucket — the
+    candidate-generation/verification split the scale path needs (a bare
+    label column alone is NOT a bounded block at 100 TB; scaled copies of a
+    vector keep its direction, hence its bucket, so true near-dups are never
+    split). More planes => smaller buckets at the usual recall cost near the
+    decision boundary.
 
     Output ids only — the membership test is robust to last-ulp cosine
     differences across engines; the scores live in the rows-only variants.
     """
     cols = [F.col(id_col), F.col(vec_col)]
+    block_parts = []
     if block_col:
-        cols.append(F.col(block_col).alias("block"))
+        block_parts.append(F.col(block_col).cast("string"))
+    if lsh_planes > 0:
+        from .similarity import rp_lsh_signature
+
+        block_parts.append(
+            rp_lsh_signature(F.col(vec_col), lsh_planes, lsh_dim).cast("string")
+        )
+    if block_parts:
+        cols.append(F.concat_ws("|", *block_parts).alias("block"))
+        block_col = "block"  # downstream joins on the composite
     base = df.select(*cols)
     a = base.select(
         F.col(id_col).alias("id_a"),

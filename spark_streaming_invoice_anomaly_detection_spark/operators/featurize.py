@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalars import extract_hour, is_cancellation, is_empty
+from ..functions.scalars import extract_hour, is_cancellation
 
 
 def featurize_invoices(lines: DataFrame, deterministic: bool = True) -> DataFrame:
@@ -51,12 +51,15 @@ def featurize_invoices(lines: DataFrame, deterministic: bool = True) -> DataFram
 def filter_valid_invoices(invoices: DataFrame) -> DataFrame:
     """Training validity filter (P8, Clustering.scala:60-67).
 
-    CustomerID present AND LastDate present AND not a cancellation. A plain
-    conjunctive predicate: Catalyst pushes it below column-derived projects
-    and into the scan where possible.
+    CustomerID NOT NULL and LastDate NOT NULL and not a cancellation. The
+    batch reference checks only ``isNotNull`` — empty-string CustomerIDs are
+    kept and trained on; the null-OR-empty test belongs to the *streaming*
+    cascade (StringUtils.isEmpty at InvoicePipeline.scala:273), not here.
+    A plain conjunctive predicate: Catalyst pushes it below column-derived
+    projects and into the scan where possible.
     """
     return invoices.filter(
-        ~is_empty("customer_id")
+        F.col("customer_id").isNotNull()
         & F.col("last_updated").isNotNull()
         & ~is_cancellation("invoice_no")
     )

@@ -52,7 +52,8 @@ def synthesize_assets(
 
 
 DECODED_SCHEMA = (
-    "asset_id long, modality string, n_bytes long, feature array<double>"
+    "asset_id long, modality string, n_bytes long, byte0 int, "
+    "feature array<double>"
 )
 
 
@@ -80,9 +81,14 @@ def decode_assets(assets: DataFrame, batch_hint: int | None = None) -> DataFrame
             if real_codecs:
                 raise NotImplementedError("wire a real codec here")
             digest = _hashlib.sha256(payload or b"").digest()
-            return [b / 255.0 for b in digest[:8]]
+            # (raw first byte, normalized feature) — the int byte is the
+            # exactly-aggregatable twin of feature[0]: downstream averages
+            # sum int64 bytes and divide once, so accumulation order can't
+            # perturb the result (1/255 is not a dyadic rational).
+            return digest[0], [b / 255.0 for b in digest[:8]]
 
         for pdf in batches:
+            decoded = [_decode(p) for p in pdf["payload"]]
             yield _pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -90,7 +96,8 @@ def decode_assets(assets: DataFrame, batch_hint: int | None = None) -> DataFrame
                     "n_bytes": pdf["payload"].map(
                         lambda p: 0 if p is None else len(p)
                     ),
-                    "feature": [_decode(p) for p in pdf["payload"]],
+                    "byte0": [b for b, _ in decoded],
+                    "feature": [f for _, f in decoded],
                 }
             )
 

@@ -251,27 +251,36 @@ register(
 # ---------------------------------------------------------------------------
 
 _NJ_THRESHOLD = 0.05
+_NJ_LEN_BUCKET = 32  # token-count bucket width for the composite block
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram Jaccard within language blocks over the real corpus (shared
-    vocabulary gives non-trivial overlap even without planted dups)."""
+    """Unigram Jaccard within BOUNDED composite blocks (lang x source x
+    token-length bucket) over the real corpus. A bare language is not a
+    bounded block at scale — the composite keeps each self-join cell small
+    while near-equal-length same-source docs (where near-dups live) still
+    meet. Shared vocabulary gives non-trivial overlap without planted dups.
+    """
     return D.ngram_jaccard_pairs(
         load_table(spark, "documents", sf_dir),
         block_col="lang",
         ngram=1,
         threshold=_NJ_THRESHOLD,
+        extra_block_cols=("source",),
+        length_bucket_width=_NJ_LEN_BUCKET,
     )
 
 
 register(
     QuerySpec(
         name="ngram_jaccard_pairs",
-        description="exact token-set Jaccard, all pairs within lang blocks",
+        description="exact token-set Jaccard, all pairs within bounded "
+        "lang x source x length-bucket blocks",
         spark=q_ngram_jaccard,
         oracle=f"""
             WITH sh AS (
-                SELECT doc_id, lang AS block,
+                SELECT doc_id, lang, source,
+                       floor(len({_TOKENS_SQL}) / {_NJ_LEN_BUCKET}) AS len_bucket,
                        {_shingles_sql(_TOKENS_SQL, 1)} AS shingles
                 FROM documents
             )
@@ -283,7 +292,8 @@ register(
                                                                       b.shingles))) AS DOUBLE)
                             ELSE 0.0 END AS jaccard
                 FROM sh a JOIN sh b
-                  ON a.block = b.block AND a.doc_id < b.doc_id
+                  ON a.lang = b.lang AND a.source = b.source
+                     AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
             ) WHERE jaccard >= {_NJ_THRESHOLD!r}
         """,
     )
@@ -294,27 +304,68 @@ register(
 # ---------------------------------------------------------------------------
 
 _EMB_THRESHOLD = 0.8
+_EMB_PLANES, _EMB_DIM = 4, 64
+
+
+def _h60_py(s: str) -> int:
+    """Driver-side twin of operators.text.h60 (md5 first 15 hex digits)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+#: RP-LSH hyperplane components, precomputed exactly as
+#: similarity._hyperplane_component evaluates them (cast-to-double then one
+#: divide then one subtract — IEEE ops on identical inputs, so the repr'd
+#: literals below are bit-identical to what Catalyst constant-folds).
+_EMB_PLANE_VALS = [
+    [_h60_py(f"rp:{p}:{d}") / float(1 << 59) - 1.0 for d in range(_EMB_DIM)]
+    for p in range(_EMB_PLANES)
+]
 
 
 def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates blocked by label x RP-LSH bucket (sign bits against 4
+    fixed hyperplanes), exact cosine as the verifier — the bare label block
+    of round 1 was an unbounded O(n^2) self-join; the bucket splits it
+    16-ways and scales by adding planes. Scaled planted copies keep their
+    direction, hence their bucket."""
     return D.embedding_near_dups(
         _augmented_embeddings(spark, sf_dir),
         block_col="label",
         threshold=_EMB_THRESHOLD,
+        lsh_planes=_EMB_PLANES,
+        lsh_dim=_EMB_DIM,
     )
 
+
+def _plane_sql(p: int) -> str:
+    return "[" + ", ".join(repr(x) for x in _EMB_PLANE_VALS[p]) + "]"
+
+
+_EMB_SIG_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(embedding, {_plane_sql(p)}) >= 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p in range(_EMB_PLANES)
+)
 
 register(
     QuerySpec(
         name="embedding_neardup_pairs",
-        description="pairwise cosine >= 0.8 within label blocks over "
-        "embeddings + planted scaled copies",
+        description="pairwise cosine >= 0.8 within label x RP-LSH-bucket "
+        "blocks over embeddings + planted scaled copies",
         spark=q_embedding_neardups,
         oracle=f"""
-            WITH aug AS ({_AUG_EMB_SQL})
+            WITH aug AS ({_AUG_EMB_SQL}),
+            bucketed AS (
+                SELECT vec_id, embedding, label,
+                       {_EMB_SIG_SQL} AS bucket
+                FROM aug
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM aug a JOIN aug b
-              ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM bucketed a JOIN bucketed b
+              ON a.label = b.label AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
             WHERE list_dot_product(a.embedding, b.embedding)
                   / (sqrt(list_dot_product(a.embedding, a.embedding))
                      * sqrt(list_dot_product(b.embedding, b.embedding)))
@@ -480,22 +531,24 @@ register(
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing end-to-end: synthesize assets, decode via
-    mapInPandas stub, aggregate per modality. feature_0 is the first
-    component of the stub feature (sha256 byte 0 / 255) — reproducible in
-    SQL, proving the Python decode path computed what it claims."""
+    mapInPandas stub, aggregate per modality. The decode emits both the raw
+    sha256 first byte (int) and the normalized feature; the average uses the
+    int byte — sum exact in int64, ONE double division at the end — so the
+    result is independent of partial-agg accumulation order (round-1 hash
+    mismatch: summing b/255.0 doubles diverged from DuckDB in the last ulp).
+    """
     from ..operators.multimodal import decode_assets, synthesize_assets
 
     docs = load_table(spark, "documents", sf_dir)
     assets = synthesize_assets(docs)
     decoded = decode_assets(assets)
-    return (
-        decoded.withColumn("feature_0", F.col("feature")[0])
-        .groupBy("modality")
-        .agg(
-            F.count(F.lit(1)).alias("n_assets"),
-            F.sum("n_bytes").alias("total_bytes"),
-            (F.sum("feature_0") / F.count(F.lit(1))).alias("avg_feature_0"),
-        )
+    return decoded.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        (
+            F.sum("byte0").cast("double")
+            / (F.lit(255.0) * F.count(F.lit(1)).cast("double"))
+        ).alias("avg_feature_0"),
     )
 
 
@@ -512,13 +565,14 @@ register(
                             WHEN doc_id % 3 = 1 THEN 'audio'
                             ELSE 'video' END AS modality,
                        strlen(text) AS n_bytes,
-                       CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) / 255.0
-                         AS feature_0
+                       CAST(('0x' || substr(sha256(text), 1, 2)) AS INT)
+                         AS byte0
                 FROM documents
             )
             SELECT modality, count(*) AS n_assets,
-                   sum(n_bytes) AS total_bytes,
-                   sum(feature_0) / count(*) AS avg_feature_0
+                   CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                   CAST(sum(byte0) AS DOUBLE) / (255.0 * count(*))
+                     AS avg_feature_0
             FROM assets GROUP BY modality
         """,
     )

@@ -59,10 +59,14 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    # ml_queries registers right after the reference queries: the driver
+    # walks the registry in insertion order under a wall-clock budget, and
+    # round 1 showed the three ML entries starving at the tail of the list
+    # (VERDICT.md "What's wrong" #2).
     from . import reference_queries  # noqa: F401
+    from . import ml_queries  # noqa: F401
     from . import relational  # noqa: F401
     from . import advanced  # noqa: F401
     from . import extensions  # noqa: F401
-    from . import ml_queries  # noqa: F401
 
     _LOADED = True
