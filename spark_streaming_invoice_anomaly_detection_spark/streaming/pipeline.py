@@ -11,6 +11,14 @@ inside ``foreachBatch`` over the emitted-invoice micro-batch with a single
 ``completedInvoices.cache()`` fan-out (T5; four independent writeStream
 queries would each re-run the state store).
 
+The 8 min/1 min cancellation window count (T4, :322-331) cannot chain onto
+the stateful operator inside the same query (Spark rejects an aggregation
+after applyInPandasWithState), so it runs as a SECOND streaming query over
+a staging directory the fan-out appends cancellations to — the Structured
+Streaming equivalent of the reference publishing to an intermediate topic.
+Enable it by passing ``staging_dir``; ``sinks.cancellations`` then receives
+(window_start, window_end, n) updates instead of raw cancellation rows.
+
 Anomaly scoring (M4-M6) reuses the batch scorer: broadcast centroid join +
 native arithmetic — models ship to executors once per batch via the
 broadcast join, mirroring the reference's model broadcast (:148-152).
@@ -18,10 +26,11 @@ broadcast join, mirroring the reference's model broadcast (:148-152).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -29,6 +38,7 @@ from ..ml.clustering import Detector, detect_anomalies, distance_to_centroid
 from .parse import parse_purchase_lines, route_events
 from .session_state import sessionize_invoices
 from .validate import classify_erroneous, filter_valid_invoices
+from .windows import sliding_count
 
 SinkFn = Callable[[DataFrame, int], None]
 
@@ -93,6 +103,63 @@ def build_invoice_stream(
     return sessionize_invoices(events, trigger_seconds, expiry_ticks)
 
 
+@dataclass
+class PipelineHandle:
+    """Started queries: the stateful main query + the optional second-stage
+    cancellation-window query. ``stop()`` halts both."""
+
+    main: StreamingQuery
+    cancellation_windows: StreamingQuery | None = None
+
+    def stop(self) -> None:
+        if self.cancellation_windows is not None:
+            self.cancellation_windows.stop()
+        self.main.stop()
+
+
+#: Staged cancellation record schema (what fan_out appends, what the
+#: window query reads).
+_CANCEL_STAGE_SCHEMA = "invoice_no string, last_updated long"
+
+
+def start_cancellation_window_query(
+    spark: SparkSession,
+    staging_dir: str,
+    sink: SinkFn,
+    window: str = "8 minutes",
+    slide: str = "1 minute",
+    trigger_seconds: int = 20,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Stage 2 of T4: staged cancellations -> 8 min/1 min sliding count.
+
+    Reads the parquet files the fan-out appends (a file stream source — the
+    stand-in for the intermediate Kafka topic), windows on the emit
+    timestamp the sessionizer stamped, and delivers (window_start,
+    window_end, n) updates to ``sink``. Update mode re-emits a window each
+    time its count grows, which is the reference's per-slide count cadence
+    (InvoicePipeline.scala:322-331); no watermark, matching the reference's
+    processing-time design (T6).
+    """
+    data_dir = os.path.join(staging_dir, "cancellations")
+    os.makedirs(data_dir, exist_ok=True)
+    staged = spark.readStream.schema(_CANCEL_STAGE_SCHEMA).parquet(data_dir)
+    counts = sliding_count(
+        staged.select(F.timestamp_millis("last_updated").alias("emit_ts")),
+        "emit_ts",
+        window=window,
+        slide=slide,
+    )
+    writer = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def start_pipeline(
     raw_lines: DataFrame,
     sinks: PipelineSinks,
@@ -101,9 +168,24 @@ def start_pipeline(
     trigger_seconds: int = 20,
     expiry_ticks: int = 2,
     checkpoint_dir: str | None = None,
-) -> StreamingQuery:
-    """Wire the full pipeline and start it (one query, foreachBatch fan-out)."""
+    staging_dir: str | None = None,
+    cancel_window: str = "8 minutes",
+    cancel_slide: str = "1 minute",
+) -> PipelineHandle:
+    """Wire the full pipeline and start it (one query, foreachBatch fan-out).
+
+    With ``staging_dir`` set, the composed T4 path runs: fan_out appends
+    cancellations to the staging area and a second query delivers windowed
+    counts to ``sinks.cancellations``. Without it, the sink receives the
+    raw per-batch cancellation rows (the pre-windowing behavior, still
+    useful for tests that assert on individual invoices).
+    """
     invoices = build_invoice_stream(raw_lines, trigger_seconds, expiry_ticks)
+    cancel_stage = (
+        os.path.join(staging_dir, "cancellations") if staging_dir else None
+    )
+    if cancel_stage:
+        os.makedirs(cancel_stage, exist_ok=True)
 
     def fan_out(batch: DataFrame, epoch_id: int) -> None:
         batch = batch.persist()
@@ -111,12 +193,15 @@ def start_pipeline(
             sinks.erroneous(classify_erroneous(batch), epoch_id)
 
             valid = filter_valid_invoices(batch).persist()
-            cancels = valid.filter(F.col("invoice_no").startswith("C"))
-            # per-batch count; the 8min/1min sliding view is windows.sliding
-            # _count over the stamped emit time, applied by the sink/consumer
-            sinks.cancellations(
-                cancels.select("invoice_no", "last_updated"), epoch_id
+            cancels = valid.filter(F.col("invoice_no").startswith("C")).select(
+                "invoice_no", "last_updated"
             )
+            if cancel_stage:
+                # stage for the window query (stage 2) instead of shipping
+                # raw rows — the reference publishes only the window counts
+                cancels.write.mode("append").parquet(cancel_stage)
+            else:
+                sinks.cancellations(cancels, epoch_id)
 
             candidates = valid.filter(~F.col("invoice_no").startswith("C"))
             if kmeans is not None:
@@ -134,4 +219,21 @@ def start_pipeline(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
+    main = writer.start()
+
+    window_query = None
+    if staging_dir:
+        window_query = start_cancellation_window_query(
+            raw_lines.sparkSession,
+            staging_dir,
+            sinks.cancellations,
+            window=cancel_window,
+            slide=cancel_slide,
+            trigger_seconds=trigger_seconds,
+            checkpoint_dir=(
+                os.path.join(checkpoint_dir, "cancel_windows")
+                if checkpoint_dir
+                else None
+            ),
+        )
+    return PipelineHandle(main=main, cancellation_windows=window_query)

@@ -1,0 +1,261 @@
+"""Composed streaming-path tests: invoice stream -> 8min/1min window count
+-> sink (T4 end-to-end), per-batch metrics listener (S9), checkpoint
+recovery (T3), and a golden development.csv-shaped replay through the paced
+producer (S8) pinning all four outputs."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from .test_streaming import _poll
+
+GOOD = "536365,85123A,WHITE HANGING HEART,6,12/1/2010 8:26,2.55,17850,United Kingdom"
+
+
+def _tiny_detector(spark, threshold=100.0):
+    from pyspark.ml.clustering import KMeans
+
+    from spark_streaming_invoice_anomaly_detection_spark.ml.clustering import (
+        Detector,
+        assemble_features,
+    )
+
+    train = spark.createDataFrame(
+        [(1.0 + i * 0.1, 1.0, 2.0, 8.0, 5.0) for i in range(10)],
+        "avg_unit_price double, min_unit_price double, max_unit_price double, "
+        "time double, number_items double",
+    )
+    model = KMeans(k=2, seed=1).fit(assemble_features(train))
+    return Detector(model=model, threshold=threshold, algo="kmeans")
+
+
+@pytest.mark.slow
+def test_composed_cancellation_window_counts(spark, tmp_path):
+    """Invoice stream -> staged cancellations -> sliding count -> sink
+    (InvoicePipeline.scala:322-331 composed end-to-end)."""
+    from spark_streaming_invoice_anomaly_detection_spark.streaming.pipeline import (
+        CollectingSinks,
+        start_pipeline,
+    )
+
+    cancels = [
+        f"C60000{i},85123A,CANCELLED,1,12/1/2010 9:3{i},9.99,17850,UK"
+        for i in range(3)
+    ]
+    src = tmp_path / "in"
+    os.makedirs(src)
+    # two micro-batches of cancellations plus one normal invoice
+    with open(src / "batch0.txt", "w") as f:
+        f.write("\n".join([GOOD, cancels[0], cancels[1]]) + "\n")
+
+    raw = spark.readStream.format("text").load(str(src))
+    collected = CollectingSinks()
+    handle = start_pipeline(
+        raw,
+        collected.as_sinks(),
+        trigger_seconds=1,
+        expiry_ticks=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        staging_dir=str(tmp_path / "stage"),
+    )
+    try:
+        time.sleep(2)
+        with open(src / "batch1.txt", "w") as f:
+            f.write(cancels[2] + "\n")
+        # update-mode window rows accumulate; wait until some window has
+        # seen all three cancellations
+        _poll(
+            lambda: max([r.n for r in collected.cancellations] or [0]),
+            3,
+            deadline_s=120,
+        )
+    finally:
+        handle.stop()
+
+    rows = collected.cancellations
+    assert rows, "no window counts delivered"
+    assert max(r.n for r in rows) == 3
+    # every window is exactly 8 minutes long, slid on 1-minute boundaries
+    for r in rows:
+        span = r.window_end - r.window_start
+        assert span.total_seconds() == 8 * 60
+        assert r.window_start.second == 0 and r.window_start.minute >= 0
+    # the normal invoice never reaches the cancellation path
+    assert all(r.n <= 3 for r in rows)
+
+
+@pytest.mark.slow
+def test_batch_count_listener_observes_progress(spark, tmp_path):
+    """S9: listener sees >=1 progress event with the batch's row count."""
+    from spark_streaming_invoice_anomaly_detection_spark.streaming.monitor import (
+        BatchCountListener,
+    )
+
+    listener = BatchCountListener()
+    spark.streams.addListener(listener)
+    src = tmp_path / "in"
+    os.makedirs(src)
+    with open(src / "batch0.txt", "w") as f:
+        f.write("a\nb\nc\n")
+    name = f"listener_probe_{abs(hash(str(tmp_path))) % 10**8}"
+    q = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        _poll(
+            lambda: sum(e["numInputRows"] for e in listener.history), 3,
+            deadline_s=60,
+        )
+    finally:
+        q.stop()
+        spark.streams.removeListener(listener)
+    assert any(e["numInputRows"] == 3 for e in listener.history)
+    assert all("batchId" in e and "batchDuration" in e for e in listener.history)
+
+
+@pytest.mark.slow
+def test_checkpoint_recovery_no_duplicate_emission(spark, tmp_path):
+    """T3: restart the stateful query on the same checkpoint; an invoice
+    emitted (and committed) before the restart must not emit again."""
+    from spark_streaming_invoice_anomaly_detection_spark.streaming.pipeline import (
+        build_invoice_stream,
+    )
+
+    src = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    emitted: list = []
+
+    def start():
+        raw = spark.readStream.format("text").load(str(src))
+        return (
+            build_invoice_stream(raw, trigger_seconds=1, expiry_ticks=2)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _e: emitted.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+
+    line_a = "700001,x,FIRST,2,12/1/2010 9:00,3.50,17850,UK"
+    line_b = "700002,x,SECOND,1,12/1/2010 9:05,4.25,17850,UK"
+
+    q = start()
+    try:
+        with open(src / "a.txt", "w") as f:
+            f.write(line_a + "\n")
+        _poll(lambda: len(emitted), 1)
+        time.sleep(3)  # let the emitting batch's commit land in the checkpoint
+    finally:
+        q.stop()
+
+    q = start()
+    try:
+        with open(src / "b.txt", "w") as f:
+            f.write(line_b + "\n")
+        _poll(
+            lambda: len([r for r in emitted if r.invoice_no == "700002"]), 1
+        )
+    finally:
+        q.stop()
+
+    names = [r.invoice_no for r in emitted]
+    assert names.count("700002") == 1
+    assert names.count("700001") == 1, "restart re-emitted committed state"
+
+
+# ---------------------------------------------------------------------------
+# Golden replay: development.csv-shaped stream through the paced producer,
+# all four outputs pinned (reference logs/ captures, proportionally)
+# ---------------------------------------------------------------------------
+
+#: 5-invoice fixture shaped like src/main/resources/development.csv: one
+#: C-cancellation, one invoice whose lines all lack CustomerID, one
+#: parse-error line, one anomalous invoice, two normal invoices.
+GOLDEN_LINES = (
+    # invoice 800001: 3 normal lines
+    ["800001,85123A,ITEM A,%d,12/1/2010 8:2%d,2.55,17850,United Kingdom" % (i + 1, i)
+     for i in range(3)]
+    # invoice 800002: normal, quoted description
+    + ['800002,22633,"HAND WARMER, UNION JACK",6,12/1/2010 8:28,1.85,17851,United Kingdom']
+    # invoice 800003: every line missing CustomerID -> erroneous
+    + ["800003,85123A,NO CUST,2,12/1/2010 9:00,3.75,,United Kingdom",
+       "800003,85123B,NO CUST,1,12/1/2010 9:01,1.25,,United Kingdom"]
+    # invoice C800004: cancellation
+    + ["C800004,85123A,CANCELLED,1,12/1/2010 9:30,9.99,17850,United Kingdom"]
+    # invoice 800005: parse error (bad quantity)
+    + ["800005,85123A,BAD QTY,notanint,12/1/2010 9:35,2.55,17850,United Kingdom"]
+    # invoice 800006: price outlier -> anomaly under the tiny detector
+    + ["800006,85123A,ANOMALY,2,12/1/2010 9:40,5000.0,17850,United Kingdom"]
+)
+
+
+@pytest.mark.slow
+def test_golden_replay_four_outputs(spark, tmp_path):
+    from spark_streaming_invoice_anomaly_detection_spark.sources.replay import (
+        PacedReplayProducer,
+    )
+    from spark_streaming_invoice_anomaly_detection_spark.streaming.pipeline import (
+        CollectingSinks,
+        start_pipeline,
+    )
+
+    det = _tiny_detector(spark)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    raw = spark.readStream.format("text").load(src)
+    collected = CollectingSinks()
+    handle = start_pipeline(
+        raw,
+        collected.as_sinks(),
+        kmeans=det,
+        bisect=det,
+        trigger_seconds=1,
+        expiry_ticks=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        staging_dir=str(tmp_path / "stage"),
+    )
+    # paced drip: 3 lines per chunk -> the 9 lines arrive over >=3 files,
+    # exercising multi-batch arrival like the reference producer's 5-10ms
+    # pacing (here 20-40ms for test speed vs trigger=1s)
+    producer = PacedReplayProducer(
+        GOLDEN_LINES, src, delay_ms=(20.0, 40.0), chunk_lines=3, seed=3
+    )
+    producer.start()
+    try:
+        producer.join(timeout=30)
+        _poll(lambda: len(collected.erroneous), 2, deadline_s=120)
+        _poll(
+            lambda: min(
+                len(collected.kmeans_anomalies),
+                len(collected.bisect_anomalies),
+                len(collected.cancellations),
+            ),
+            1,
+            deadline_s=120,
+        )
+    finally:
+        handle.stop()
+
+    # 1) erroneous stream: missing-customer + parse-error invoices, with
+    #    reference reasons (facturas_erroneas.csv shape: "<invNo>,<reason>")
+    erroneous = {r.invoice_no: r.reason for r in collected.erroneous}
+    assert erroneous["800003"] == "missing customer ID"
+    assert erroneous["800005"].startswith("parse error:")
+    assert "800001" not in erroneous and "800002" not in erroneous
+    # 2) cancellation window counts: exactly the one C-invoice
+    assert max(r.n for r in collected.cancellations) == 1
+    # 3+4) both anomaly streams flag the outlier and nothing else
+    km = {r.invoice_no for r in collected.kmeans_anomalies}
+    bi = {r.invoice_no for r in collected.bisect_anomalies}
+    assert km == {"800006"} and bi == {"800006"}
