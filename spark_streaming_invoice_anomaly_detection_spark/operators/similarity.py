@@ -94,6 +94,114 @@ def lsh_bucket_vectors(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse-quantize to cells, probe the query's
+# nearest cells only — the other classic scale path next to RP-LSH. At
+# 100 TB the cell column is the partition key: each probe touches
+# n_probe/n_cells of the corpus and the cell assignment is one pass.
+# ---------------------------------------------------------------------------
+
+
+def _h60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def ivf_centroid_values(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic coarse centroids from the same h60 scheme as the
+    hyperplanes (production would k-means a sample; fixed centroids keep
+    every engine — and the DuckDB oracle — bit-reproducible)."""
+    return [
+        [_h60_py(f"ivf:{c}:{d}") / float(1 << 59) - 1.0 for d in range(dim)]
+        for c in range(n_cells)
+    ]
+
+
+def dot_py(a: list[float], b: list[float]) -> float:
+    """Left-fold dot product — the exact accumulation order of the engine's
+    F.aggregate fold (and of DuckDB's list_dot_product, bit-identity
+    verified by the round-1 cosine oracles)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _dot_const(vd: Column, c: list[float]) -> Column:
+    arr = F.array(*[F.lit(float(x)) for x in c])
+    return F.aggregate(
+        F.zip_with(vd, arr, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+    )
+
+
+def _dot_self(vd: Column) -> Column:
+    return F.aggregate(
+        F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+    )
+
+
+def ivf_cell(vec_col: Column | str, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (argmin squared L2, ties -> lowest id).
+
+    sqdist is expanded as ``(dot(v,v) - 2*dot(v,c)) + dot(c,c)`` with fixed
+    association so the oracle's arithmetic is identical term by term;
+    dot(c,c) is a Python-precomputed literal (same fold order).
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vd = F.transform(v, lambda x: x.cast("double"))
+    self_dot = _dot_self(vd)
+    ds = [
+        (self_dot - F.lit(2.0) * _dot_const(vd, c)) + F.lit(dot_py(c, c))
+        for c in centroids
+    ]
+    m = F.least(*ds)
+    cell = F.when(ds[0] == m, 0)
+    for i in range(1, len(ds)):
+        cell = cell.when(ds[i] == m, i)
+    return cell
+
+
+def ivf_probe_cells(
+    query: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` cells nearest the query (driver-side arithmetic on
+    literals — no Spark job, same fold order as the engine expression)."""
+    qq = dot_py(query, query)
+    d = [(qq - 2.0 * dot_py(query, c)) + dot_py(c, c) for c in centroids]
+    return sorted(range(len(centroids)), key=lambda i: (d[i], i))[:n_probe]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking over only the query's
+    ``n_probe`` nearest IVF cells (~n_probe/n_cells of the corpus scanned).
+
+    The cell filter sits directly above the scan, so Catalyst prunes before
+    the expensive cosine; with the corpus pre-partitioned/bucketed by cell
+    (the deployment layout), the probe reads only the matching partitions.
+    """
+    centroids = ivf_centroid_values(n_cells, dim)
+    probe = ivf_probe_cells(query, centroids, n_probe)
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col), ivf_cell(vec_col, centroids).alias("cell")
+    )
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), cosine_to_query(vec_col, query).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query: list[float],

@@ -292,3 +292,151 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Window frames & ranking breadth: RANGE frame, ntile
+# ---------------------------------------------------------------------------
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, not row-based): per user,
+    count of events whose event_id lies within 1000 of the current one.
+
+    One shuffle on user_id; the frame is evaluated with a sliding pointer
+    over the sorted partition — no self-join, which is how a value-range
+    predicate must be expressed to survive at scale (the naive equivalent
+    is an O(n^2) theta-join per user).
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_in_range"),
+    )
+
+
+register(
+    QuerySpec(
+        name="window_range_frame",
+        description="RANGE BETWEEN 1000 PRECEDING frame over events "
+        "(value-based frame, integer count: cross-engine exact)",
+        spark=q_window_range_frame,
+        oracle="""
+            SELECT event_id, user_id,
+                   count(*) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+                   ) AS n_in_range
+            FROM events
+        """,
+    )
+)
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) engagement quartiles per user by event recency order.
+
+    Deterministic total order (ts, event_id) — ntile over a partial order
+    is nondeterministic across engines, so the unique tail key is load-
+    bearing, not cosmetic.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+register(
+    QuerySpec(
+        name="window_ntile",
+        description="ntile(4) per user over (ts, event_id) total order",
+        spark=q_window_ntile,
+        oracle="""
+            SELECT event_id, user_id,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS INT) AS quartile
+            FROM events
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Full outer join + unpivot
+# ---------------------------------------------------------------------------
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer customer<->orders: customers without orders keep a null
+    order count; orphan orders (none in conformant data) would surface with
+    a null customer side. Orders pre-aggregates BEFORE the join, so the
+    outer join is key-to-key (one row per side per key), not key-to-N.
+    """
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+register(
+    QuerySpec(
+        name="join_full_outer",
+        description="full outer join customer vs per-customer order counts",
+        spark=q_join_full_outer,
+        oracle="""
+            WITH o AS (
+                SELECT o_custkey, count(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+                   c.c_mktsegment AS mktsegment,
+                   COALESCE(o.n_orders, 0) AS n_orders
+            FROM customer c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        """,
+    )
+)
+
+
+def q_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot of part's two numeric measures via ``stack`` —
+    a generator expression (no shuffle, no join): each input row fans out
+    to exactly 2 output rows inside the same task.
+    """
+    p = _t(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), "
+        "'retailprice', p_retailprice) AS (measure, val)",
+    )
+
+
+register(
+    QuerySpec(
+        name="unpivot_part_measures",
+        description="unpivot (stack) part measures wide-to-long",
+        spark=q_unpivot_part_measures,
+        oracle="""
+            SELECT p_partkey, 'size' AS measure,
+                   CAST(p_size AS DOUBLE) AS val FROM part
+            UNION ALL
+            SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS val
+            FROM part
+        """,
+    )
+)

@@ -430,6 +430,73 @@ register(
 )
 
 # ---------------------------------------------------------------------------
+# IVF ANN top-k — the second scale path (cell-partitioned probe), fully
+# oracle-checked because the coarse centroids are deterministic literals.
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS, _IVF_PROBE = 8, 2
+_IVF_CENTROIDS = S.ivf_centroid_values(_IVF_CELLS, 64)
+_IVF_PROBE_CELLS = S.ivf_probe_cells(QUERY_VEC, _IVF_CENTROIDS, _IVF_PROBE)
+
+
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: assign every vector to its nearest fixed coarse centroid,
+    rank by exact cosine only inside the query's 2 nearest cells (~1/4 of
+    the corpus scanned at 8 cells). Deterministic end to end, so unlike the
+    RP-LSH entry this approximate path gets a full value-hash oracle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.ivf_topk(
+        emb, QUERY_VEC, k=_TOPK, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, dim=64
+    )
+
+
+def _ivf_centroid_sql(c: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in c) + "]"
+
+
+_IVF_DIST_COLS = ", ".join(
+    f"((list_dot_product(embedding, embedding)"
+    f" - 2.0 * list_dot_product(embedding, {_ivf_centroid_sql(c)}))"
+    f" + {S.dot_py(c, c)!r}) AS d{i}"
+    for i, c in enumerate(_IVF_CENTROIDS)
+)
+_IVF_LEAST = "least(" + ", ".join(f"d{i}" for i in range(_IVF_CELLS)) + ")"
+_IVF_CELL_CASE = (
+    "CASE "
+    + " ".join(f"WHEN d{i} = m THEN {i}" for i in range(_IVF_CELLS))
+    + " END"
+)
+
+register(
+    QuerySpec(
+        name="similarity_topk_ivf",
+        description="IVF ANN top-25: nearest-of-8-fixed-centroids cells, "
+        "probe the query's 2 nearest cells, exact cosine within",
+        spark=q_similarity_ivf_topk,
+        oracle=f"""
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                FROM embeddings
+            ),
+            dists AS (SELECT vec_id, embedding, {_IVF_DIST_COLS} FROM base),
+            cells AS (
+                SELECT vec_id, embedding, {_IVF_CELL_CASE} AS cell
+                FROM (SELECT *, {_IVF_LEAST} AS m FROM dists)
+            )
+            SELECT vec_id,
+                   list_dot_product(embedding, {_QUERY_SQL})
+                   / (sqrt(list_dot_product(embedding, embedding))
+                      * sqrt(list_dot_product({_QUERY_SQL}, {_QUERY_SQL})))
+                     AS cos_sim
+            FROM cells
+            WHERE cell IN ({", ".join(str(p) for p in _IVF_PROBE_CELLS)})
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT {_TOPK}
+        """,
+    )
+)
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 

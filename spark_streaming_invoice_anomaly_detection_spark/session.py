@@ -14,6 +14,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: RocksDB-backed streaming state store (built into Spark since 3.2).
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state_store(spark: SparkSession) -> str:
+    """Switch streaming state to RocksDB (SURVEY.md §7 Phase 4 hygiene).
+
+    The default HDFS-backed provider keeps every key in executor heap; the
+    invoice-session state (one entry per in-flight invoice) outgrows that
+    long before 100 TB. RocksDB spills to local disk with incremental
+    checkpoint uploads. Runtime-settable; applies to queries started AFTER
+    the call. Returns the previous provider so callers can restore it.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    previous = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_STATE_STORE)
+    return previous
+
+
 def get_spark(
     app_name: str = "invoice-engine",
     master: str | None = None,

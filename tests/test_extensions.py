@@ -128,6 +128,32 @@ class TestSimilaritySearch:
         assert [r.vec_id for r in got] == list(want)
         assert abs(got[0].cos_sim - cos.max()) < 1e-12
 
+    def test_ivf_cell_probe(self, spark, emb):
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            QUERY_VEC,
+        )
+
+        centroids = S.ivf_centroid_values(8, 64)
+        cells = {
+            r.cell: r.n
+            for r in emb.select(
+                S.ivf_cell("embedding", centroids).alias("cell")
+            )
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert sum(cells.values()) == emb.count()  # every vector assigned
+        assert len(cells) >= 2  # corpus spreads over multiple cells
+        probe = S.ivf_probe_cells(QUERY_VEC, centroids, n_probe=2)
+        assert len(probe) == 2 and len(set(probe)) == 2
+        probed = sum(cells.get(c, 0) for c in probe)
+        assert 0 < probed < sum(cells.values())  # genuinely partial scan
+        out = S.ivf_topk(emb, QUERY_VEC, k=10, n_cells=8, n_probe=2, dim=64).collect()
+        assert 0 < len(out) <= 10
+        sims = [r.cos_sim for r in out]
+        assert sims == sorted(sims, reverse=True)
+
     def test_lsh_bucket_probe(self, spark, emb):
         from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
             QUERY_VEC,

@@ -174,6 +174,46 @@ def test_checkpoint_recovery_no_duplicate_emission(spark, tmp_path):
     assert names.count("700001") == 1, "restart re-emitted committed state"
 
 
+@pytest.mark.slow
+def test_rocksdb_state_store_sessionization(spark, tmp_path):
+    """The stateful operator runs unchanged on the RocksDB provider — the
+    state backend a real deployment needs once session state outgrows heap."""
+    from spark_streaming_invoice_anomaly_detection_spark.session import (
+        ROCKSDB_STATE_STORE,
+        enable_rocksdb_state_store,
+    )
+    from spark_streaming_invoice_anomaly_detection_spark.streaming.pipeline import (
+        build_invoice_stream,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    previous = enable_rocksdb_state_store(spark)
+    assert spark.conf.get(key) == ROCKSDB_STATE_STORE
+    src = tmp_path / "in"
+    os.makedirs(src)
+    with open(src / "a.txt", "w") as f:
+        f.write("710001,x,ROCKS,2,12/1/2010 9:00,3.50,17850,UK\n")
+    emitted: list = []
+    raw = spark.readStream.format("text").load(str(src))
+    q = (
+        build_invoice_stream(raw, trigger_seconds=1, expiry_ticks=2)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: emitted.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        _poll(lambda: len(emitted), 1)
+    finally:
+        q.stop()
+        if previous is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, previous)
+    assert [r.invoice_no for r in emitted] == ["710001"]
+
+
 # ---------------------------------------------------------------------------
 # Golden replay: development.csv-shaped stream through the paced producer,
 # all four outputs pinned (reference logs/ captures, proportionally)
