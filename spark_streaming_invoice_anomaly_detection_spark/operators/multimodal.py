@@ -150,9 +150,104 @@ def sample_video_frames(
     )
 
 
+def resize_images(
+    assets: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Image-resize plumbing: decode -> resample to (target_w, target_h) ->
+    per-image pixel-sum stats, as an Arrow-batched ``mapInPandas`` op.
+
+    The stub resampler is deterministic: "pixel" i of the resized image is
+    byte ``(i*31) % 32`` of sha256(payload) (31 is coprime to 32, so the
+    walk covers every digest byte uniformly). ``px_sum`` stays an exact
+    int64 so downstream means divide once (round-1 float-accumulation
+    lesson). Swap ``_resize`` for PIL's ``Image.resize`` in deployment.
+    """
+    real_codecs = REAL_CODECS_AVAILABLE
+    n_px = int(target_w) * int(target_h)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def _resize(payload):
+            if real_codecs:
+                raise NotImplementedError("wire PIL Image.resize here")
+            digest = _hashlib.sha256(payload or b"").digest()
+            return sum(digest[(i * 31) % 32] for i in range(n_px))
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "out_w": target_w,
+                    "out_h": target_h,
+                    "n_px": n_px,
+                    "px_sum": [_resize(p) for p in pdf["payload"]],
+                }
+            )
+
+    imgs = assets.filter(F.col("modality") == "image").select("asset_id", "payload")
+    return imgs.mapInPandas(
+        resize, "asset_id long, out_w int, out_h int, n_px long, px_sum long"
+    )
+
+
+def window_audio_frames(assets: DataFrame, window_ms: int = 500) -> DataFrame:
+    """Audio feature-extraction plumbing: fixed-width analysis windows over
+    the payload duration, one row per window with an int energy proxy.
+
+    Same shape as ``sample_video_frames``: the window fan-out is a native
+    JVM explode; only the per-window feature crosses into Python. The
+    window salt is a text suffix (``":<offset_ms>"``) so the oracle can
+    reproduce the digest with plain string concat.
+    """
+
+    windows = assets.filter(F.col("modality") == "audio").select(
+        "asset_id",
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                F.lit(int(window_ms)),
+            )
+        ).alias("win_ms"),
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def _energy(payload, ms):
+            digest = _hashlib.sha256(
+                (payload or b"") + f":{int(ms)}".encode()
+            ).digest()
+            return digest[0]
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "win_ms": pdf["win_ms"],
+                    "energy": [
+                        _energy(p, ms)
+                        for p, ms in zip(pdf["payload"], pdf["win_ms"])
+                    ],
+                }
+            )
+
+    return windows.mapInPandas(
+        featurize, "asset_id long, win_ms long, energy int"
+    )
+
+
 __all__ = [
     "MULTIMODAL_ASSET",
     "synthesize_assets",
     "decode_assets",
     "sample_video_frames",
+    "resize_images",
+    "window_audio_frames",
 ]

@@ -1,0 +1,100 @@
+"""Vector-column aggregation ops for the embeddings table (SURVEY.md §7
+Phase 4 extensions; no reference counterpart — the reference's only vector
+math is 5-d sqdist, InvoicePipeline.scala:342-352).
+
+Two idioms:
+
+- ``label_centroids`` (scale path): posexplode to (label, dim, val) rows and
+  hash-aggregate — the explode fans out inside the task (no shuffle), the
+  groupBy shuffles once on (label, dim) with map-side partial sums. Float
+  sums are accumulation-order-dependent, so this variant is for production
+  pipelines, not bit-exact cross-engine checks.
+- ``label_centroids_deterministic`` (oracle path): per (label, dim) group,
+  sort the values by vec_id and left-fold — the same sequence of IEEE adds
+  on any engine, so the result is bit-reproducible (DuckDB twin:
+  ``list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), ...)``).
+  Costs a per-group sorted array build; group size is the per-label corpus
+  count, so at 100 TB you'd use the non-deterministic variant (or partial
+  Kahan) and verify with tolerance instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _exploded(emb: DataFrame, label_col: str, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector, long form: (label, dim 1-based, n, centroid_val)."""
+    e = _exploded(emb, label_col, id_col, vec_col)
+    return e.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("val").alias("centroid_val")
+    ).select(
+        "label", (F.col("pos") + 1).alias("dim"), "n", "centroid_val"
+    )
+
+
+def label_centroids_deterministic(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bit-reproducible centroid: fold values in vec_id order, one division."""
+    e = _exploded(emb, label_col, id_col, vec_col)
+    folded = e.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["val"],
+        ).alias("sum_val"),
+    )
+    return folded.select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        "n",
+        (F.col("sum_val") / F.col("n").cast("double")).alias("centroid_val"),
+    )
+
+
+def l2_normalize(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Unit-normalize each vector: (vec_id, norm, unit array<double>).
+
+    Norm uses the same left-fold dot product as the cosine ops (bit-identical
+    to DuckDB's list_dot_product, verified round 1); zero vectors pass
+    through unchanged with norm 0 rather than dividing by zero.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+        )
+    )
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        norm.alias("norm"),
+        F.when(norm == 0.0, vd)
+        .otherwise(F.transform(vd, lambda x: x / norm))
+        .alias("unit"),
+    )
+
+
+__all__ = ["label_centroids", "label_centroids_deterministic", "l2_normalize"]

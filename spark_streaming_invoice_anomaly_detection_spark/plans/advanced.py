@@ -440,3 +440,104 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Time-range join (bucketed — the scale-safe form of a theta join)
+# ---------------------------------------------------------------------------
+
+_COOC_GAP_US = 10_000_000  # 10 s
+
+
+def q_range_join_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user co-occurrence: pairs of events from different users within
+    10 s of each other.
+
+    A naive `|Δts| <= 10s` predicate is a BroadcastNestedLoopJoin — O(n²).
+    `bucketed_time_range_join` quantizes time into 10 s buckets and
+    equi-joins on the bucket id (one side exploded to its 3 candidate
+    buckets), so Catalyst plans an ordinary shuffled equi-join; the exact
+    range + user inequality run as a post-join filter over ~density-sized
+    candidate sets. Survives 100× because candidates scale with temporal
+    density, not corpus size squared.
+    """
+    from ..operators.rangejoin import bucketed_time_range_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    a = e.select(
+        F.col("event_id").alias("event_id_a"),
+        F.col("user_id").alias("user_id_a"),
+        F.col("ts_us").alias("ts_us_a"),
+    )
+    b = e.select(
+        F.col("event_id").alias("event_id_b"),
+        F.col("user_id").alias("user_id_b"),
+        F.col("ts_us").alias("ts_us_b"),
+    )
+    pairs = bucketed_time_range_join(
+        a,
+        b,
+        "ts_us_a",
+        "ts_us_b",
+        _COOC_GAP_US,
+        extra_cond=F.col("user_id_a") < F.col("user_id_b"),
+    )
+    return pairs.select(
+        "event_id_a",
+        "event_id_b",
+        "user_id_a",
+        "user_id_b",
+        (F.col("ts_us_b") - F.col("ts_us_a")).alias("gap_us"),
+    )
+
+
+register(
+    QuerySpec(
+        name="range_join_cooccurrence",
+        description="time-range join via bucket equi-join: cross-user event "
+        "pairs within 10 s (exact int64 microsecond arithmetic)",
+        spark=q_range_join_cooccurrence,
+        oracle=f"""
+            SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+                   a.user_id AS user_id_a, b.user_id AS user_id_b,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+            FROM events a JOIN events b
+              ON a.user_id < b.user_id
+             AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= {_COOC_GAP_US}
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HLL sketch) — rows-only: sketch estimates are
+# implementation-specific, so the driver check is row-shape; the error
+# bound vs exact distinct is pinned in tests/test_advanced_ops.py.
+# ---------------------------------------------------------------------------
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type (rsd 2%).
+
+    The sketch is the 100 TB path for COUNT(DISTINCT): partial sketches
+    merge associatively map-side, so the shuffle carries one ~kB sketch per
+    (partition, group) instead of every distinct key — contrast with
+    `count_distinct`'s exact two-phase expansion.
+    """
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+register(
+    QuerySpec(
+        name="approx_distinct_users",
+        description="HLL++ approx distinct users per event_type (rows-only: "
+        "sketch values are engine-specific; bound pinned in pytest)",
+        spark=q_approx_distinct_users,
+        oracle=None,
+    )
+)

@@ -671,3 +671,196 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Vector aggregation: per-label centroids + L2 normalization
+# ---------------------------------------------------------------------------
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, long form (label, dim, n, centroid_val), via the
+    deterministic fold variant so the float mean is bit-reproducible in
+    DuckDB (sorted-by-vec_id left fold, one final division). The scale
+    variant (plain avg, order-dependent) is tested against this one with
+    tolerance in tests/test_extensions.py.
+    """
+    from ..operators.vectors import label_centroids_deterministic
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return label_centroids_deterministic(emb)
+
+
+register(
+    QuerySpec(
+        name="label_centroids",
+        description="per-label embedding centroids (deterministic sorted "
+        "fold; long form label x 64 dims)",
+        spark=q_label_centroids,
+        oracle="""
+            WITH base AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ),
+            expl AS (
+                SELECT label, vec_id,
+                       generate_subscripts(e, 1) AS dim, unnest(e) AS val
+                FROM base
+            )
+            SELECT label, CAST(dim AS INT) AS dim,
+                   count(*) AS n,
+                   list_reduce(
+                       list_prepend(0.0, list(val ORDER BY vec_id)),
+                       (a, b) -> a + b
+                   ) / CAST(count(*) AS DOUBLE) AS centroid_val
+            FROM expl
+            GROUP BY label, dim
+        """,
+    )
+)
+
+
+def q_embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize every embedding; emit the norm and a serialized probe
+    of the unit vector (first component + fold-sum of components) — exact
+    cross-engine floats because every op is the shared left-fold idiom.
+    """
+    from ..operators.vectors import l2_normalize
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    unit = l2_normalize(emb)
+    return unit.select(
+        "vec_id",
+        "norm",
+        F.element_at("unit", 1).alias("unit_0"),
+        F.aggregate("unit", F.lit(0.0), lambda a, v: a + v).alias("unit_sum"),
+    )
+
+
+register(
+    QuerySpec(
+        name="embedding_l2_normalize",
+        description="L2 normalization: norm, first unit component, and "
+        "left-fold sum of unit components per vector",
+        spark=q_embedding_l2_normalize,
+        oracle="""
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ),
+            n AS (
+                SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm
+                FROM base
+            ),
+            u AS (
+                SELECT vec_id, norm,
+                       CASE WHEN norm = 0.0 THEN e
+                            ELSE list_transform(e, x -> x / norm) END AS unit
+                FROM n
+            )
+            SELECT vec_id, norm, unit[1] AS unit_0,
+                   list_reduce(
+                       list_prepend(0.0, unit), (a, b) -> a + b
+                   ) AS unit_sum
+            FROM u
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: image resize + audio windowing (same stubbed-codec pattern as
+# decode_assets — real Arrow plumbing, closed-form sha256 oracles)
+# ---------------------------------------------------------------------------
+
+
+def q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: per-image 32x32 resample with an exact int64 pixel
+    sum and one final double division for the mean."""
+    from ..operators.multimodal import resize_images, synthesize_assets
+
+    docs = load_table(spark, "documents", sf_dir)
+    resized = resize_images(synthesize_assets(docs), target_w=32, target_h=32)
+    return resized.select(
+        "asset_id",
+        "out_w",
+        "out_h",
+        "px_sum",
+        (
+            F.col("px_sum").cast("double")
+            / (F.lit(255.0) * F.col("n_px").cast("double"))
+        ).alias("px_mean"),
+    )
+
+
+register(
+    QuerySpec(
+        name="image_resize_stats",
+        description="image resize (mapInPandas stub codec): 32x32 resample, "
+        "exact int pixel sum + mean",
+        spark=q_image_resize_stats,
+        # the (i*31)%32 walk over 1024 pixels covers each of the 32 digest
+        # bytes exactly 32 times -> px_sum = 32 * sum(all digest bytes)
+        oracle="""
+            SELECT doc_id AS asset_id,
+                   CAST(32 AS INT) AS out_w, CAST(32 AS INT) AS out_h,
+                   CAST(32 * list_sum(list_transform(range(32), i ->
+                       CAST(('0x' || substr(sha256(text), 2*i + 1, 2)) AS INT)
+                   )) AS BIGINT) AS px_sum,
+                   CAST(32 * list_sum(list_transform(range(32), i ->
+                       CAST(('0x' || substr(sha256(text), 2*i + 1, 2)) AS INT)
+                   )) AS DOUBLE) / (255.0 * 1024.0) AS px_mean
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+    )
+)
+
+
+def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing: 500 ms analysis windows (JVM explode fan-out),
+    per-window int energy from the Python stub, exact int64 rollup."""
+    from ..operators.multimodal import synthesize_assets, window_audio_frames
+
+    docs = load_table(spark, "documents", sf_dir)
+    frames = window_audio_frames(synthesize_assets(docs), window_ms=500)
+    return frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("energy").alias("energy_sum"),
+        (
+            F.sum("energy").cast("double")
+            / (F.lit(255.0) * F.count(F.lit(1)).cast("double"))
+        ).alias("energy_mean"),
+    )
+
+
+register(
+    QuerySpec(
+        name="audio_window_energy",
+        description="audio analysis windows: explode fan-out + per-window "
+        "sha energy, exact int rollup per asset",
+        spark=q_audio_window_energy,
+        oracle="""
+            WITH a AS (
+                SELECT doc_id AS asset_id, text,
+                       (greatest(length(text) * 10 - 1, 0) // 500) + 1
+                         AS n_windows
+                FROM documents WHERE doc_id % 3 = 1
+            ),
+            w AS (
+                SELECT asset_id, n_windows,
+                       list_transform(range(n_windows), k ->
+                           CAST(('0x' || substr(
+                               sha256(text || ':' || CAST(k * 500 AS VARCHAR)),
+                               1, 2)) AS INT)
+                       ) AS energies
+                FROM a
+            )
+            SELECT asset_id,
+                   CAST(n_windows AS BIGINT) AS n_windows,
+                   CAST(list_sum(energies) AS BIGINT) AS energy_sum,
+                   CAST(list_sum(energies) AS DOUBLE)
+                     / (255.0 * CAST(n_windows AS DOUBLE)) AS energy_mean
+            FROM w
+        """,
+    )
+)

@@ -1,0 +1,167 @@
+"""Functional tests for round-2 additions: bucketed range join, vector
+aggregation, multimodal resize/audio plumbing, HLL sketch bound.
+(Cross-engine equivalence is covered by test_queries_oracle.py.)"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_invoice_anomaly_detection_spark.operators import vectors as V
+from spark_streaming_invoice_anomaly_detection_spark.operators.multimodal import (
+    resize_images,
+    synthesize_assets,
+    window_audio_frames,
+)
+from spark_streaming_invoice_anomaly_detection_spark.operators.rangejoin import (
+    bucketed_time_range_join,
+)
+from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import load_table
+
+
+class TestRangeJoin:
+    def test_matches_naive_theta_join(self, spark, sf_dir):
+        """Bucketed equi-join result == the O(n^2) theta join, pair for pair."""
+        gap = 10_000_000
+        e = (
+            load_table(spark, "events", sf_dir)
+            .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+            .limit(400)
+            .cache()
+        )
+        a = e.select(
+            F.col("event_id").alias("event_id_a"),
+            F.col("user_id").alias("user_id_a"),
+            F.col("ts_us").alias("ts_us_a"),
+        )
+        b = e.select(
+            F.col("event_id").alias("event_id_b"),
+            F.col("user_id").alias("user_id_b"),
+            F.col("ts_us").alias("ts_us_b"),
+        )
+        fast = {
+            (r.event_id_a, r.event_id_b)
+            for r in bucketed_time_range_join(
+                a, b, "ts_us_a", "ts_us_b", gap,
+                extra_cond=F.col("user_id_a") < F.col("user_id_b"),
+            ).collect()
+        }
+        naive = {
+            (r.event_id_a, r.event_id_b)
+            for r in a.crossJoin(b)
+            .filter(
+                (F.abs(F.col("ts_us_a") - F.col("ts_us_b")) <= gap)
+                & (F.col("user_id_a") < F.col("user_id_b"))
+            )
+            .collect()
+        }
+        assert fast == naive
+        e.unpersist()
+
+    def test_no_duplicate_pairs(self, spark):
+        """A pair exactly on a bucket boundary matches on exactly one key."""
+        rows = [(1, 0), (2, 10_000_000)]  # Δ == gap -> inclusive, boundary
+        df = spark.createDataFrame(rows, "event_id long, ts_us long")
+        a = df.select(F.col("event_id").alias("ida"), F.col("ts_us").alias("ta"))
+        b = df.select(F.col("event_id").alias("idb"), F.col("ts_us").alias("tb"))
+        out = bucketed_time_range_join(
+            a, b, "ta", "tb", 10_000_000, extra_cond=F.col("ida") < F.col("idb")
+        ).collect()
+        assert len(out) == 1
+
+
+class TestVectorOps:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return load_table(spark, "embeddings", sf_dir).cache()
+
+    def test_centroid_variants_agree(self, emb):
+        det = {
+            (r.label, r.dim): r
+            for r in V.label_centroids_deterministic(emb).collect()
+        }
+        fast = {(r.label, r.dim): r for r in V.label_centroids(emb).collect()}
+        assert det.keys() == fast.keys()
+        for k in det:
+            assert det[k].n == fast[k].n
+            # same mean up to float accumulation order
+            assert abs(det[k].centroid_val - fast[k].centroid_val) < 1e-9
+
+    def test_centroid_shape(self, emb):
+        out = V.label_centroids_deterministic(emb).collect()
+        n_labels = emb.select("label").distinct().count()
+        assert len(out) == n_labels * 64
+        assert sum(r.n for r in out) == emb.count() * 64
+
+    def test_l2_normalize_unit_norm(self, emb):
+        probe = V.l2_normalize(emb).select(
+            "vec_id",
+            "norm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("unit", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+            ).alias("unit_norm"),
+        )
+        rows = probe.collect()
+        assert all(abs(r.unit_norm - 1.0) < 1e-9 for r in rows if r.norm > 0)
+
+
+class TestMultimodalExtras:
+    @pytest.fixture(scope="class")
+    def assets(self, spark, sf_dir):
+        return synthesize_assets(load_table(spark, "documents", sf_dir)).cache()
+
+    def test_resize_closed_form(self, assets):
+        """px_sum == 32 * sum(digest bytes): the (i*31)%32 walk is uniform."""
+        out = resize_images(assets, 32, 32).collect()
+        payloads = {
+            r.asset_id: bytes(r.payload)
+            for r in assets.filter(F.col("modality") == "image").collect()
+        }
+        assert len(out) == len(payloads) > 0
+        for r in out:
+            digest = hashlib.sha256(payloads[r.asset_id]).digest()
+            assert r.px_sum == 32 * sum(digest)
+            assert (r.out_w, r.out_h, r.n_px) == (32, 32, 1024)
+
+    def test_audio_window_fanout(self, assets):
+        out = window_audio_frames(assets, window_ms=500)
+        counts = {
+            r.asset_id: r.n
+            for r in out.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        durs = {
+            r.asset_id: r.duration_ms
+            for r in assets.filter(F.col("modality") == "audio").collect()
+        }
+        assert counts.keys() == durs.keys()
+        for aid, n in counts.items():
+            assert n == max(durs[aid] - 1, 0) // 500 + 1
+        # energy is a sha byte: always in [0, 255]
+        row = out.agg(F.min("energy"), F.max("energy")).first()
+        assert 0 <= row[0] <= row[1] <= 255
+
+
+class TestApproxDistinct:
+    def test_hll_within_rsd(self, spark, sf_dir):
+        e = load_table(spark, "events", sf_dir)
+        approx = {
+            r.event_type: r.approx_users
+            for r in e.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+            .collect()
+        }
+        exact = {
+            r.event_type: r.exact_users
+            for r in e.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("exact_users"))
+            .collect()
+        }
+        assert approx.keys() == exact.keys()
+        for k in exact:
+            assert abs(approx[k] - exact[k]) <= max(0.05 * exact[k], 2)
