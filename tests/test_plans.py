@@ -1,0 +1,97 @@
+"""Physical-plan shape assertions: the scale properties the engine claims
+(pushdown, pruning, broadcast, no nested-loop joins, partial aggregation,
+top-k without a global sort) pinned as tests so a regression that keeps
+results correct but wrecks the 100 TB plan still fails CI."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_invoice_anomaly_detection_spark.plans.registry import queries
+from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import load_table
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def q():
+    return queries()
+
+
+class TestScanPushdown:
+    def test_filter_and_projection_reach_parquet_scan(self, spark, sf_dir):
+        df = (
+            load_table(spark, "lineitem", sf_dir)
+            .filter(F.col("l_quantity") > 40)
+            .select("l_orderkey", "l_quantity")
+        )
+        plan = plan_of(df)
+        assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1].split("\n")[0]
+        # ReadSchema prunes to the two projected columns (+ filter col)
+        read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+        assert "l_orderkey" in read_schema
+        assert "l_comment" not in read_schema
+
+    def test_metadata_prune_skips_payload(self, spark, sf_dir):
+        """Multimodal metadata query must not read the payload column."""
+        from spark_streaming_invoice_anomaly_detection_spark.operators.multimodal import (
+            synthesize_assets,
+        )
+
+        docs = load_table(spark, "documents", sf_dir)
+        assets = synthesize_assets(docs)
+        df = assets.groupBy("modality").count()
+        read_schema = plan_of(df).split("ReadSchema")[1].split("\n")[0]
+        assert "text" not in read_schema  # payload source column pruned
+
+
+class TestJoinStrategies:
+    def test_dim_join_broadcasts(self, spark, sf_dir, q):
+        plan = plan_of(q["join_broadcast_dims"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+
+    def test_fact_fact_join_shuffles_not_broadcast_nested(self, spark, sf_dir, q):
+        plan = plan_of(q["join_fact_fact_revenue"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_range_join_is_equi_join(self, spark, sf_dir, q):
+        """The bucketed range join must plan as an equi-join, never the
+        O(n^2) nested-loop a raw |Δts|<=gap predicate would produce."""
+        plan = plan_of(q["range_join_cooccurrence"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+            "BroadcastHashJoin" in plan
+        )
+
+
+class TestAggregation:
+    def test_featurize_has_partial_agg(self, spark, sf_dir, q):
+        """Map-side combine: two HashAggregate phases around the exchange."""
+        plan = plan_of(q["invoice_featurize"](spark, sf_dir))
+        assert plan.count("HashAggregate") >= 2
+
+    def test_featurize_codegen(self, spark, sf_dir, q):
+        # AQE hides codegen spans until the plan is finalized; execute,
+        # then the `*(n)` markers in the final plan prove whole-stage
+        # codegen covers the agg pipeline.
+        df = q["invoice_featurize"](spark, sf_dir)
+        df.collect()
+        assert "*(" in plan_of(df, "simple")
+
+    def test_topk_uses_take_ordered(self, spark, sf_dir, q):
+        """order-by-limit compiles to TakeOrderedAndProject (per-partition
+        heap + driver merge), not a global sort."""
+        plan = plan_of(q["order_limit"](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan

@@ -1,0 +1,95 @@
+"""Streaming dedup-within-watermark and stream-stream interval join:
+the two bounded-state stateful shapes beyond the invoice pipeline."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from .test_streaming import _poll
+
+
+@pytest.mark.slow
+def test_dedup_within_watermark(spark, tmp_path):
+    from spark_streaming_invoice_anomaly_detection_spark.streaming.ops import (
+        dedup_within_watermark,
+    )
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    # same event_id appears 3x within the horizon; a second id once
+    with open(src / "a.csv", "w") as f:
+        f.write(
+            "e1,2024-01-01 00:00:00\n"
+            "e1,2024-01-01 00:00:01\n"
+            "e2,2024-01-01 00:00:02\n"
+            "e1,2024-01-01 00:00:03\n"
+        )
+    raw = (
+        spark.readStream.format("csv")
+        .schema("event_id string, ts timestamp")
+        .load(str(src))
+    )
+    out: list = []
+    q = (
+        dedup_within_watermark(raw, ["event_id"], "ts", "10 seconds")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        _poll(lambda: len(out), 2)
+    finally:
+        q.stop()
+    assert sorted(r.event_id for r in out) == ["e1", "e2"]
+
+
+@pytest.mark.slow
+def test_interval_join_click_purchase(spark, tmp_path):
+    from spark_streaming_invoice_anomaly_detection_spark.streaming.ops import (
+        interval_join,
+    )
+
+    clicks_dir, purch_dir = tmp_path / "clicks", tmp_path / "purch"
+    os.makedirs(clicks_dir)
+    os.makedirs(purch_dir)
+    with open(clicks_dir / "c.csv", "w") as f:
+        f.write(
+            "u1,2024-01-01 00:00:00\n"  # matched by p1 (+5 min)
+            "u2,2024-01-01 00:00:00\n"  # purchase too late (+20 min)
+        )
+    with open(purch_dir / "p.csv", "w") as f:
+        f.write(
+            "u1,2024-01-01 00:05:00,p1\n"
+            "u2,2024-01-01 00:20:00,p2\n"
+            "u3,2024-01-01 00:01:00,p3\n"  # no click at all
+        )
+    clicks = (
+        spark.readStream.format("csv")
+        .schema("user_id string, click_ts timestamp")
+        .load(str(clicks_dir))
+    )
+    purchases = (
+        spark.readStream.format("csv")
+        .schema("user_id string, p_ts timestamp, p_id string")
+        .load(str(purch_dir))
+    )
+    out: list = []
+    q = (
+        interval_join(
+            clicks, purchases, "user_id", "click_ts", "p_ts", within="10 minutes"
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        _poll(lambda: len(out), 1)
+    finally:
+        q.stop()
+    assert [(r.user_id, r.p_id) for r in out] == [("u1", "p1")]
