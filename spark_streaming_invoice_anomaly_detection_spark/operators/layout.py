@@ -1,0 +1,112 @@
+"""Physical data-layout operators: the levers that decide whether a plan
+survives 100 TB (SURVEY.md §7 Phase 4 "100 TB-scale hygiene").
+
+Three tools, one theme — kill or pre-pay the shuffle:
+
+- **Partitioned writes** (`write_partitioned`): directory-partition a fact
+  table by a low-cardinality column so later scans with a predicate on it
+  prune whole directories (``PartitionFilters`` in the scan, zero IO for
+  pruned partitions).
+- **Bucketed tables** (`write_bucketed` / `read_table`): pre-shuffle both
+  fact tables ONCE at write time into N hash buckets on the join key; every
+  later equi-join/aggregation on that key runs shuffle-free (no Exchange in
+  the plan). At 100 TB this turns the nightly fact-fact join from the
+  cluster's dominant shuffle into a local zip of bucket files.
+- **Salted joins** (`salted_join`): when one join key is hot (a handful of
+  keys holding a double-digit % of rows), AQE's skew split helps reads but
+  the hot key still lands on one reducer. Salting splits each hot key into
+  ``num_salts`` sub-keys and replicates the small side per salt — the
+  classic pre-AQE remedy, still needed when the skewed side feeds a
+  downstream aggregation pinned to the same key.
+
+The reference has no persistent-layout surface at all (its only storage is
+MLlib model dirs, Clustering.scala:100-106); this module is engine-side
+scale infrastructure demanded by the driver contract, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet directory-partitioned by ``partition_cols``.
+
+    Scans that filter on a partition column afterwards show the predicate
+    under ``PartitionFilters`` (not ``PushedFilters``): pruning happens at
+    file listing, before any IO. Choose low-cardinality columns (date,
+    region, modality) — every distinct combination is a directory.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) by ``bucket_col``.
+
+    Both sides of a recurring fact-fact join written with the SAME bucket
+    count and key join with no Exchange: each task zips bucket i of A with
+    bucket i of B. The write pays the shuffle once; every subsequent join,
+    groupBy, or dedup on the key rides for free.
+    """
+    w = df.write.mode(mode).format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    (
+        w.bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a saved (possibly bucketed) table; bucket metadata comes from
+    the catalog, which is what lets the planner elide the join Exchange."""
+    return spark.table(table)
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    num_salts: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join robust to a skewed ``on`` key in ``large``.
+
+    The large side gets a uniform random salt in [0, num_salts); the small
+    side is replicated once per salt value (an ``explode`` of a literal
+    array — num_salts× the SMALL side only). Joining on (key, salt) spreads
+    each hot key over ``num_salts`` reducers. The salt is dropped before
+    returning, so the result is row-identical to the unsalted join —
+    which is exactly what the DuckDB oracle checks.
+    """
+    salted_l = large.withColumn(
+        "__salt", F.floor(F.rand(seed) * num_salts).cast("int")
+    )
+    salted_s = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(num_salts)])),
+    )
+    return salted_l.join(salted_s, [on, "__salt"], how).drop("__salt")
+
+
+__all__ = [
+    "write_partitioned",
+    "write_bucketed",
+    "read_table",
+    "salted_join",
+]

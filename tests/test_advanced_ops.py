@@ -75,7 +75,9 @@ class TestRangeJoin:
 class TestVectorOps:
     @pytest.fixture(scope="class")
     def emb(self, spark, sf_dir):
-        return load_table(spark, "embeddings", sf_dir).cache()
+        df = load_table(spark, "embeddings", sf_dir).cache()
+        yield df
+        df.unpersist()
 
     def test_centroid_variants_agree(self, emb):
         det = {
@@ -114,7 +116,11 @@ class TestVectorOps:
 class TestMultimodalExtras:
     @pytest.fixture(scope="class")
     def assets(self, spark, sf_dir):
-        return synthesize_assets(load_table(spark, "documents", sf_dir)).cache()
+        # leaked cache entries would substitute InMemoryRelation into other
+        # tests' identical plan fragments (breaking plan-shape assertions)
+        df = synthesize_assets(load_table(spark, "documents", sf_dir)).cache()
+        yield df
+        df.unpersist()
 
     def test_resize_closed_form(self, assets):
         """px_sum == 32 * sum(digest bytes): the (i*31)%32 walk is uniform."""

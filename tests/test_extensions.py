@@ -168,6 +168,37 @@ class TestSimilaritySearch:
         sims = [r.cos_sim for r in out]
         assert sims == sorted(sims, reverse=True)
 
+    def test_lsh_multiprobe_improves_recall(self, spark, emb):
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            QUERY_VEC,
+        )
+
+        # probe set: own bucket first, then low-margin single-bit flips
+        probes = S.rp_probe_buckets(QUERY_VEC, 4, 64, n_probe_bits=2)
+        assert len(probes) == 3 and len(set(probes)) == 3
+        for p in probes[1:]:
+            flipped = probes[0] ^ p
+            assert flipped and (flipped & (flipped - 1)) == 0  # one bit apart
+
+        exact = {
+            r.vec_id
+            for r in S.brute_force_topk(emb, QUERY_VEC, k=10).collect()
+        }
+
+        def recall(n_bits: int) -> float:
+            got = {
+                r.vec_id
+                for r in S.lsh_topk(
+                    emb, QUERY_VEC, k=10, num_planes=4, dim=64,
+                    n_probe_bits=n_bits,
+                ).collect()
+            }
+            return len(got & exact) / len(exact)
+
+        r0, r2 = recall(0), recall(2)
+        assert r2 >= r0  # extra probes never lose candidates
+        assert r2 > 0  # and find at least some true neighbors
+
 
 class TestTextAnalysis:
     def test_lang_id_on_real_sentences(self, spark):
@@ -182,6 +213,29 @@ class TestTextAnalysis:
         out = df.select("doc_id", "want", X.lang_id(F.col("text")).alias("got"))
         for r in out.collect():
             assert r.got == r.want, (r.doc_id, r.got, r.want)
+
+    def test_bpe_token_estimate_known_strings(self, spark):
+        rows = [
+            # "it's fine" -> [it]["'s"][ fine] = 3; ws -> 2
+            (1, "it's fine", 2, 3),
+            # digit runs split from letters: [abc][123][ x9] -> wait:
+            # "abc123 x9" -> [abc][123][ x][9] = 4; ws -> 2
+            (2, "abc123 x9", 2, 4),
+            # punctuation runs collapse: [Hello][ world][!!!] = 3; ws -> 2
+            (3, "Hello world!!!", 2, 3),
+            (4, "", 0, 0),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, want_ws int, want_bpe int"
+        )
+        out = df.select(
+            "doc_id", "want_ws", "want_bpe",
+            X.ws_token_count(F.col("text")).alias("got_ws"),
+            X.bpe_token_estimate(F.col("text")).alias("got_bpe"),
+        )
+        for r in out.collect():
+            assert r.got_ws == r.want_ws, (r.doc_id, r.got_ws)
+            assert r.got_bpe == r.want_bpe, (r.doc_id, r.got_bpe)
 
     def test_quality_score_bounds_and_ordering(self, spark):
         rows = [
