@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import cleaning as C
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as X
@@ -931,6 +932,127 @@ register(
                    CAST(list_sum(energies) AS DOUBLE)
                      / (255.0 * CAST(n_windows AS DOUBLE)) AS energy_mean
             FROM w
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Corpus cleaning (operators/cleaning.py): html-strip + PII + repetition +
+# deterministic splits. All row-local expressions — no shuffle until the
+# final tiny groupBy, so these run inside the scan stage at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+def q_text_clean_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.length(C.strip_html(F.col("text"))).alias("len_clean"),
+        F.length(C.redact_pii(F.col("text"))).alias("len_redacted"),
+        C.pii_hit_count(F.col("text")).alias("n_pii"),
+    )
+
+
+_EMAIL = C.EMAIL_PATTERN
+_PHONE = C.PHONE_PATTERN
+
+register(
+    QuerySpec(
+        name="text_clean_pii",
+        description="html-strip + email/phone redaction lengths and PII "
+        "span counts per document",
+        spark=q_text_clean_pii,
+        oracle=f"""
+            SELECT doc_id,
+                   CAST(length({C.strip_html_sql('text')}) AS INT)
+                     AS len_clean,
+                   CAST(length({C.redact_pii_sql('text')}) AS INT)
+                     AS len_redacted,
+                   CAST(len(regexp_extract_all(text, '{_EMAIL}'))
+                        + len(regexp_extract_all(
+                              regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PHONE}')) AS INT) AS n_pii
+            FROM documents
+        """,
+    )
+)
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    dup_lines, dup_words = C.repetition_ratios(F.col("text"))
+    return docs.select(
+        "doc_id",
+        dup_lines.alias("dup_line_ratio"),
+        dup_words.alias("dup_word_ratio"),
+    )
+
+
+_LINES_SQL = "list_filter(string_split_regex(text, '\\n'), x -> trim(x) <> '')"
+_WORDS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def _dup_ratio_sql(arr: str) -> str:
+    return (
+        f"CASE WHEN len({arr}) <= 0 THEN 0.0 "
+        f"ELSE 1.0 - CAST(len(list_distinct({arr})) AS DOUBLE)"
+        f" / CAST(len({arr}) AS DOUBLE) END"
+    )
+
+
+register(
+    QuerySpec(
+        name="doc_repetition",
+        description="Gopher-style duplicate-line / duplicate-word ratios "
+        "per document (boilerplate detector)",
+        spark=q_doc_repetition,
+        oracle=f"""
+            SELECT doc_id,
+                   {_dup_ratio_sql(_LINES_SQL)} AS dup_line_ratio,
+                   {_dup_ratio_sql(_WORDS_SQL)} AS dup_word_ratio
+            FROM documents
+        """,
+    )
+)
+
+
+def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash splits + a per-language 10% sample census: the
+    reproducibility contract (same ids -> same split/sample, any engine)
+    is exactly what the oracle equality proves."""
+    docs = load_table(spark, "documents", sf_dir)
+    labeled = docs.select(
+        F.col("lang"),
+        C.hash_split("doc_id").alias("split"),
+        C.stratified_sample_flag("doc_id", 10).alias("sampled"),
+    )
+    return labeled.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled"),
+    )
+
+
+_SPLIT_SQL = C.hash_split_sql("doc_id")
+_SAMPLE_SALTED = "'sample:' || CAST(doc_id AS VARCHAR)"
+_SAMPLE_SQL = f"(({h60_sql(_SAMPLE_SALTED)} % 100) + 100) % 100 < 10"
+
+register(
+    QuerySpec(
+        name="corpus_split_counts",
+        description="deterministic 98/1/1 train/val/test hash split + 10% "
+        "stratified sample census per language",
+        spark=q_corpus_splits,
+        oracle=f"""
+            SELECT lang,
+                   {_SPLIT_SQL} AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN {_SAMPLE_SQL} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sampled
+            FROM documents
+            GROUP BY lang, {_SPLIT_SQL}
         """,
     )
 )
