@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators import cleaning as C
 from ..operators import dedup as D
+from ..operators import graph as G
 from ..operators import similarity as S
 from ..operators import text as X
 from ..operators.text import h60_sql
@@ -1053,6 +1054,63 @@ register(
                         AS BIGINT) AS n_sampled
             FROM documents
             GROUP BY lang, {_SPLIT_SQL}
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup GROUPS: connected components over the MinHash pair graph
+# (operators/graph.py). Pairs are edges; dedup needs transitive closure.
+# ---------------------------------------------------------------------------
+
+
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every augmented doc mapped to its near-dup component minimum
+    (docs with no near-dup edge stay their own canonical). The min-label
+    propagation runs distributed; the oracle recomputes the same fixpoint
+    with a recursive CTE over the identical pair set."""
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = D.minhash_near_dups(
+        aug,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    ).select("id_a", "id_b")
+    return G.dedup_canonical(pairs, aug.select("doc_id"), "doc_id")
+
+
+register(
+    QuerySpec(
+        name="neardup_components",
+        description="connected components over MinHash near-dup pairs -> "
+        "canonical doc per component (iterative min-label propagation)",
+        spark=q_neardup_components,
+        oracle=f"""
+            WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            walk AS (
+                SELECT node, node AS comp FROM nodes
+                UNION
+                SELECT e.v AS node, w.comp
+                FROM walk w JOIN edges e ON w.node = e.u
+            ),
+            comp AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+            aug_ids AS (
+                SELECT doc_id FROM documents
+                UNION ALL
+                SELECT doc_id + {_AUG_OFFSET} FROM documents
+            )
+            SELECT d.doc_id,
+                   coalesce(c.comp, d.doc_id) AS canonical_id,
+                   d.doc_id = coalesce(c.comp, d.doc_id) AS is_kept
+            FROM aug_ids d LEFT JOIN comp c ON d.doc_id = c.node
         """,
     )
 )
