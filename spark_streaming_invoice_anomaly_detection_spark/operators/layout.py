@@ -104,9 +104,31 @@ def salted_join(
     return salted_l.join(salted_s, [on, "__salt"], how).drop("__salt")
 
 
+def key_skew_stats(df: DataFrame, key: str) -> DataFrame:
+    """One-row skew census for a prospective join/agg key: key count,
+    max/avg per-key cardinality, and their ratio.
+
+    ``skew_ratio`` ~ 1 means uniform; >> 1 flags a hot key that will pin
+    one reducer (the signal for :func:`salted_join` or AQE skew-split).
+    Two cheap aggregations: per-key count (map-side combined) then a
+    single-row rollup. Arithmetic is fixed-order so the DuckDB oracle
+    reproduces the doubles exactly.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    avg_cnt = F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double")
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        avg_cnt.alias("avg_cnt"),
+        (F.max("cnt").cast("double") / avg_cnt).alias("skew_ratio"),
+    )
+
+
 __all__ = [
     "write_partitioned",
     "write_bucketed",
     "read_table",
     "salted_join",
+    "key_skew_stats",
 ]

@@ -541,3 +541,59 @@ register(
         oracle=None,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Window value functions: first/last/nth value, percent_rank, cume_dist
+# ---------------------------------------------------------------------------
+
+
+def q_window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic value-function family over a deterministic total order
+    (o_orderdate, o_orderkey) per customer: first/last order keys with an
+    explicit full-partition frame (last_value under the default frame is a
+    classic wrong-answer trap — it sees only rows up to CURRENT ROW),
+    plus percent_rank / cume_dist as exact integer-ratio doubles.
+    """
+    o = _t(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    full_w = order_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(full_w).alias("first_key"),
+        F.last("o_orderkey").over(full_w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(full_w).alias("second_key"),
+        F.percent_rank().over(order_w).alias("pct_rank"),
+        F.cume_dist().over(order_w).alias("cume"),
+    )
+
+
+register(
+    QuerySpec(
+        name="window_value_funcs",
+        description="first/last/nth_value over explicit full frame + "
+        "percent_rank/cume_dist per customer order history",
+        spark=q_window_value_funcs,
+        oracle="""
+            SELECT o_orderkey, o_custkey,
+                   first_value(o_orderkey) OVER w_full AS first_key,
+                   last_value(o_orderkey) OVER w_full AS last_key,
+                   nth_value(o_orderkey, 2) OVER w_full AS second_key,
+                   percent_rank() OVER w_ord AS pct_rank,
+                   cume_dist() OVER w_ord AS cume
+            FROM orders
+            WINDOW
+              w_ord AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+              w_full AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+        """,
+    )
+)

@@ -1114,3 +1114,58 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation funnel: the composed cleaning pipeline as one
+# single-pass aggregate (language -> quality -> repetition -> exact-unique).
+# ---------------------------------------------------------------------------
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts through the standard curation cascade. One scan,
+    zero joins: every stage is a conjunctive predicate folded into
+    conditional aggregates (count_distinct for the dedup stage), so the
+    whole funnel is a single map-side-combined aggregation — the shape
+    you want when the input is 100 TB and the output is 5 numbers."""
+    docs = load_table(spark, "documents", sf_dir)
+    quality = X.quality_score(F.col("text"))
+    _, dup_words = C.repetition_ratios(F.col("text"))
+    en = F.col("lang") == "en"
+    qual_ok = en & (quality >= 0.5)
+    low_rep = qual_ok & (dup_words <= 0.2)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(en.cast("long")).alias("n_en"),
+        F.sum(qual_ok.cast("long")).alias("n_quality"),
+        F.sum(low_rep.cast("long")).alias("n_low_rep"),
+        F.count_distinct(
+            F.when(low_rep, F.sha2(F.col("text"), 256))
+        ).alias("n_unique"),
+    )
+
+
+_EN_COND = "lang = 'en'"
+_QUAL_COND = f"{_EN_COND} AND ({_QUALITY_SQL}) >= 0.5"
+_LOWREP_COND = f"{_QUAL_COND} AND ({_dup_ratio_sql(_WORDS_SQL)}) <= 0.2"
+
+register(
+    QuerySpec(
+        name="corpus_curation_funnel",
+        description="single-pass curation funnel: total -> english -> "
+        "quality -> low-repetition -> exact-unique survivor counts",
+        spark=q_curation_funnel,
+        oracle=f"""
+            SELECT count(*) AS n_total,
+                   CAST(sum(CASE WHEN {_EN_COND} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_en,
+                   CAST(sum(CASE WHEN {_QUAL_COND} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_quality,
+                   CAST(sum(CASE WHEN {_LOWREP_COND} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_low_rep,
+                   count(DISTINCT CASE WHEN {_LOWREP_COND}
+                                       THEN sha256(text) END) AS n_unique
+            FROM documents
+        """,
+    )
+)

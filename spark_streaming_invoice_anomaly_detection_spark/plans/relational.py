@@ -841,3 +841,37 @@ register(
         """,
     )
 )
+
+
+def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew census of lineitem.l_suppkey (operators/layout.py):
+    the pre-flight check that decides between a plain, salted, or
+    AQE-skew-hinted join at scale."""
+    from ..operators.layout import key_skew_stats
+
+    return key_skew_stats(_t(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+register(
+    QuerySpec(
+        name="skew_diagnostics",
+        description="per-key cardinality census (n_keys, max/avg, skew "
+        "ratio) for lineitem.l_suppkey",
+        spark=q_skew_diagnostics,
+        oracle="""
+            WITH counts AS (
+                SELECT l_suppkey, count(*) AS cnt
+                FROM lineitem GROUP BY l_suppkey
+            )
+            SELECT count(*) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   max(cnt) AS max_cnt,
+                   CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avg_cnt,
+                   CAST(max(cnt) AS DOUBLE)
+                   / (CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                     AS skew_ratio
+            FROM counts
+        """,
+    )
+)
