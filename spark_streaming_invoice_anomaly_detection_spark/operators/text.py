@@ -149,3 +149,103 @@ def doc_fingerprint(text_col: Column | str, n: int = 5) -> Column:
     """
     grams = word_ngrams(tokenize(text_col), n)
     return F.array_min(F.transform(grams, h60))
+
+
+#: Gopher-rule word set: a doc must contain >= 2 distinct of these to pass
+#: the stopword rule (the classic "is this prose at all" test).
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "a", "in"]
+
+#: Rule thresholds (word-count band, mean-word-length band, max symbol
+#: ratio, min alphabetic-word ratio, min distinct required-word hits).
+GOPHER_BOUNDS = {
+    "min_words": 10,
+    "max_words": 100_000,
+    "min_mean_wordlen": 2.0,
+    "max_mean_wordlen": 12.0,
+    "max_symbol_ratio": 0.1,
+    "min_alpha_ratio": 0.8,
+    "min_required_hits": 2,
+}
+
+
+def gopher_flags(text_col: Column | str) -> dict[str, Column]:
+    """Gopher-style quality-rule census: one boolean per rule plus the
+    conjunctive ``keep`` verdict, all from integer counts in one pass.
+
+    Rules (Rae et al. 2021, "Scaling Language Models" §A1.1, public
+    paper): word-count band, mean-word-length band, symbol-to-word ratio
+    (# and ... marks), alphabetic-word ratio, and >=2 distinct required
+    stopwords. Every term is a ratio of integer counts with fixed
+    arithmetic order, so the DuckDB twin reproduces doubles bit-for-bit.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    b = GOPHER_BOUNDS
+    words = F.regexp_extract_all(c, F.lit(r"\S+"), F.lit(0))
+    n_words = F.size(words)
+    denom_w = F.greatest(n_words, F.lit(1)).cast("double")
+    n_nonws = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_wordlen = n_nonws.cast("double") / denom_w
+    n_symbol = F.regexp_count(c, F.lit(r"#|\.\.\."))
+    symbol_ratio = n_symbol.cast("double") / denom_w
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = n_alpha_words.cast("double") / denom_w
+    required = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    n_required = F.size(
+        F.array_intersect(F.array_distinct(tokenize(c)), required)
+    )
+    flags = {
+        "n_words": n_words,
+        "mean_wordlen": mean_wordlen,
+        "symbol_ratio": symbol_ratio,
+        "alpha_ratio": alpha_ratio,
+        "n_required_words": n_required,
+        "word_count_ok": (n_words >= b["min_words"]) & (n_words <= b["max_words"]),
+        "wordlen_ok": (mean_wordlen >= b["min_mean_wordlen"])
+        & (mean_wordlen <= b["max_mean_wordlen"]),
+        "symbol_ok": symbol_ratio <= b["max_symbol_ratio"],
+        "alpha_ok": alpha_ratio >= b["min_alpha_ratio"],
+        "stopword_ok": n_required >= b["min_required_hits"],
+    }
+    flags["keep"] = (
+        flags["word_count_ok"]
+        & flags["wordlen_ok"]
+        & flags["symbol_ok"]
+        & flags["alpha_ok"]
+        & flags["stopword_ok"]
+    )
+    return flags
+
+
+def gopher_flags_sql(expr: str) -> dict[str, str]:
+    """DuckDB twins of :func:`gopher_flags` (same names, same arithmetic)."""
+    b = GOPHER_BOUNDS
+    words = f"regexp_extract_all({expr}, '\\S+')"
+    n_words = f"len({words})"
+    denom_w = f"CAST(greatest({n_words}, 1) AS DOUBLE)"
+    n_nonws = f"length(regexp_replace({expr}, '\\s', '', 'g'))"
+    mean_wordlen = f"(CAST({n_nonws} AS DOUBLE) / {denom_w})"
+    n_symbol = f"len(regexp_extract_all({expr}, '#|\\.\\.\\.'))"
+    symbol_ratio = f"(CAST({n_symbol} AS DOUBLE) / {denom_w})"
+    n_alpha = f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+    alpha_ratio = f"(CAST({n_alpha} AS DOUBLE) / {denom_w})"
+    req = "[" + ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS) + "]"
+    toks = f"regexp_extract_all(lower({expr}), '{TOKEN_PATTERN}')"
+    n_required = f"len(list_intersect(list_distinct({toks}), {req}))"
+    flags = {
+        "n_words": f"CAST({n_words} AS INT)",
+        "mean_wordlen": mean_wordlen,
+        "symbol_ratio": symbol_ratio,
+        "alpha_ratio": alpha_ratio,
+        "n_required_words": f"CAST({n_required} AS INT)",
+        "word_count_ok": f"({n_words} >= {b['min_words']} AND {n_words} <= {b['max_words']})",
+        "wordlen_ok": f"({mean_wordlen} >= {b['min_mean_wordlen']!r}"
+        f" AND {mean_wordlen} <= {b['max_mean_wordlen']!r})",
+        "symbol_ok": f"({symbol_ratio} <= {b['max_symbol_ratio']!r})",
+        "alpha_ok": f"({alpha_ratio} >= {b['min_alpha_ratio']!r})",
+        "stopword_ok": f"({n_required} >= {b['min_required_hits']})",
+    }
+    flags["keep"] = (
+        f"({flags['word_count_ok']} AND {flags['wordlen_ok']} AND "
+        f"{flags['symbol_ok']} AND {flags['alpha_ok']} AND {flags['stopword_ok']})"
+    )
+    return flags

@@ -15,7 +15,7 @@ cosines proved bit-identical to DuckDB's list_dot_product (verified over
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import cleaning as C
@@ -1167,5 +1167,499 @@ register(
                                        THEN sha256(text) END) AS n_unique
             FROM documents
         """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule census: per-document quality flags + conjunctive keep
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule flags (operators/text.gopher_flags): one
+    codegen'd pass, no shuffle — the row-level filter stage every corpus
+    pipeline runs before any grouping work."""
+    docs = load_table(spark, "documents", sf_dir)
+    flags = X.gopher_flags(F.col("text"))
+    return docs.select(
+        "doc_id", *[col.alias(name) for name, col in flags.items()]
+    )
+
+
+_GOPHER_SQL = X.gopher_flags_sql("text")
+
+register(
+    QuerySpec(
+        name="gopher_quality_flags",
+        description="Gopher-style quality rules: word count / word length / "
+        "symbol ratio / alpha ratio / required stopwords -> keep verdict",
+        spark=q_gopher_quality_flags,
+        oracle="SELECT doc_id, "
+        + ", ".join(f"{sql} AS {name}" for name, sql in _GOPHER_SQL.items())
+        + " FROM documents",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: n-gram overlap between the corpus and an eval/benchmark
+# set. The standard pre-training hygiene check: any training document
+# sharing a large fraction of an eval doc's 5-grams is contaminated.
+# ---------------------------------------------------------------------------
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram-hash overlap of every training doc against a planted eval
+    set (truncated copies of every 20th doc — the same augmentation
+    discipline as the dedup family).
+
+    Scale shape: the eval side is the benchmark suite — thousands of docs,
+    not billions — so its exploded gram set broadcasts; the training side
+    streams through map-side explode + one broadcast hash join + one
+    aggregation. No shuffle of the corpus itself.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    ev = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + _AUG_OFFSET).alias("eval_id"),
+        F.substring(F.col("text"), 21, 1_000_000).alias("text"),
+    )
+
+    def grams(df: DataFrame, idc: str) -> DataFrame:
+        g = F.explode(X.word_ngrams(X.tokenize(F.col("text")), 5)).alias("gram")
+        return df.select(idc, g).select(idc, X.h60(F.col("gram")).alias("g"))
+
+    tg = grams(docs, "doc_id")
+    eg = grams(ev, "eval_id")
+    en = eg.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
+    pairs = (
+        tg.join(F.broadcast(eg), "g")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.col("n_overlap").cast("double") / F.col("n_eval").cast("double")
+    return (
+        pairs.join(F.broadcast(en), "eval_id")
+        .select(
+            "doc_id",
+            "eval_id",
+            "n_overlap",
+            "n_eval",
+            frac.alias("overlap_frac"),
+        )
+        .filter(F.col("overlap_frac") >= 0.2)
+    )
+
+
+register(
+    QuerySpec(
+        name="decontamination_overlap",
+        description="eval-set decontamination: 5-gram hash overlap fraction "
+        "per (train doc, eval doc), broadcast benchmark side",
+        spark=q_decontamination,
+        oracle=f"""
+            WITH ev AS (
+                SELECT doc_id + {_AUG_OFFSET} AS eval_id,
+                       substring(text, 21, 1000000) AS text
+                FROM documents WHERE doc_id % 20 = 0
+            ),
+            eg AS (
+                SELECT eval_id, {h60_sql('gram')} AS g
+                FROM (SELECT eval_id,
+                             unnest({_shingles_sql(_TOKENS_SQL, 5)}) AS gram
+                      FROM ev)
+            ),
+            tg AS (
+                SELECT doc_id, {h60_sql('gram')} AS g
+                FROM (SELECT doc_id,
+                             unnest({_shingles_sql(_TOKENS_SQL, 5)}) AS gram
+                      FROM documents)
+            ),
+            en AS (SELECT eval_id, count(*) AS n_eval FROM eg GROUP BY eval_id),
+            p AS (
+                SELECT t.doc_id, e.eval_id, count(*) AS n_overlap
+                FROM tg t JOIN eg e ON t.g = e.g
+                GROUP BY t.doc_id, e.eval_id
+            )
+            SELECT p.doc_id, p.eval_id, p.n_overlap, en.n_eval,
+                   CAST(p.n_overlap AS DOUBLE) / CAST(en.n_eval AS DOUBLE)
+                     AS overlap_frac
+            FROM p JOIN en ON p.eval_id = en.eval_id
+            WHERE CAST(p.n_overlap AS DOUBLE) / CAST(en.n_eval AS DOUBLE) >= 0.2
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents (in stable doc_id order) to fixed
+# token-budget bins — the step that turns a curated corpus into training
+# batches. Two-level cumulative sum so no stage ever needs a global
+# single-partition window over the corpus.
+# ---------------------------------------------------------------------------
+
+_PACK_BIN = 2048  # tokens per training sequence
+_PACK_SHARD = 100  # docs per cumsum shard
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing: global exclusive token cumsum -> bin =
+    floor(offset / budget); per-bin doc count, token count, id span.
+
+    The cumsum is two-level: an intra-shard running sum (window partitioned
+    by contiguous doc_id shard) plus per-shard prefix offsets (a
+    shard-count-sized frame — the only single-partition window, over
+    n_docs/100 rows, not n_docs). That is the 100 TB-safe way to compute a
+    corpus-ordered cumulative sum.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id",
+        X.bpe_token_estimate(F.col("text")).cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / F.lit(_PACK_SHARD)).alias("shard"),
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    shard_tot = t.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
+    w_sh = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = shard_tot.select(
+        "shard", F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias("prefix")
+    )
+    packed = t.join(F.broadcast(prefix), "shard").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.col("prefix") + F.col("cum_in") - F.col("n_tokens"))
+            / F.lit(float(_PACK_BIN))
+        ).alias("bin"),
+    )
+    return packed.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+register(
+    QuerySpec(
+        name="sequence_packing",
+        description="greedy contiguous packing of docs into 2048-token "
+        "training bins via two-level cumulative sum",
+        spark=q_sequence_packing,
+        oracle=f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '{_BPE_SQL}'))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                       - n_tokens AS off
+                FROM t
+            )
+            SELECT CAST(floor(off / {float(_PACK_BIN)!r}) AS BIGINT) AS bin,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM c GROUP BY 1
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level (paragraph) dedup: exact dedup at sub-document granularity —
+# 25-token chunks hashed across the corpus; per-doc duplicated-chunk
+# fraction. Catches boilerplate shared across otherwise-distinct docs.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 25
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-chunk census over documents + verbatim
+    copies (planted sub-document dups). Explode to chunks (map-side), one
+    hash-count shuffle, one join back — chunk cardinality is ~n_tokens/25,
+    so the shuffle carries a fraction of the corpus token count.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.select((F.col("doc_id") + _AUG_OFFSET).alias("doc_id"), "text")
+    )
+    toks = X.tokenize(F.col("text"))
+    n = F.size(toks)
+    k = _CHUNK_TOKENS
+    chunks = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / F.lit(float(k))).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+        )
+    )
+    ex = aug.select("doc_id", F.explode(chunks).alias("chunk")).select(
+        "doc_id", X.h60(F.col("chunk")).alias("h")
+    )
+    counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        ex.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            (
+                F.col("n_dup_chunks").cast("double")
+                / F.col("n_chunks").cast("double")
+            ).alias("dup_chunk_frac"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="chunk_dedup_census",
+        description="sub-document exact dedup: 25-token chunk hashes, "
+        "per-doc duplicated-chunk fraction over corpus + verbatim copies",
+        spark=q_chunk_dedup,
+        oracle=f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + {_AUG_OFFSET} AS doc_id, text FROM documents
+            ),
+            tk AS (
+                SELECT doc_id, {_TOKENS_SQL} AS t FROM aug
+            ),
+            ch AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(0, (len(t) + {_CHUNK_TOKENS - 1}) // {_CHUNK_TOKENS}),
+                           i -> array_to_string(
+                                    list_slice(t, i * {_CHUNK_TOKENS} + 1,
+                                               i * {_CHUNK_TOKENS} + {_CHUNK_TOKENS}),
+                                    ' '))) AS chunk
+                FROM tk
+            ),
+            hs AS (SELECT doc_id, {h60_sql('chunk')} AS h FROM ch),
+            cnt AS (SELECT h, count(*) AS cnt FROM hs GROUP BY h)
+            SELECT hs.doc_id,
+                   count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN cnt.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_chunks,
+                   CAST(sum(CASE WHEN cnt.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS dup_chunk_frac
+            FROM hs JOIN cnt ON hs.h = cnt.h
+            GROUP BY hs.doc_id
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization: per-vector symmetric scale, clamp, exact
+# integer checksum + reconstruction error. The storage/serving compression
+# step for embedding corpora.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x|/127,
+    q_i = clamp(round-half-up(x_i/scale)), reconstruction error
+    = sum((x_i - q_i*scale)^2) as a sequential left fold.
+
+    Zero Python in the row path; rounding is floor(x+0.5) on BOTH engines
+    (never round(), whose half-boundary mode differs between them). The
+    checksum is an exact integer sum; the error reuses the fold ==
+    list_dot_product equivalence proven by the cosine family.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(vd, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(
+        vd,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x / scale + 0.5).cast("int"))
+        ),
+    )
+    diff_sq = F.zip_with(
+        vd, q, lambda x, qi: (x - qi.cast("double") * scale)
+        * (x - qi.cast("double") * scale)
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.col("embedding")).alias("n_dims"),
+        scale.alias("scale"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long")
+        ).alias("q_checksum"),
+        F.aggregate(diff_sq, F.lit(0.0), lambda acc, v: acc + v).alias(
+            "recon_err"
+        ),
+    )
+
+
+register(
+    QuerySpec(
+        name="embedding_quantize_error",
+        description="symmetric int8 quantization: per-vector scale, integer "
+        "checksum, reconstruction error (fold-exact doubles)",
+        spark=q_embedding_quantize,
+        oracle="""
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+                FROM embeddings
+            ),
+            s AS (
+                SELECT vec_id, vd,
+                       CASE WHEN list_max(list_transform(vd, x -> abs(x))) > 0
+                            THEN list_max(list_transform(vd, x -> abs(x))) / 127.0
+                            ELSE 1.0 END AS scale
+                FROM v
+            ),
+            q AS (
+                SELECT vec_id, vd, scale,
+                       list_transform(vd, x ->
+                           greatest(-127, least(127,
+                               CAST(floor(x / scale + 0.5) AS INT)))) AS qv
+                FROM s
+            ),
+            d AS (
+                SELECT vec_id, vd, scale, qv,
+                       list_transform(range(1, len(vd) + 1),
+                           i -> vd[i] - qv[i] * scale) AS diff
+                FROM q
+            )
+            SELECT vec_id,
+                   CAST(len(vd) AS INT) AS n_dims,
+                   scale,
+                   CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+                   list_dot_product(diff, diff) AS recon_err
+            FROM d
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the MinHash near-dup graph: iterative
+# link-analysis as repeated join+aggregate, with ALL arithmetic in scaled
+# int64 (floor division) so three iterations reproduce bit-for-bit in SQL.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 power iterations of PageRank (damping 0.85) over the near-dup
+    pair graph. Per iteration: ranks ⋈ edges on the source key, then an
+    aggregation keyed by destination — the canonical distributed PageRank
+    shape (shuffle on u, shuffle on v), unrolled 3x with the lineage
+    growing linearly. Ranks are scaled int64 with floor division: integer
+    sums are accumulation-order-free, so the unrolled-CTE oracle matches
+    exactly (double PageRank would diverge in the last ulp).
+
+    Dangling nodes (no out-edges) receive only the teleport term — the
+    simplification is identical on both sides.
+    """
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = D.minhash_near_dups(
+        aug,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    outdeg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ed = edges.join(outdeg, "u")
+
+    n_docs = load_table(spark, "documents", sf_dir).count()  # tiny scalar
+    big_n = 2 * n_docs
+    s = _PR_SCALE
+    teleport = (15 * s) // (100 * big_n)
+
+    nodes = aug.select(F.col("doc_id").alias("node"))
+    ranks = nodes.select("node", F.lit(s // big_n).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = ed.join(ranks, ed.u == ranks.node).select(
+            F.col("v").alias("node"),
+            F.expr("(85 * r) div (100 * CAST(d AS BIGINT))").alias("c"),
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (F.lit(teleport).cast("long") + F.coalesce(F.col("inflow"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("r"),
+        )
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        F.col("r").alias("rank_scaled"),
+        (F.col("r") / F.lit(float(s))).alias("rank"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    s = _PR_SCALE
+    iters = [
+        f"r0 AS (SELECT node, {s} // (SELECT n FROM params) AS r FROM nodes)"
+    ]
+    for i in range(_PR_ITERS):
+        iters.append(f"""r{i + 1} AS (
+            SELECT n.node,
+                   (15 * {s}) // (100 * (SELECT n FROM params))
+                   + coalesce(CAST(sum((85 * r.r) // (100 * e.d)) AS BIGINT), 0)
+                     AS r
+            FROM nodes n
+            LEFT JOIN ed e ON e.v = n.node
+            LEFT JOIN r{i} r ON e.u = r.node
+            GROUP BY n.node
+        )""")
+    return f"""
+        WITH pairs AS ({_MINHASH_ORACLE}),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        outdeg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        ed AS (SELECT e.u, e.v, o.d FROM edges e JOIN outdeg o ON e.u = o.u),
+        aug AS ({_AUG_DOCS_SQL}),
+        nodes AS (SELECT doc_id AS node FROM aug),
+        params AS (SELECT 2 * count(*) AS n FROM documents),
+        {', '.join(iters)}
+        SELECT node AS doc_id, r AS rank_scaled,
+               r / {float(_PR_SCALE)!r} AS rank
+        FROM r{_PR_ITERS}
+    """
+
+
+register(
+    QuerySpec(
+        name="pagerank_neardup_graph",
+        description="3-iteration fixed-point PageRank (damping 0.85) over "
+        "the MinHash near-dup graph; scaled-int64 arithmetic, exact oracle",
+        spark=q_pagerank_neardup,
+        oracle=_pagerank_oracle(),
     )
 )

@@ -875,3 +875,73 @@ register(
         """,
     )
 )
+
+
+def q_join_five_way_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local supplier volume — the 6-table join chain
+    customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region with the
+    extra c_nationkey = s_nationkey equi-constraint.
+
+    Join strategy at scale: region/nation/supplier broadcast (the dim
+    chain prunes supplier to one region BEFORE it reaches the facts);
+    orders filters on date then shuffles against lineitem on l_orderkey
+    (the only fact-fact exchange); customer joins on o_custkey. AQE is
+    free to reorder/convert — the declared shape only fixes what must
+    shuffle (facts) and what must not (dims).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+                    F.broadcast(r), n.n_regionkey == r.r_regionkey
+                )
+            ),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="join_five_way_volume",
+        description="TPC-H Q5 shape: 6-table join chain, revenue per nation "
+        "for one region and a 2-year date band",
+        spark=q_join_five_way_volume,
+        oracle=f"""
+            SELECT n.n_name,
+                   {exact_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n.n_name
+        """,
+    )
+)

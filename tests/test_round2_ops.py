@@ -1,0 +1,136 @@
+"""Invariant tests for the round-2 operator additions (beyond the
+oracle-equality gate in test_queries_oracle.py): quality flags behave on
+crafted inputs, packing conserves tokens, quantization bounds error,
+PageRank conserves (approximate) total mass.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_streaming_invoice_anomaly_detection_spark.operators import text as X
+from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+    _PACK_BIN,
+    _PR_ITERS,
+    _PR_SCALE,
+    q_chunk_dedup,
+    q_decontamination,
+    q_embedding_quantize,
+    q_gopher_quality_flags,
+    q_pagerank_neardup,
+    q_sequence_packing,
+)
+
+
+class TestGopherFlags:
+    def test_prose_passes_all_rules(self, spark):
+        text = (
+            "the quick brown fox jumps over the lazy dog and then runs to "
+            "the river of light with a friend that may have seen it before"
+        )
+        df = spark.createDataFrame([(text,)], "text string")
+        row = df.select(
+            *[c.alias(n) for n, c in X.gopher_flags(F.col("text")).items()]
+        ).first()
+        assert row.keep is True
+        assert row.word_count_ok and row.wordlen_ok
+        assert row.symbol_ok and row.alpha_ok and row.stopword_ok
+
+    def test_symbol_soup_fails(self, spark):
+        text = "### ### ... ### " * 10
+        df = spark.createDataFrame([(text,)], "text string")
+        row = df.select(
+            *[c.alias(n) for n, c in X.gopher_flags(F.col("text")).items()]
+        ).first()
+        assert row.keep is False
+        assert row.symbol_ok is False  # symbols dominate
+        assert row.alpha_ok is False  # no alphabetic words
+
+    def test_short_doc_fails_word_count(self, spark):
+        df = spark.createDataFrame([("too short",)], "text string")
+        row = df.select(
+            *[c.alias(n) for n, c in X.gopher_flags(F.col("text")).items()]
+        ).first()
+        assert row.n_words == 2
+        assert row.word_count_ok is False and row.keep is False
+
+
+class TestSequencePacking:
+    def test_token_conservation_and_contiguity(self, spark, sf_dir):
+        bins = q_sequence_packing(spark, sf_dir).orderBy("bin").collect()
+        total_packed = sum(r.n_tokens for r in bins)
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+
+        total_tokens = (
+            load_table(spark, "documents", sf_dir)
+            .select(
+                F.sum(
+                    X.bpe_token_estimate(F.col("text")).cast("long")
+                ).alias("t")
+            )
+            .first()
+            .t
+        )
+        assert total_packed == total_tokens  # packing loses nothing
+        # bins are contiguous id ranges: each bin's first_doc follows the
+        # previous bin's last_doc (greedy packing never reorders)
+        for prev, cur in zip(bins, bins[1:]):
+            assert prev.last_doc <= cur.first_doc
+        # every bin except possibly the last starts within budget of the
+        # global offset grid: n_docs >= 1 and bin ids are dense
+        assert [r.bin for r in bins] == list(range(len(bins)))
+
+
+class TestChunkDedup:
+    def test_planted_copies_fully_duplicated(self, spark, sf_dir):
+        rows = q_chunk_dedup(spark, sf_dir).collect()
+        by_id = {r.doc_id: r for r in rows}
+        # every original doc's chunks are duplicated by its verbatim copy
+        originals = [r for r in rows if r.doc_id < 1_000_000]
+        assert originals
+        for r in originals:
+            assert r.dup_chunk_frac == pytest.approx(1.0)
+            assert by_id[r.doc_id + 1_000_000].n_chunks == r.n_chunks
+
+
+class TestDecontamination:
+    def test_planted_eval_docs_detected(self, spark, sf_dir):
+        rows = q_decontamination(spark, sf_dir).collect()
+        # each eval doc is a truncation of its source: the source must be
+        # flagged with high overlap
+        hits = {(r.doc_id, r.eval_id): r.overlap_frac for r in rows}
+        assert hits, "no contamination detected for planted eval set"
+        for (doc_id, eval_id), frac in hits.items():
+            if eval_id == doc_id + 1_000_000:
+                # truncation cuts mid-word: the partial first token makes
+                # the eval copy's leading grams novel, so overlap < 1.0
+                assert frac > 0.7
+        assert any(e == d + 1_000_000 for d, e in hits)
+
+
+class TestEmbeddingQuantize:
+    def test_error_bounded_by_half_scale_per_dim(self, spark, sf_dir):
+        rows = q_embedding_quantize(spark, sf_dir).collect()
+        for r in rows:
+            # |x - q*scale| <= scale/2 per dim (round-to-nearest)
+            assert r.recon_err <= r.n_dims * (r.scale / 2.0) ** 2 + 1e-12
+            assert r.scale > 0
+
+
+class TestPageRank:
+    def test_mass_approximately_conserved(self, spark, sf_dir):
+        rows = q_pagerank_neardup(spark, sf_dir).collect()
+        n = len(rows)
+        total = sum(r.rank_scaled for r in rows)
+        # dangling nodes leak damping mass; floor-division truncates. Total
+        # stays in (teleport-only lower bound, full mass upper bound].
+        assert total <= _PR_SCALE
+        assert total >= (15 * _PR_SCALE) // 100 - n * _PR_ITERS
+        assert all(r.rank_scaled >= (15 * _PR_SCALE) // (100 * n) for r in rows)
+        # near-dup partners (planted copies) must out-rank isolated docs
+        ranked = {r.doc_id: r.rank_scaled for r in rows}
+        linked = [v for k, v in ranked.items() if k >= 1_000_000]
+        assert max(linked) > min(ranked.values())
