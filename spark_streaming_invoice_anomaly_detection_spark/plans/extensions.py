@@ -1663,3 +1663,116 @@ register(
         oracle=_pagerank_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: rare-token ratio (two-pass vocabulary census + join
+# back) and top-k bigram counts — the frequency signals quality filters and
+# tokenizer training start from.
+# ---------------------------------------------------------------------------
+
+_RARE_MAX_COUNT = 5  # a token is "rare" if the corpus holds < this many
+
+
+def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of token positions carrying corpus-rare tokens.
+
+    Pass 1 builds the vocabulary census (one explode + hash agg — the
+    shuffle carries distinct tokens, not positions, thanks to map-side
+    combine). Pass 2 joins positions back to counts; the vocabulary is
+    orders of magnitude smaller than the corpus, so it broadcasts. All
+    outputs are integer ratios — exact across engines.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    pos = docs.select(
+        "doc_id", F.explode(X.tokenize(F.col("text"))).alias("tok")
+    )
+    vocab = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        pos.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("cnt") < _RARE_MAX_COUNT).cast("long")).alias(
+                "n_rare"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            (
+                F.col("n_rare").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("rare_frac"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="rare_token_ratio",
+        description="per-doc fraction of token positions with corpus "
+        "frequency < 5 (vocabulary census + broadcast join back)",
+        spark=q_rare_token_ratio,
+        oracle=f"""
+            WITH pos AS (
+                SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+            ),
+            vocab AS (SELECT tok, count(*) AS cnt FROM pos GROUP BY tok)
+            SELECT p.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN v.cnt < {_RARE_MAX_COUNT}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+                   CAST(sum(CASE WHEN v.cnt < {_RARE_MAX_COUNT}
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS rare_frac
+            FROM pos p JOIN vocab v ON p.tok = v.tok
+            GROUP BY p.doc_id
+        """,
+    )
+)
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams by occurrence (NOT distinct-per-doc — real
+    frequencies), deterministic total order (count desc, bigram asc) so
+    the limit is stable. TakeOrderedAndProject: no global sort.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = X.tokenize(F.col("text"))
+    n = F.size(toks)
+    grams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+register(
+    QuerySpec(
+        name="bigram_topk",
+        description="top-20 corpus bigrams by occurrence count with "
+        "deterministic tie-break",
+        spark=q_bigram_topk,
+        oracle=f"""
+            WITH t AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+            g AS (
+                SELECT unnest(list_transform(
+                           range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                FROM t WHERE len(toks) >= 2
+            )
+            SELECT bigram, count(*) AS cnt FROM g GROUP BY bigram
+            ORDER BY cnt DESC, bigram ASC LIMIT 20
+        """,
+    )
+)

@@ -95,3 +95,39 @@ class TestAggregation:
         plan = plan_of(q["order_limit"](spark, sf_dir))
         assert "TakeOrderedAndProject" in plan
         assert "Exchange rangepartitioning" not in plan
+
+
+class TestRound2Shapes:
+    def test_five_way_join_no_nested_loop(self, spark, sf_dir, q):
+        plan = plan_of(q["join_five_way_volume"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # dim chain broadcasts
+
+    def test_decontamination_broadcasts_eval_side(self, spark, sf_dir, q):
+        plan = plan_of(q["decontamination_overlap"](spark, sf_dir))
+        # the benchmark gram set must be the build (broadcast) side; the
+        # corpus side must never be broadcast wholesale
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bigram_topk_take_ordered(self, spark, sf_dir, q):
+        plan = plan_of(q["bigram_topk"](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan  # no global Sort before limit
+
+    def test_sequence_packing_no_global_row_window(self, spark, sf_dir, q):
+        """The only unpartitioned window may run over shard totals
+        (n_docs/100 rows), never over per-document rows."""
+        df = q["sequence_packing"](spark, sf_dir)
+        phys = plan_of(df, "simple")
+        # two Window operators: the per-doc running sum partitioned by
+        # shard (hashpartitioning exchange), plus the tiny shard-prefix
+        # window (SinglePartition over n_docs/100 rows)
+        assert phys.count("Window") >= 2
+        assert "hashpartitioning(shard" in phys
+
+    def test_pagerank_unrolls_three_joins(self, spark, sf_dir, q):
+        plan = plan_of(q["pagerank_neardup_graph"](spark, sf_dir))
+        # 3 iterations -> at least 3 aggregate pairs over the edge joins
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
