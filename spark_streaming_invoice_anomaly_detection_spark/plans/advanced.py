@@ -597,3 +597,159 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill: dense per-user hourly grid + forward fill. The
+# resample step every monitoring/feature pipeline needs; grid generation is
+# map-side sequence+explode (no shuffle beyond the final window).
+# ---------------------------------------------------------------------------
+
+
+def q_gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly grid between that user's first and last event, with
+    missing hours forward-filled from the last observed hourly max.
+
+    Shapes: one agg for user spans, sequence+explode for the grid (output
+    rows ∝ span-hours, generated distributed, never on the driver), a
+    grid⋈hourly left join co-partitioned on (user_id, hour), and one
+    partitioned window for the fill. max() is the filled aggregate —
+    order-independent, so the oracle matches exactly with no float
+    discipline needed.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    hourly = ev.groupBy("user_id", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("value_max"),
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    return joined.select(
+        "user_id",
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.last("value_max", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("value_max").isNull().alias("is_gap"),
+    )
+
+
+register(
+    QuerySpec(
+        name="gapfill_forward_fill",
+        description="dense per-user hourly grid with forward-filled hourly "
+        "max (resample + LOCF)",
+        spark=q_gapfill_forward_fill,
+        oracle="""
+            WITH ev AS (
+                SELECT user_id, date_trunc('hour', ts) AS hour, value
+                FROM events
+            ),
+            hourly AS (
+                SELECT user_id, hour, count(*) AS n_events,
+                       max(value) AS value_max
+                FROM ev GROUP BY user_id, hour
+            ),
+            spans AS (
+                SELECT user_id, min(hour) AS h0, max(hour) AS h1
+                FROM ev GROUP BY user_id
+            ),
+            grid AS (
+                SELECT user_id,
+                       unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                         AS hour
+                FROM spans
+            )
+            SELECT g.user_id, g.hour,
+                   coalesce(h.n_events, 0) AS n_events,
+                   last_value(h.value_max IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value_filled,
+                   h.value_max IS NULL AS is_gap
+            FROM grid g
+            LEFT JOIN hourly h
+              ON g.user_id = h.user_id AND g.hour = h.hour
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Equal-width histogram: data-driven [min,max] split into 20 bins. The
+# profiling primitive behind skew detection and quantile sanity checks.
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 20
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equal-width histogram of events.value: one scalar min/max
+    pass (broadcast single row), one map-side bin computation, one 20-group
+    aggregate. Bin arithmetic is plain IEEE sub/div/floor on identical
+    inputs — bit-identical across engines, no rounding discipline needed.
+    """
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    b = F.lit(_HIST_BINS)
+    width = (F.col("vmax") - F.col("vmin")) / b.cast("double")
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(_HIST_BINS - 1),
+            F.floor((F.col("value") - F.col("vmin")) / width).cast("int"),
+        ).alias("bin"),
+        "value",
+        "vmin",
+        width.alias("w"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.first("vmin") + F.col("bin").cast("double") * F.first("w")).alias(
+            "bin_lo"
+        ),
+    )
+
+
+register(
+    QuerySpec(
+        name="value_histogram",
+        description="20-bin equal-width histogram of events.value with "
+        "data-driven bounds",
+        spark=q_value_histogram,
+        oracle=f"""
+            WITH bounds AS (
+                SELECT min(value) AS vmin, max(value) AS vmax FROM events
+            ),
+            binned AS (
+                SELECT least({_HIST_BINS - 1},
+                             CAST(floor((value - vmin)
+                                  / ((vmax - vmin) / {float(_HIST_BINS)!r}))
+                                  AS INT)) AS bin,
+                       vmin,
+                       (vmax - vmin) / {float(_HIST_BINS)!r} AS w
+                FROM events, bounds
+            )
+            SELECT bin, count(*) AS n,
+                   min(vmin) + CAST(bin AS DOUBLE) * min(w) AS bin_lo
+            FROM binned GROUP BY bin
+        """,
+    )
+)

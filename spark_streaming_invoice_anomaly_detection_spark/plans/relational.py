@@ -945,3 +945,50 @@ register(
         """,
     )
 )
+
+
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity-preserving set ops: (priorities of 'F' orders)
+    INTERSECT ALL / EXCEPT ALL (priorities of 'P' orders), tagged and
+    unioned. Bag semantics — each duplicate row survives per its
+    min/difference multiplicity, which distinct-based set ops destroy.
+    """
+    o = _t(spark, sf_dir, "orders")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderpriority", (F.col("o_totalprice") > 200000).alias("big")
+    )
+    p_side = o.filter(F.col("o_orderstatus") == "P").select(
+        "o_orderpriority", (F.col("o_totalprice") > 200000).alias("big")
+    )
+    inter = f_side.intersectAll(p_side).select(
+        F.lit("intersect_all").alias("op"), "o_orderpriority", "big"
+    )
+    exc = f_side.exceptAll(p_side).select(
+        F.lit("except_all").alias("op"), "o_orderpriority", "big"
+    )
+    return inter.unionByName(exc)
+
+
+register(
+    QuerySpec(
+        name="set_ops_all",
+        description="INTERSECT ALL / EXCEPT ALL (bag semantics) over order "
+        "priority tuples",
+        spark=q_set_ops_all,
+        oracle="""
+            WITH f_side AS (
+                SELECT o_orderpriority, o_totalprice > 200000 AS big
+                FROM orders WHERE o_orderstatus = 'F'
+            ),
+            p_side AS (
+                SELECT o_orderpriority, o_totalprice > 200000 AS big
+                FROM orders WHERE o_orderstatus = 'P'
+            )
+            SELECT 'intersect_all' AS op, * FROM
+                (SELECT * FROM f_side INTERSECT ALL SELECT * FROM p_side)
+            UNION ALL
+            SELECT 'except_all' AS op, * FROM
+                (SELECT * FROM f_side EXCEPT ALL SELECT * FROM p_side)
+        """,
+    )
+)
