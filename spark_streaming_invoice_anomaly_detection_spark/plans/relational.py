@@ -992,3 +992,87 @@ register(
         """,
     )
 )
+
+
+def q_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer over a
+    quarter, top 20. Join-agg-then-topk: the aggregation shrinks the join
+    output to one row per customer BEFORE the top-k, and the top-k is
+    TakeOrdered (no global sort). Tie-break on c_custkey keeps the LIMIT
+    deterministic for the oracle.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_return_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+register(
+    QuerySpec(
+        name="top_returning_customers",
+        description="TPC-H Q10 shape: per-customer returned-item revenue, "
+        "top 20 with deterministic tie-break",
+        spark=q_top_returning_customers,
+        oracle=f"""
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   {exact_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}
+                     AS revenue,
+                   count(*) AS n_return_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY revenue DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
+    )
+)
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of events.value per event_type
+    (percentile_approx, Greenwald-Khanna sketch): the single-pass,
+    mergeable path for quantiles over data too big to sort. No oracle —
+    DuckDB's approx_quantile uses a different sketch, so the driver records
+    rows-only; the accuracy bound vs exact quartiles is pytest-pinned
+    (tests/test_round2_ops.py).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            "value", [0.25, 0.5, 0.75], 10_000
+        ).alias("quartiles_approx"),
+    )
+
+
+register(
+    QuerySpec(
+        name="approx_quantiles_by_type",
+        description="per-type approximate quartiles of events.value "
+        "(mergeable GK sketch; rows-only, accuracy pytest-pinned)",
+        spark=q_approx_quantiles,
+        oracle=None,
+    )
+)

@@ -134,3 +134,30 @@ class TestPageRank:
         ranked = {r.doc_id: r.rank_scaled for r in rows}
         linked = [v for k, v in ranked.items() if k >= 1_000_000]
         assert max(linked) > min(ranked.values())
+
+
+class TestApproxQuantiles:
+    def test_within_rank_error_of_exact(self, spark, sf_dir):
+        from spark_streaming_invoice_anomaly_detection_spark.plans.relational import (
+            q_approx_quantiles,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+
+        approx = {
+            r.event_type: r.quartiles_approx
+            for r in q_approx_quantiles(spark, sf_dir).collect()
+        }
+        ev = load_table(spark, "events", sf_dir)
+        exact = {
+            r.event_type: r.q
+            for r in ev.groupBy("event_type")
+            .agg(F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("q"))
+            .collect()
+        }
+        for etype, qs in approx.items():
+            for a, e in zip(qs, exact[etype]):
+                # GK accuracy 10k on these group sizes is near-exact; allow
+                # a loose 5% envelope to keep the pin robust across SFs
+                assert a == pytest.approx(e, rel=0.05, abs=1.0)
