@@ -1302,19 +1302,19 @@ _PACK_BIN = 2048  # tokens per training sequence
 _PACK_SHARD = 100  # docs per cumsum shard
 
 
-def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy contiguous packing: global exclusive token cumsum -> bin =
-    floor(offset / budget); per-bin doc count, token count, id span.
-
-    The cumsum is two-level: an intra-shard running sum (window partitioned
-    by contiguous doc_id shard) plus per-shard prefix offsets (a
-    shard-count-sized frame — the only single-partition window, over
-    n_docs/100 rows, not n_docs). That is the 100 TB-safe way to compute a
-    corpus-ordered cumulative sum.
+def _binned_docs(
+    spark: SparkSession, sf_dir: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id [, carry...], n_tokens, bin) via the two-level cumsum: an
+    intra-shard running sum (window partitioned by contiguous doc_id
+    shard) plus per-shard prefix offsets (a shard-count-sized frame — the
+    only single-partition window, over n_docs/100 rows, not n_docs). That
+    is the 100 TB-safe way to compute a corpus-ordered cumulative sum.
     """
     docs = load_table(spark, "documents", sf_dir)
     t = docs.select(
         "doc_id",
+        *carry,
         X.bpe_token_estimate(F.col("text")).cast("long").alias("n_tokens"),
         F.floor(F.col("doc_id") / F.lit(_PACK_SHARD)).alias("shard"),
     )
@@ -1332,15 +1332,21 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = shard_tot.select(
         "shard", F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias("prefix")
     )
-    packed = t.join(F.broadcast(prefix), "shard").select(
+    return t.join(F.broadcast(prefix), "shard").select(
         "doc_id",
+        *carry,
         "n_tokens",
         F.floor(
             (F.col("prefix") + F.col("cum_in") - F.col("n_tokens"))
             / F.lit(float(_PACK_BIN))
         ).alias("bin"),
     )
-    return packed.groupBy("bin").agg(
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing: global exclusive token cumsum -> bin =
+    floor(offset / budget); per-bin doc count, token count, id span."""
+    return _binned_docs(spark, sf_dir).groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
         F.min("doc_id").alias("first_doc"),
@@ -1773,6 +1779,149 @@ register(
             )
             SELECT bigram, count(*) AS cnt FROM g GROUP BY bigram
             ORDER BY cnt DESC, bigram ASC LIMIT 20
+        """,
+    )
+)
+
+
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the packed training sequences: per bin, the documents
+    concatenated in corpus order (newline-joined) — fingerprinted with
+    sha256 so the check carries a 64-char digest per bin instead of
+    megabytes of packed text. collect_list+sort_array keeps the in-bin
+    order deterministic under any shuffle placement.
+    """
+    binned = _binned_docs(spark, sf_dir, carry=("text",))
+    packed = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "text"))
+        ).alias("docs"),
+    )
+    joined = F.concat_ws(
+        "\n", F.transform(F.col("docs"), lambda d: d.getField("text"))
+    )
+    return packed.select(
+        "bin",
+        "n_docs",
+        "n_tokens",
+        F.length(joined).alias("packed_chars"),
+        F.sha2(joined, 256).alias("packed_sha"),
+    )
+
+
+register(
+    QuerySpec(
+        name="packed_sequences",
+        description="materialized 2048-token training bins: doc texts "
+        "concatenated in corpus order, sha256-fingerprinted per bin",
+        spark=q_packed_sequences,
+        oracle=f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       CAST(len(regexp_extract_all(text, '{_BPE_SQL}'))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, text, n_tokens,
+                       CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                       - n_tokens AS off
+                FROM t
+            ),
+            b AS (
+                SELECT CAST(floor(off / {float(_PACK_BIN)!r}) AS BIGINT)
+                         AS bin,
+                       doc_id, text, n_tokens
+                FROM c
+            )
+            SELECT bin, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(length(string_agg(text, chr(10) ORDER BY doc_id))
+                        AS INT) AS packed_chars,
+                   sha256(string_agg(text, chr(10) ORDER BY doc_id))
+                     AS packed_sha
+            FROM b GROUP BY bin
+        """,
+    )
+)
+
+
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor policy: within each near-dup component keep the
+    LONGEST document (tie-break lowest id) instead of the minimum id —
+    the policy real corpus dedup uses (keep the most complete variant).
+    Components come from the same min-label propagation; the survivor is
+    one ordered window per component, no extra join.
+    """
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = D.minhash_near_dups(
+        aug,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    ).select("id_a", "id_b")
+    comp = G.connected_components(pairs)
+    d = (
+        aug.select("doc_id", F.length("text").alias("n_chars"))
+        .join(comp, aug.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("component"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    survivor = F.first("doc_id").over(w)
+    return d.select(
+        "doc_id",
+        "component",
+        "n_chars",
+        survivor.alias("survivor_id"),
+        (F.col("doc_id") == survivor).alias("is_kept"),
+    )
+
+
+register(
+    QuerySpec(
+        name="neardup_keep_best",
+        description="near-dup dedup with keep-longest survivor policy per "
+        "connected component",
+        spark=q_neardup_keep_best,
+        oracle=f"""
+            WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            walk AS (
+                SELECT node, node AS comp FROM nodes
+                UNION
+                SELECT e.v AS node, w.comp
+                FROM walk w JOIN edges e ON w.node = e.u
+            ),
+            comp AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+            aug AS ({_AUG_DOCS_SQL}),
+            d AS (
+                SELECT a.doc_id,
+                       CAST(length(a.text) AS INT) AS n_chars,
+                       coalesce(c.comp, a.doc_id) AS component
+                FROM aug a LEFT JOIN comp c ON a.doc_id = c.node
+            )
+            SELECT doc_id, component, n_chars,
+                   first_value(doc_id) OVER w AS survivor_id,
+                   doc_id = first_value(doc_id) OVER w AS is_kept
+            FROM d
+            WINDOW w AS (PARTITION BY component
+                         ORDER BY n_chars DESC, doc_id ASC)
         """,
     )
 )
