@@ -325,7 +325,9 @@ def cosine(a: Column, b: Column) -> Column:
             F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
         )
     )
-    return dot / (na * nb)
+    # zero-norm guard: under ANSI mode (Spark 4 default) 0/0 raises instead
+    # of yielding NaN; a zero vector has no direction -> null similarity
+    return F.when((na * nb) > 0, dot / (na * nb))
 
 
 def embedding_near_dups(

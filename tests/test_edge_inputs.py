@@ -1,0 +1,138 @@
+"""Edge-input hardening: empty frames, empty strings, and degenerate
+shapes must flow through the operator library without exceptions — the
+failure mode that only shows up in production partitions that happen to be
+empty (a routine occurrence at 1000-executor scale).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_streaming_invoice_anomaly_detection_spark.operators import (
+    dedup as D,
+    text as X,
+)
+from spark_streaming_invoice_anomaly_detection_spark.operators.featurize import (
+    featurize_invoices,
+    filter_valid_invoices,
+)
+
+
+@pytest.fixture()
+def empty_lines(spark):
+    return spark.createDataFrame(
+        [],
+        "invoice_no string, quantity int, invoice_date string, "
+        "unit_price double, customer_id string, country string, hour double",
+    )
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+class TestEmptyFrames:
+    def test_featurize_empty(self, empty_lines):
+        out = featurize_invoices(empty_lines)
+        assert out.count() == 0
+        assert "avg_unit_price" in out.columns
+
+    def test_filter_valid_empty(self, empty_lines):
+        feats = featurize_invoices(empty_lines)
+        assert filter_valid_invoices(feats).count() == 0
+
+    def test_exact_dedup_empty(self, empty_docs):
+        assert D.exact_dedup(empty_docs).count() == 0
+
+    def test_minhash_empty(self, empty_docs):
+        out = D.minhash_near_dups(empty_docs)
+        assert out.count() == 0
+
+    def test_simhash_empty(self, empty_docs):
+        assert D.simhash_docs(empty_docs).count() == 0
+
+
+class TestDegenerateText:
+    def _flags(self, spark, text):
+        df = spark.createDataFrame([(text,)], "text string")
+        return df.select(
+            *[c.alias(n) for n, c in X.gopher_flags(F.col("text")).items()]
+        ).first()
+
+    def test_empty_string_gopher(self, spark):
+        row = self._flags(spark, "")
+        assert row.n_words == 0
+        assert row.keep is False  # fails word count, never crashes
+
+    def test_whitespace_only(self, spark):
+        row = self._flags(spark, "   \t  \n ")
+        assert row.n_words == 0 and row.keep is False
+
+    def test_single_char_tokenize(self, spark):
+        df = spark.createDataFrame([("a",)], "text string")
+        r = df.select(
+            X.token_count(F.col("text")).alias("n"),
+            X.doc_fingerprint(F.col("text")).alias("fp"),
+            X.lang_id(F.col("text")).alias("lang"),
+        ).first()
+        assert r.n == 1
+        assert r.fp is None  # shorter than the 5-gram window
+        assert r.lang == "und"  # no stopword list contains bare 'a'
+
+    def test_word_ngrams_short_doc_empty_not_reversed(self, spark):
+        # F.sequence(1, 0) counts DOWN in Spark; the guard must yield []
+        df = spark.createDataFrame([("one two",)], "text string")
+        r = df.select(
+            X.word_ngrams(X.tokenize(F.col("text")), 5).alias("g")
+        ).first()
+        assert r.g == []
+
+    def test_quality_score_bounded(self, spark):
+        texts = ["", "x", "###", "the " * 500, "a b c. " * 40]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        for r in df.select(X.quality_score(F.col("text")).alias("q")).collect():
+            assert 0.0 <= r.q <= 1.0
+
+
+class TestDegenerateVectors:
+    def test_zero_vector_quantizes_without_division_error(self, spark):
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            q_embedding_quantize,
+        )
+        from pyspark.sql import types as T
+
+        # route a zero vector through the same expression chain by name
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("label", T.IntegerType()),
+            ]
+        )
+        df = spark.createDataFrame([(0, [0.0, 0.0, 0.0], 0)], schema)
+        vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        amax = F.array_max(F.transform(vd, F.abs))
+        scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+        q = F.transform(
+            vd,
+            lambda x: F.floor(x / scale + 0.5).cast("int"),
+        )
+        r = df.select(scale.alias("s"), q.alias("q")).first()
+        assert r.s == 1.0 and r.q == [0, 0, 0]
+
+    def test_cosine_of_zero_vector_is_null_not_error(self, spark):
+        # under ANSI mode (Spark 4 default) an unguarded 0/0 division
+        # RAISES; the operator must instead yield null for zero norms
+        from spark_streaming_invoice_anomaly_detection_spark.operators.dedup import (
+            cosine,
+        )
+
+        df = spark.createDataFrame(
+            [([0.0, 0.0], [1.0, 1.0]), ([1.0, 0.0], [1.0, 0.0])],
+            "a array<double>, b array<double>",
+        )
+        rows = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+        assert rows[0].c is None
+        assert rows[1].c == 1.0

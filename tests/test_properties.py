@@ -1,0 +1,166 @@
+"""Property-based tests (hypothesis) for the engine's pure logic and a few
+Spark expressions — the SURVEY §5 test-strategy upgrade the reference never
+had: semantics pinned over generated inputs, not just fixtures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from spark_streaming_invoice_anomaly_detection_spark.ml.clustering import (
+    elbow_selection,
+)
+
+# ---------------------------------------------------------------------------
+# Elbow selection (M3): pure function, reference semantics
+# ---------------------------------------------------------------------------
+
+costs_lists = st.lists(
+    st.floats(min_value=0.0, max_value=1e12, allow_nan=False),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(costs_lists, st.floats(min_value=0.1, max_value=0.99))
+@settings(max_examples=300, deadline=None)
+def test_elbow_is_first_break_else_last(costs, ratio):
+    i = elbow_selection(costs, ratio)
+    assert 0 <= i < len(costs)
+
+    def breaks(j: int) -> bool:
+        # IEEE semantics the Scala reference computes: x/0 = inf (>ratio),
+        # 0/0 = nan (not > ratio)
+        prev, cur = costs[j - 1], costs[j]
+        if prev == 0:
+            return cur != 0
+        return cur / prev > ratio
+
+    if i < len(costs) - 1 or (i >= 1 and breaks(i)):
+        # selected because it breaks: nothing before it may break
+        assert breaks(i)
+        assert all(not breaks(j) for j in range(1, i))
+    else:
+        # fell through to last: no index breaks at all
+        assert all(not breaks(j) for j in range(1, len(costs)))
+
+
+# ---------------------------------------------------------------------------
+# h60: Spark column twin of md5-prefix hashing (shared with every oracle)
+# ---------------------------------------------------------------------------
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+@given(st.lists(ascii_text, min_size=1, max_size=30, unique=True))
+@settings(max_examples=5, deadline=None)
+def test_h60_matches_md5_prefix_model(spark, strings):
+    from spark_streaming_invoice_anomaly_detection_spark.operators.text import h60
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {r.s: r.h for r in df.select("s", h60(F.col("s")).alias("h")).collect()}
+    for s in strings:
+        expect = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        assert got[s] == expect
+
+
+# ---------------------------------------------------------------------------
+# Two-level cumsum binning (sequence packing): shard decomposition must
+# equal the naive single-pass cumsum for ANY token sizes / shard width
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=17),
+    st.integers(min_value=16, max_value=4096),
+)
+@settings(max_examples=200, deadline=None)
+def test_two_level_cumsum_equals_naive(tokens, shard_width, bin_budget):
+    # naive: exclusive global cumsum
+    naive_bins = []
+    off = 0
+    for t in tokens:
+        naive_bins.append(math.floor(off / float(bin_budget)))
+        off += t
+
+    # two-level: intra-shard running sum + per-shard prefix (the algebra
+    # plans/extensions._binned_docs executes distributed)
+    shards: dict[int, list[int]] = {}
+    for i, t in enumerate(tokens):
+        shards.setdefault(i // shard_width, []).append(t)
+    prefix = 0
+    two_level = []
+    for sid in sorted(shards):
+        cum_in = 0
+        for t in shards[sid]:
+            cum_in += t
+            two_level.append(
+                math.floor((prefix + cum_in - t) / float(bin_budget))
+            )
+        prefix += sum(shards[sid])
+    assert two_level == naive_bins
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization: error bound holds for arbitrary float vectors
+# ---------------------------------------------------------------------------
+
+vec = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(st.lists(vec, min_size=1, max_size=8))
+@settings(max_examples=5, deadline=None)
+def test_quantize_error_bound_random_vectors(spark, vectors):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vectors)], schema
+    )
+
+    # same expression chain the registered query uses
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(vd, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(
+        vd,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x / scale + 0.5).cast("int"))
+        ),
+    )
+    diff_sq = F.zip_with(
+        vd,
+        q,
+        lambda x, qi: (x - qi.cast("double") * scale)
+        * (x - qi.cast("double") * scale),
+    )
+    rows = df.select(
+        F.size("embedding").alias("n"),
+        scale.alias("scale"),
+        F.aggregate(diff_sq, F.lit(0.0), lambda a, v: a + v).alias("err"),
+    ).collect()
+    for r in rows:
+        # float32 ingestion adds at most a relative 2^-24 per element on
+        # top of the rounding half-step bound
+        bound = r.n * (r.scale / 2.0) ** 2 * (1 + 1e-6) + 1e-9
+        assert r.err <= bound
