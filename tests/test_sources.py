@@ -211,3 +211,28 @@ class TestJsonl:
         df = spark.range(3).selectExpr("id AS doc_id")
         with pytest.raises(ValueError):
             write_jsonl(df, "/tmp/never-written", shard_key="doc_id")
+
+
+class TestCsvAudit:
+    def test_audit_counts(self, spark, tmp_path):
+        from spark_streaming_invoice_anomaly_detection_spark.sources.csv_batch import (
+            csv_audit,
+        )
+
+        p = tmp_path / "audit.csv"
+        p.write_text(
+            "InvoiceNo,StockCode,Description,Quantity,InvoiceDate,UnitPrice,CustomerID,Country\n"
+            "536365,85123A,OK,6,12/1/2010 8:26,2.55,17850,United Kingdom\n"
+            "536366,85123A,BAD QTY,notanint,12/1/2010 8:27,2.55,17850,United Kingdom\n"
+            "536367,85123A,BAD DATE,2,2010-12-01 08:28,2.55,17850,United Kingdom\n"
+            "536368,85123A,NO CUSTOMER,3,12/1/2010 8:29,1.25,,France\n"
+            "536369,85123A,SHORT,4\n"
+        )
+        row = csv_audit(spark, str(p)).first()
+        assert row.n_lines == 5
+        assert row.n_bad_lines == 2  # non-int quantity + short row
+        # short row has null date; bad-date row nonconforming -> 2
+        assert row.n_invalid_dates == 2
+        assert row.empty_customerid == 2  # explicit empty + short row
+        assert row.empty_country == 1  # short row only
+        assert row.empty_invoiceno == 0
