@@ -1,0 +1,98 @@
+"""CLI round-trips: the `train` and `produce` commands that replace the
+reference's start_training.sh / productiondata.sh, run in-process against
+fixture data. (`pipeline` composes tested parts — pipeline tests cover it.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import pytest
+
+from spark_streaming_invoice_anomaly_detection_spark.__main__ import main
+
+
+@pytest.fixture()
+def training_csv(tmp_path):
+    """development.csv-shaped training file: 40 invoices x 6 lines."""
+    rng = random.Random(7)
+    p = tmp_path / "training.csv"
+    rows = ["InvoiceNo,StockCode,Description,Quantity,InvoiceDate,UnitPrice,CustomerID,Country"]
+    for inv in range(40):
+        base = 1.0 + rng.random() * 50
+        for line in range(6):
+            rows.append(
+                f"5{inv:04d},85{line:03d}A,ITEM {line},{rng.randint(1, 12)},"
+                f"12/{1 + inv % 28}/2010 {6 + inv % 12}:{line * 7 % 60:02d},"
+                f"{base + rng.random():.2f},1{inv:04d},United Kingdom"
+            )
+    p.write_text("\n".join(rows))
+    return str(p)
+
+
+def test_train_cli_persists_detector(spark, training_csv, tmp_path, capsys):
+    out_dir = str(tmp_path / "det")
+    rc = main(
+        [
+            "train",
+            training_csv,
+            out_dir,
+            "--max-k",
+            "3",
+            "--threshold-k",
+            "5",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["algo"] == "kmeans" and summary["k"] >= 1
+    assert summary["threshold"] > 0
+
+    # artifacts on disk: model dir + detector meta + elbow record
+    assert os.path.isdir(os.path.join(out_dir, "model"))
+    meta = json.load(open(os.path.join(out_dir, "detector.json")))
+    assert meta["algo"] == "kmeans"
+    sel = json.load(open(os.path.join(out_dir, "model_selection.json")))
+    assert sel["k"] == summary["k"] and len(sel["costs"]) == 3
+
+    # reloadable and usable for scoring
+    from spark_streaming_invoice_anomaly_detection_spark.ml.clustering import load_detector
+
+    det = load_detector(spark, out_dir)
+    assert det.threshold == summary["threshold"]
+
+
+def test_produce_cli_drips_chunks(tmp_path, capsys):
+    src = tmp_path / "replay.csv"
+    src.write_text("\n".join(f"line{i},a,b,1,12/1/2010 8:00,1.0,c,UK" for i in range(120)))
+    watch = str(tmp_path / "watch")
+    rc = main(
+        [
+            "produce",
+            str(src),
+            watch,
+            "--min-ms",
+            "0.1",
+            "--max-ms",
+            "0.3",
+            "--chunk-lines",
+            "50",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["lines"] == 120
+    assert stats["chunks"] == 3  # 50 + 50 + 20
+    files = sorted(os.listdir(watch))
+    assert len(files) == 3
+    total = sum(
+        len(open(os.path.join(watch, f)).read().splitlines()) for f in files
+    )
+    assert total == 120
+
+
+def test_pipeline_requires_source(capsys):
+    rc = main(["pipeline", "a", "b"])
+    assert rc == 2
