@@ -93,3 +93,68 @@ def test_interval_join_click_purchase(spark, tmp_path):
     finally:
         q.stop()
     assert [(r.user_id, r.p_id) for r in out] == [("u1", "p1")]
+
+
+@pytest.mark.slow
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T6 opt-in event time: append-mode windows finalize when the
+    watermark passes window end, and rows arriving behind the watermark
+    are dropped — the count of a closed window never changes."""
+    import os
+    import time
+
+    from spark_streaming_invoice_anomaly_detection_spark.streaming.windows import (
+        sliding_count,
+    )
+
+    src = tmp_path / "in"
+    os.makedirs(src, exist_ok=True)
+    raw = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    counts = sliding_count(
+        raw, "ts", window="10 seconds", slide="10 seconds", watermark="5 seconds"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wm_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+
+    def rows():
+        return {
+            (r.window_start.isoformat(), r.n)
+            for r in spark.sql("SELECT * FROM wm_out").collect()
+        }
+
+    try:
+        # window [10:00:00,10:00:10): two on-time rows
+        (src / "b0.json").write_text(
+            '{"ts": "2024-01-01T10:00:01"}\n{"ts": "2024-01-01T10:00:02"}\n'
+        )
+        time.sleep(3)
+        # advance event time far past the window -> watermark closes it
+        (src / "b1.json").write_text('{"ts": "2024-01-01T10:30:00"}\n')
+        deadline = time.time() + 90
+        while time.time() < deadline and not any(
+            s.startswith("2024-01-01T10:00:00") for s, _ in rows()
+        ):
+            time.sleep(1)
+        closed = {s: n for s, n in rows() if s.startswith("2024-01-01T10:00:00")}
+        assert closed.get("2024-01-01T10:00:00") == 2, rows()
+
+        # a LATE row for the closed window: behind the watermark -> dropped
+        (src / "b2.json").write_text('{"ts": "2024-01-01T10:00:03"}\n')
+        time.sleep(4)
+        # push watermark further so anything pending would have flushed
+        (src / "b3.json").write_text('{"ts": "2024-01-01T11:00:00"}\n')
+        time.sleep(4)
+        after = {s: n for s, n in rows() if s.startswith("2024-01-01T10:00:00")}
+        assert after == {"2024-01-01T10:00:00": 2}, "late row resurrected a closed window"
+    finally:
+        q.stop()
