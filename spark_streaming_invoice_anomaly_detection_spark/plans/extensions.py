@@ -1922,3 +1922,37 @@ register(
         """,
     )
 )
+
+
+def q_similarity_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: metadata predicate + ANN ranking in one plan. The
+    label filter reaches the parquet scan (PushedFilters), so the cosine
+    ranking touches only the filtered slice — the composition every vector
+    store calls 'filtered search', expressed as plain predicate pushdown +
+    TakeOrdered."""
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("label") == 3)
+    return S.brute_force_topk(emb, QUERY_VEC, k=_TOPK).select(
+        "vec_id", "cos_sim"
+    )
+
+
+register(
+    QuerySpec(
+        name="similarity_topk_filtered",
+        description="hybrid filtered search: label predicate pushed to scan "
+        "+ exact cosine top-25 over the slice",
+        spark=q_similarity_topk_filtered,
+        oracle=f"""
+            SELECT vec_id,
+                   list_dot_product(CAST(embedding AS DOUBLE[]), {_QUERY_SQL})
+                   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product({_QUERY_SQL}, {_QUERY_SQL})))
+                     AS cos_sim
+            FROM embeddings
+            WHERE label = 3
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT {_TOPK}
+        """,
+    )
+)

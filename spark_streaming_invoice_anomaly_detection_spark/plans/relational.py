@@ -1076,3 +1076,45 @@ register(
         oracle=None,
     )
 )
+
+
+def q_regex_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture groups: split o_orderpriority '<digit>-<WORD>' into
+    typed parts, plus a count of vowels per priority word. Group indexing
+    and empty-match behavior agree across Java regex and RE2 for this
+    anchored ASCII pattern.
+    """
+    o = _t(spark, sf_dir, "orders")
+    pat = r"^(\d)-(\w+)"
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract(F.col("o_orderpriority"), pat, 1)
+        .cast("int")
+        .alias("priority_num"),
+        F.regexp_extract(F.col("o_orderpriority"), pat, 2).alias(
+            "priority_word"
+        ),
+        F.regexp_count(F.col("o_orderpriority"), F.lit("[AEIOU]")).alias(
+            "n_vowels"
+        ),
+    )
+
+
+register(
+    QuerySpec(
+        name="regex_extract_groups",
+        description="regex capture groups + match counting over order "
+        "priorities",
+        spark=q_regex_extract_groups,
+        oracle=r"""
+            SELECT o_orderkey,
+                   CAST(regexp_extract(o_orderpriority, '^(\d)-(\w+)', 1)
+                        AS INT) AS priority_num,
+                   regexp_extract(o_orderpriority, '^(\d)-(\w+)', 2)
+                     AS priority_word,
+                   CAST(len(regexp_extract_all(o_orderpriority, '[AEIOU]'))
+                        AS INT) AS n_vowels
+            FROM orders
+        """,
+    )
+)
