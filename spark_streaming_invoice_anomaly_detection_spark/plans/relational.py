@@ -21,6 +21,7 @@ from ..functions.exactmath import (
     exact_avg_sql,
     exact_sum,
     exact_sum_sql,
+    scaled_long,
 )
 from ..sources.catalog import load_table
 from .registry import QuerySpec, register
@@ -1115,6 +1116,145 @@ register(
                    CAST(len(regexp_extract_all(o_orderpriority, '[AEIOU]'))
                         AS INT) AS n_vowels
             FROM orders
+        """,
+    )
+)
+
+
+def q_map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-customer map of order-status -> count built
+    with map_from_entries, queried back with element_at / size. The map
+    stays internal (output is scalar columns) because map key order is
+    engine-dependent and would poison a value hash.
+    """
+    o = _t(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mapped = per_status.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))
+        ).alias("status_map")
+    )
+    return mapped.select(
+        "o_custkey",
+        F.size("status_map").alias("n_statuses"),
+        F.coalesce(F.element_at("status_map", "F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.element_at("status_map", "O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.element_at("status_map", "P"), F.lit(0)).alias("n_p"),
+    )
+
+
+register(
+    QuerySpec(
+        name="map_type_ops",
+        description="MapType build + lookup: per-customer status->count map "
+        "queried to scalars",
+        spark=q_map_type_ops,
+        oracle="""
+            WITH per AS (
+                SELECT o_custkey, o_orderstatus, count(*) AS cnt
+                FROM orders GROUP BY o_custkey, o_orderstatus
+            )
+            SELECT o_custkey,
+                   CAST(count(*) AS INT) AS n_statuses,
+                   CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                                          THEN cnt END), 0) AS BIGINT) AS n_f,
+                   CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                                          THEN cnt END), 0) AS BIGINT) AS n_o,
+                   CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                                          THEN cnt END), 0) AS BIGINT) AS n_p
+            FROM per GROUP BY o_custkey
+        """,
+    )
+)
+
+
+def q_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of (quantity, extendedprice) per return flag —
+    computed from exact integer moment sums (the exactmath discipline
+    extended to second moments): five int64 sums, then ONE closed-form
+    float expression. Engine-native corr() accumulates doubles in shuffle
+    order and cannot hash-match across engines; this can.
+
+    Overflow discipline: y^2 is ~1e14 per row, so its plain int64 sum
+    dies around 9e4 rows — the second moment accumulates as a hi/lo PAIR
+    of int64 sums (div/mod 2^20), each safe past 1e13 rows, reconstructed
+    once in double. Every sum stays exact and order-free; the closed-form
+    combination is the only float arithmetic.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")  # integer-valued
+    y = scaled_long(F.col("l_extendedprice"), 2)
+    y2 = y * y  # ~1e14, safe per-row; unsafe to SUM in int64
+    lo_mask = (1 << 20) - 1
+    agg = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(F.shiftright(y2, 20)).alias("syy_hi"),
+        F.sum(y2.bitwiseAND(F.lit(lo_mask).cast("long"))).alias("syy_lo"),
+    )
+    # all sums are EXACT int64; the closed-form combination happens in
+    # double — identical IEEE ops on identical int64-derived doubles are
+    # bit-identical across engines
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    syy = F.col("syy_hi").cast("double") * F.lit(float(1 << 20)) + F.col(
+        "syy_lo"
+    ).cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return agg.select(
+        "returnflag", "n", F.when(den > 0, num / den).alias("corr_qty_price")
+    )
+
+
+register(
+    QuerySpec(
+        name="exact_correlation",
+        description="Pearson corr per return flag via exact integer moment "
+        "sums (order-independent, cross-engine bit-exact)",
+        spark=q_exact_correlation,
+        oracle="""
+            WITH r AS (
+                SELECT l_returnflag AS returnflag,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS y
+                FROM lineitem
+            ),
+            m AS (
+                SELECT returnflag,
+                       count(*) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum((y * y) // 1048576) AS BIGINT) AS syy_hi,
+                       CAST(sum((y * y) % 1048576) AS BIGINT) AS syy_lo
+                FROM r GROUP BY returnflag
+            ),
+            d AS (
+                SELECT returnflag, n,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) AS sxd,
+                       CAST(sy AS DOUBLE) AS syd,
+                       CAST(sxy AS DOUBLE) AS sxyd,
+                       CAST(sxx AS DOUBLE) AS sxxd,
+                       CAST(syy_hi AS DOUBLE) * 1048576.0
+                         + CAST(syy_lo AS DOUBLE) AS syyd
+                FROM m
+            )
+            SELECT returnflag, n,
+                   CASE WHEN sqrt(nd * sxxd - sxd * sxd)
+                             * sqrt(nd * syyd - syd * syd) > 0
+                        THEN (nd * sxyd - sxd * syd)
+                             / (sqrt(nd * sxxd - sxd * sxd)
+                                * sqrt(nd * syyd - syd * syd))
+                   END AS corr_qty_price
+            FROM d
         """,
     )
 )
