@@ -236,3 +236,56 @@ class TestCsvAudit:
         assert row.empty_customerid == 2  # explicit empty + short row
         assert row.empty_country == 1  # short row only
         assert row.empty_invoiceno == 0
+
+
+class TestPurchaseCsvDataSource:
+    def test_read_parses_and_partitions_per_file(self, spark, tmp_path):
+        from spark_streaming_invoice_anomaly_detection_spark.sources.pydatasource import (
+            register,
+        )
+
+        register(spark)
+        d = tmp_path / "chunks"
+        d.mkdir()
+        (d / "a.csv").write_text(
+            "536365,85123A,OK,6,12/1/2010 8:26,2.55,17850,United Kingdom\n"
+            "536366,85123A,BAD,notanint,12/1/2010 8:27,2.55,17850,United Kingdom\n"
+        )
+        (d / "b.csv").write_text(
+            "536367,85123A,SHORT,4\n"
+            '536368,22633,"HAND WARMER, UNION JACK",6,12/1/2010 8:28,1.85,17850,United Kingdom\n'
+        )
+        df = spark.read.format("purchase_csv").option("path", str(d)).load()
+        assert df.rdd.getNumPartitions() == 2  # one per file
+        rows = {r.invoice_no: r for r in df.collect()}
+        assert rows["536365"].quantity == 6
+        assert rows["536365"].error_reason is None
+        assert rows["536366"].error_reason.startswith("parse error:")
+        assert rows["536367"].error_reason == "malformed purchase line"
+        assert rows["536368"].unit_price == 1.85  # quoted comma survives
+
+    def test_routes_through_streaming_taxonomy(self, spark, tmp_path):
+        """Rows from the connector slot into the same downstream split the
+        streaming parser feeds (P3 silent-drop semantics)."""
+        from spark_streaming_invoice_anomaly_detection_spark.sources.pydatasource import (
+            register,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.streaming.parse import (
+            route_events,
+        )
+
+        register(spark)
+        p = tmp_path / "one.csv"
+        p.write_text(
+            "536365,85123A,OK,6,12/1/2010 8:26,2.55,17850,United Kingdom\n"
+            "536366,85123A,BAD,notanint,12/1/2010 8:27,2.55,17850,United Kingdom\n"
+            "536367,85123A,SHORT,4\n"
+        )
+        df = spark.read.format("purchase_csv").option("path", str(p)).load()
+        routed = route_events(df)
+        reasons = sorted(
+            (r.error_reason or "ok") for r in routed.collect()
+        )
+        # good + parse-error kept; malformed silently dropped
+        assert len(reasons) == 2
+        assert reasons[0] == "ok" and reasons[1].startswith("parse error:")

@@ -158,3 +158,61 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         assert after == {"2024-01-01T10:00:00": 2}, "late row resurrected a closed window"
     finally:
         q.stop()
+
+
+@pytest.mark.slow
+def test_builtin_session_window_streaming(spark, tmp_path):
+    """Built-in gap-based session windows (session_window) in a stream:
+    events within the gap merge into one session per user; watermark
+    finalizes sessions in append mode."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "in"
+    os.makedirs(src, exist_ok=True)
+    raw = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    sessions = (
+        raw.withWatermark("ts", "5 seconds")
+        .groupBy(
+            F.session_window(F.col("ts"), "10 seconds").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events", F.col("w.start").alias("start"))
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        # user 1: two events 3s apart (one session); user 2: one event
+        (src / "b0.json").write_text(
+            '{"user_id": 1, "ts": "2024-01-01T10:00:00"}\n'
+            '{"user_id": 1, "ts": "2024-01-01T10:00:03"}\n'
+            '{"user_id": 2, "ts": "2024-01-01T10:00:01"}\n'
+        )
+        time.sleep(3)
+        # advance watermark past the sessions to finalize them
+        (src / "b1.json").write_text('{"user_id": 9, "ts": "2024-01-01T10:30:00"}\n')
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM sess_out").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+        by_user = {r.user_id: r for r in rows}
+        assert by_user[1].n_events == 2  # merged into one session
+        assert by_user[2].n_events == 1
+    finally:
+        q.stop()
