@@ -1258,3 +1258,91 @@ register(
         """,
     )
 )
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from a discount band in one year —
+    pure scan + conjunctive filter + single-row aggregate. The plan to
+    check: every predicate pushed into the parquet scan, no shuffle at
+    all before the final single-partition agg of partials.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="forecast_revenue_change",
+        description="TPC-H Q6 shape: filter-heavy single-agg revenue delta",
+        spark=q_forecast_revenue_change,
+        oracle=f"""
+            SELECT {exact_sum_sql('l_extendedprice * l_discount', 4)}
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+    )
+)
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many
+    non-special orders they placed, INCLUDING zero-order customers (the
+    left join that makes Q13 interesting), with a HAVING-style filter on
+    the outer aggregate.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("5")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))  # count skips nulls
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") >= 2)  # HAVING
+    )
+
+
+register(
+    QuerySpec(
+        name="order_count_distribution",
+        description="TPC-H Q13 shape: customer distribution by order count "
+        "incl. zero-order customers, HAVING filter",
+        spark=q_order_count_distribution,
+        oracle="""
+            WITH per_cust AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+                FROM customer c
+                LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND NOT starts_with(o.o_orderpriority, '5')
+                GROUP BY c.c_custkey
+            )
+            SELECT n_orders, count(*) AS n_customers
+            FROM per_cust GROUP BY n_orders
+            HAVING count(*) >= 2
+        """,
+    )
+)
