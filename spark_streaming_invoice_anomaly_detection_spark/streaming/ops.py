@@ -46,21 +46,27 @@ def interval_join(
     right_ts: str,
     watermark: str = "10 seconds",
     within: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: rows share ``key`` and the right event
-    lands in ``[left_ts, left_ts + within]``.
+    """Stream-stream join: rows share ``key`` and the right event lands in
+    ``[left_ts, left_ts + within]``.
 
     The time bound plus both watermarks let the state store evict buffered
     rows once they can no longer match — the join's state is
     O(input rate x (watermark + within)), independent of stream length.
     Column names must be disjoint apart from ``key`` (rename first).
+
+    ``how="leftOuter"`` additionally emits unmatched left rows (right side
+    null) once the watermark proves no match can still arrive — the
+    "purchase with no click attribution" shape; outer emission latency is
+    therefore watermark-bounded, not immediate.
     """
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = (
         f"{left_ts} <= {right_ts} AND {right_ts} <= {left_ts} + interval {within}"
     )
-    return l.join(r, F.expr(cond) & (l[key] == r[key])).drop(r[key])
+    return l.join(r, F.expr(cond) & (l[key] == r[key]), how).drop(r[key])
 
 
 __all__ = ["dedup_within_watermark", "interval_join"]

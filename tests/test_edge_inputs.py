@@ -136,3 +136,55 @@ class TestDegenerateVectors:
         rows = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
         assert rows[0].c is None
         assert rows[1].c == 1.0
+
+
+class TestNgramUDTF:
+    def test_lateral_matches_native_ngrams(self, spark):
+        from spark_streaming_invoice_anomaly_detection_spark.functions.udtfs import (
+            register_udtfs,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.operators.text import (
+            tokenize,
+            word_ngrams,
+        )
+
+        register_udtfs(spark)
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (2, "ab"), (3, "")],
+            "doc_id long, text string",
+        )
+        df.createOrReplaceTempView("udtf_docs")
+        got = {
+            (r.doc_id, r.pos): r.gram
+            for r in spark.sql(
+                "SELECT d.doc_id, g.pos, g.gram "
+                "FROM udtf_docs d, LATERAL ngrams(d.text, 3) g"
+            ).collect()
+        }
+        assert got[(1, 0)] == "the quick brown"
+        assert got[(1, 2)] == "brown fox jumps"
+        assert not any(doc == 2 for doc, _ in got)  # too short
+        # parity with the native path (distinct grams, order-free)
+        native = {
+            r.doc_id: set(r.g)
+            for r in df.select(
+                "doc_id",
+                word_ngrams(tokenize(F.col("text")), 3).alias("g"),
+            ).collect()
+        }
+        udtf_grams = {}
+        for (doc, _pos), gram in got.items():
+            udtf_grams.setdefault(doc, set()).add(gram)
+        assert udtf_grams.get(1) == native[1]
+        assert native[2] == set() and native[3] == set()
+
+    def test_null_and_zero_n(self, spark):
+        from spark_streaming_invoice_anomaly_detection_spark.functions.udtfs import (
+            register_udtfs,
+        )
+
+        register_udtfs(spark)
+        assert (
+            spark.sql("SELECT * FROM ngrams(NULL, 3)").count() == 0
+        )
+        assert spark.sql("SELECT * FROM ngrams('a b c', 0)").count() == 0

@@ -216,3 +216,70 @@ def test_builtin_session_window_streaming(spark, tmp_path):
         assert by_user[2].n_events == 1
     finally:
         q.stop()
+
+
+@pytest.mark.slow
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter stream-stream join: a click with no purchase inside the
+    interval emits with nulls once the watermark proves no match can
+    arrive."""
+    import time
+
+    from spark_streaming_invoice_anomaly_detection_spark.streaming.ops import (
+        interval_join,
+    )
+
+    clicks_dir, purch_dir = tmp_path / "clicks", tmp_path / "purch"
+    os.makedirs(clicks_dir)
+    os.makedirs(purch_dir)
+    with open(clicks_dir / "c0.csv", "w") as f:
+        f.write(
+            "u1,2024-01-01 00:00:00\n"  # matched by p1
+            "u2,2024-01-01 00:00:00\n"  # never matched -> null emission
+        )
+    with open(purch_dir / "p0.csv", "w") as f:
+        f.write("u1,2024-01-01 00:05:00,p1\n")
+    clicks = (
+        spark.readStream.format("csv")
+        .schema("user_id string, click_ts timestamp")
+        .load(str(clicks_dir))
+    )
+    purchases = (
+        spark.readStream.format("csv")
+        .schema("user_id string, p_ts timestamp, p_id string")
+        .load(str(purch_dir))
+    )
+    out: list = []
+    q = (
+        interval_join(
+            clicks,
+            purchases,
+            "user_id",
+            "click_ts",
+            "p_ts",
+            watermark="5 seconds",
+            within="10 minutes",
+            how="leftOuter",
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        _poll(lambda: len(out), 1)  # inner match arrives first
+        # advance BOTH watermarks far past u2's click interval so the
+        # unmatched left row can be declared matchless and emitted
+        with open(clicks_dir / "c1.csv", "w") as f:
+            f.write("u9,2024-01-01 01:00:00\n")
+        with open(purch_dir / "p1.csv", "w") as f:
+            f.write("u9,2024-01-01 01:00:01,p9\n")
+        _poll(lambda: len([r for r in out if r.p_id is None]), 1)
+    finally:
+        q.stop()
+    matched = {(r.user_id, r.p_id) for r in out if r.p_id is not None}
+    assert ("u1", "p1") in matched
+    unmatched = [r for r in out if r.p_id is None]
+    assert any(r.user_id == "u2" for r in unmatched)
+    assert all(r.p_ts is None for r in unmatched)
