@@ -1346,3 +1346,121 @@ register(
         """,
     )
 )
+
+
+def q_promo_revenue_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of one month's revenue from ECONOMY
+    parts — conditional aggregate over a fact⋈dim join, finished by ONE
+    float division of two exact scaled-int64 sums (the percent itself is
+    then bit-identical cross-engine).
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", disc).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    agg = joined.agg(
+        F.sum(scaled_long(promo, 4)).alias("promo_s"),
+        F.sum(scaled_long(disc, 4)).alias("total_s"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.select(
+        (
+            F.lit(100.0)
+            * F.col("promo_s").cast("double")
+            / F.col("total_s").cast("double")
+        ).alias("promo_revenue_pct"),
+        "n_lines",
+    )
+
+
+register(
+    QuerySpec(
+        name="promo_revenue_percent",
+        description="TPC-H Q14 shape: conditional revenue ratio over "
+        "lineitem⋈part, exact integer sums, one final division",
+        spark=q_promo_revenue_percent,
+        oracle="""
+            SELECT 100.0
+                   * CAST(CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
+                               THEN CAST(round(l.l_extendedprice
+                                               * (1 - l.l_discount)
+                                               * 10000.0, 0) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(CAST(round(l.l_extendedprice
+                                              * (1 - l.l_discount)
+                                              * 10000.0, 0) AS BIGINT))
+                          AS BIGINT) AS DOUBLE)
+                     AS promo_revenue_pct,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l.l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+    )
+)
+
+
+def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of three conjunctive brand/size/quantity
+    blocks — the predicate pattern that defeats naive pushdown. Catalyst
+    still pushes the common join key and per-block residuals; the query
+    proves disjunctive filters compose with a broadcast join correctly.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    block1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 21))
+    )
+    block2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 30))
+    )
+    block3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 40))
+    )
+    return (
+        j.filter(block1 | block2 | block3)
+        .groupBy("p_brand")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="disjunctive_predicate_revenue",
+        description="TPC-H Q19 shape: OR of three conjunctive blocks over "
+        "lineitem⋈part, revenue per brand",
+        spark=q_disjunctive_predicate_revenue,
+        oracle=f"""
+            SELECT p.p_brand,
+                   {exact_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 21)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 40)
+            GROUP BY p.p_brand
+        """,
+    )
+)
