@@ -753,3 +753,118 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Cohort / funnel analytics over the events stream
+# ---------------------------------------------------------------------------
+
+
+def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-user curve: per day, how many users appeared for the FIRST
+    time, plus the running total. First-seen is a per-user min (one
+    shuffle on user_id, map-side combined); the running total's window
+    runs over day-grain rows only (~tens), never raw events.
+    """
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("DAY", F.min("ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "first_day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cum_users"),
+    )
+
+
+register(
+    QuerySpec(
+        name="cumulative_new_users",
+        description="cohort entry curve: first-seen day per user, daily "
+        "new-user counts + running total",
+        spark=q_cumulative_new_users,
+        oracle="""
+            WITH first_seen AS (
+                SELECT user_id, date_trunc('day', min(ts)) AS first_day
+                FROM events GROUP BY user_id
+            ),
+            per_day AS (
+                SELECT first_day, count(*) AS n_new_users
+                FROM first_seen GROUP BY first_day
+            )
+            SELECT first_day, n_new_users,
+                   CAST(sum(n_new_users) OVER (ORDER BY first_day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_users
+            FROM per_day
+        """,
+    )
+)
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase per user: a stage counts
+    only if its first occurrence follows the previous stage's. One
+    conditional-min aggregation per user, then a single funnel-census row
+    — no joins, no window over raw events.
+    """
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("long")).alias("n_viewed"),
+        F.sum(clicked.cast("long")).alias("n_clicked_after_view"),
+        F.sum(purchased.cast("long")).alias("n_purchased_after_click"),
+    )
+
+
+register(
+    QuerySpec(
+        name="funnel_conversion",
+        description="ordered view->click->purchase funnel census via "
+        "conditional first-occurrence aggregates",
+        spark=q_funnel_conversion,
+        oracle="""
+            WITH per_user AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END)
+                         AS t_view,
+                       min(CASE WHEN event_type = 'click' THEN ts END)
+                         AS t_click,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END)
+                         AS t_purchase
+                FROM events GROUP BY user_id
+            )
+            SELECT count(*) AS n_users,
+                   CAST(sum(CASE WHEN t_view IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+                   CAST(sum(CASE WHEN t_view IS NOT NULL
+                                  AND t_click > t_view
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_clicked_after_view,
+                   CAST(sum(CASE WHEN t_view IS NOT NULL
+                                  AND t_click > t_view
+                                  AND t_purchase > t_click
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_purchased_after_click
+            FROM per_user
+        """,
+    )
+)
