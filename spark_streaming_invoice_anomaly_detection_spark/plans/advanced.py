@@ -868,3 +868,54 @@ register(
         """,
     )
 )
+
+
+def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users bucketed by first-seen week; for each
+    (cohort week, week offset), how many distinct cohort members were
+    active. First-seen is one agg; the user->cohort map joins back
+    broadcast (users are orders of magnitude fewer than events); the
+    distinct count shuffles once on the (cohort, offset, user) triple.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("WEEK", F.col("ts")).alias("week")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = ev.join(F.broadcast(cohort), "user_id")
+    offset = F.floor(
+        (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+        / F.lit(604800.0)
+    ).cast("int")
+    return (
+        joined.select("user_id", "cohort_week", offset.alias("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+register(
+    QuerySpec(
+        name="weekly_retention",
+        description="retention triangle: distinct active users per "
+        "(first-seen cohort week, week offset)",
+        spark=q_weekly_retention,
+        oracle="""
+            WITH ev AS (
+                SELECT user_id, date_trunc('week', ts) AS week FROM events
+            ),
+            cohort AS (
+                SELECT user_id, min(week) AS cohort_week
+                FROM ev GROUP BY user_id
+            ),
+            act AS (
+                SELECT DISTINCT e.user_id, c.cohort_week,
+                       CAST(floor(date_diff('second', c.cohort_week, e.week)
+                                  / 604800.0) AS INT) AS week_offset
+                FROM ev e JOIN cohort c ON e.user_id = c.user_id
+            )
+            SELECT cohort_week, week_offset, count(*) AS n_active
+            FROM act GROUP BY cohort_week, week_offset
+        """,
+    )
+)
