@@ -1464,3 +1464,111 @@ register(
         """,
     )
 )
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in one quarter having at least one line
+    shipped more than 90 days after the order date, counted per priority
+    — correlated EXISTS with a date-arithmetic condition, executed as a
+    left-semi join so each order tests at most once.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+register(
+    QuerySpec(
+        name="late_shipment_priority",
+        description="TPC-H Q4 shape: per-priority count of orders with a "
+        ">90-day-late shipment (correlated EXISTS as semi join)",
+        spark=q_late_shipment_priority,
+        oracle="""
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              )
+            GROUP BY o_orderpriority
+        """,
+    )
+)
+
+
+def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each supplier nation's share of total revenue —
+    an aggregate followed by a whole-frame window sum over the 25-row
+    result (the classic percent-of-total, computed where it is cheap: on
+    the aggregate, never on the fact table). The share divides two exact
+    scaled-int64 sums, so the doubles match the oracle bit-for-bit.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                scaled_long(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                )
+            ).alias("rev_s")
+        )
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return rev.select(
+        "n_name",
+        (F.col("rev_s").cast("double") / F.lit(1e4)).alias("revenue"),
+        (
+            F.col("rev_s").cast("double")
+            / F.sum("rev_s").over(w).cast("double")
+        ).alias("revenue_share"),
+    )
+
+
+register(
+    QuerySpec(
+        name="revenue_share_by_nation",
+        description="ratio-to-report: nation revenue share via whole-frame "
+        "window over the 25-row aggregate",
+        spark=q_revenue_share_by_nation,
+        oracle="""
+            WITH rev AS (
+                SELECT n.n_name,
+                       CAST(sum(CAST(round(l.l_extendedprice
+                                           * (1 - l.l_discount)
+                                           * 10000.0, 0) AS BIGINT))
+                            AS BIGINT) AS rev_s
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                GROUP BY n.n_name
+            )
+            SELECT n_name,
+                   CAST(rev_s AS DOUBLE) / 10000.0 AS revenue,
+                   CAST(rev_s AS DOUBLE)
+                   / CAST(CAST(sum(rev_s) OVER () AS BIGINT) AS DOUBLE)
+                     AS revenue_share
+            FROM rev
+        """,
+    )
+)
