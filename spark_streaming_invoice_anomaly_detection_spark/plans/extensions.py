@@ -1956,3 +1956,53 @@ register(
         """,
     )
 )
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other: for every ordered source pair,
+    how many distinct 5-gram hashes they share. The per-source distinct
+    gram sets are tiny next to the corpus (grams dedup within source
+    first — map-side combine does the heavy lifting), so the cross join
+    of per-source sets is a join between compact aggregates, not facts.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    grams = (
+        docs.select(
+            "source",
+            F.explode(X.word_ngrams(X.tokenize(F.col("text")), 5)).alias(
+                "gram"
+            ),
+        )
+        .select("source", X.h60(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    a = grams.select(F.col("source").alias("source_a"), "g")
+    b = grams.select(F.col("source").alias("source_b"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+register(
+    QuerySpec(
+        name="source_overlap_matrix",
+        description="cross-source duplication census: shared distinct "
+        "5-gram hashes per source pair",
+        spark=q_source_overlap_matrix,
+        oracle=f"""
+            WITH grams AS (
+                SELECT DISTINCT source, {h60_sql('gram')} AS g
+                FROM (SELECT source,
+                             unnest({_shingles_sql(_TOKENS_SQL, 5)}) AS gram
+                      FROM documents)
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared_grams
+            FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+            GROUP BY a.source, b.source
+        """,
+    )
+)
