@@ -164,3 +164,35 @@ def test_quantize_error_bound_random_vectors(spark, vectors):
         # top of the rounding half-step bound
         bound = r.n * (r.scale / 2.0) ** 2 * (1 + 1e-6) + 1e-9
         assert r.err <= bound
+
+
+# ---------------------------------------------------------------------------
+# exactmath: scaled_long must be EXACT for any decimal-grid value — the
+# property the entire oracle contract rests on
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=5, deadline=None)
+def test_scaled_long_exact_on_decimal_grid(spark, cents, scale):
+    """value = k / 10^scale (exactly representable inputs arrive as the
+    nearest double); scaled_long must recover integer k for every k."""
+    from spark_streaming_invoice_anomaly_detection_spark.functions.exactmath import (
+        scaled_long,
+    )
+
+    df = spark.createDataFrame(
+        [(k, float(k) / (10**scale)) for k in cents], "k long, v double"
+    )
+    rows = df.select(
+        "k", scaled_long(F.col("v"), scale).alias("s")
+    ).collect()
+    for r in rows:
+        assert r.s == r.k, f"scale={scale}: {r.k} -> {r.s}"
