@@ -919,3 +919,61 @@ register(
         """,
     )
 )
+
+
+def q_cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: a change log (insert/update/delete per key, ordered by
+    sequence) collapsed to the final snapshot — latest op per key wins,
+    deletes drop the key. One window (partition by key, order by seq
+    desc) + rank-1 filter: the merge pattern every lakehouse ingest runs.
+
+    The change log is synthesized deterministically from events: seq =
+    event_id, key = user_id, op from event_type (error=>D, signup=>I,
+    else U), payload = value.
+    """
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("value").alias("payload"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return latest.filter(F.col("op") != "D").select(
+        "key", "seq", "op", "payload"
+    )
+
+
+register(
+    QuerySpec(
+        name="cdc_apply_snapshot",
+        description="CDC merge: latest-op-per-key over a change log, "
+        "deletes drop the key (lakehouse ingest collapse)",
+        spark=q_cdc_apply_snapshot,
+        oracle="""
+            WITH log AS (
+                SELECT user_id AS key, event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'D'
+                            WHEN event_type = 'signup' THEN 'I'
+                            ELSE 'U' END AS op,
+                       value AS payload
+                FROM events
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY key
+                                             ORDER BY seq DESC) AS rn
+                FROM log
+            )
+            SELECT key, seq, op, payload
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+    )
+)
