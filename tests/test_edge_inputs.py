@@ -188,3 +188,22 @@ class TestNgramUDTF:
             spark.sql("SELECT * FROM ngrams(NULL, 3)").count() == 0
         )
         assert spark.sql("SELECT * FROM ngrams('a b c', 0)").count() == 0
+
+
+class TestClusterConf:
+    def test_sizing_arithmetic(self):
+        from spark_streaming_invoice_anomaly_detection_spark.session import cluster_conf
+
+        c = cluster_conf(executors=1000, cores_per_executor=4,
+                         executor_mem_gb=16, target_partition_mb=128)
+        assert c["spark.sql.shuffle.partitions"] == "8000"  # 2x cores
+        assert int(c["spark.sql.files.maxPartitionBytes"]) == 128 * 1024**2
+        # 4 GB per core / 128 MB partitions -> 32x headroom
+        assert int(c["spark.invoice_engine.partition_mem_headroom"]) == 32
+        assert c["spark.sql.adaptive.enabled"] == "true"
+
+    def test_floor_on_tiny_cluster(self):
+        from spark_streaming_invoice_anomaly_detection_spark.session import cluster_conf
+
+        c = cluster_conf(executors=2, cores_per_executor=2)
+        assert int(c["spark.sql.shuffle.partitions"]) == 64  # floor
