@@ -97,4 +97,56 @@ def l2_normalize(
     )
 
 
-__all__ = ["label_centroids", "label_centroids_deterministic", "l2_normalize"]
+__all__ = [
+    "label_centroids",
+    "label_centroids_deterministic",
+    "l2_normalize",
+    "label_top_eigenvalue",
+]
+
+
+def label_top_eigenvalue(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label covariance spectrum head: top eigenvalue + explained
+    variance share, via ``applyInPandas`` (Arrow-batched numpy per group).
+
+    This is the engine's plain grouped-Pandas surface (SURVEY §2.7):
+    dense linear algebra per group that no built-in expression covers.
+    Each group ships as ONE Arrow batch to a worker; the result is one row
+    per label, so the Python boundary carries aggregates, not the corpus.
+    Groups must fit a worker's memory — at 100 TB you pre-aggregate or
+    sample per group first (covariance is itself additive if needed).
+    """
+    out_schema = (
+        f"{label_col} int, n_vectors long, dim int, "
+        "top_eigenvalue double, explained_share double"
+    )
+
+    def spectrum(pdf):
+        import numpy as np
+        import pandas as pd
+
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        centered = mat - mat.mean(axis=0, keepdims=True)
+        # eigvalsh on the symmetric covariance: deterministic, real
+        cov = (centered.T @ centered) / max(len(mat) - 1, 1)
+        eig = np.linalg.eigvalsh(cov)
+        top = float(eig[-1])
+        total = float(eig.sum()) or 1.0
+        return pd.DataFrame(
+            [
+                {
+                    label_col: int(pdf[label_col].iloc[0]),
+                    "n_vectors": len(mat),
+                    "dim": mat.shape[1],
+                    "top_eigenvalue": top,
+                    "explained_share": top / total,
+                }
+            ]
+        )
+
+    return emb.groupBy(label_col).applyInPandas(spectrum, out_schema)

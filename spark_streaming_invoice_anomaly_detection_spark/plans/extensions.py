@@ -2006,3 +2006,24 @@ register(
         """,
     )
 )
+
+
+def q_label_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding covariance head (applyInPandas + numpy): the
+    grouped dense-linear-algebra surface. Rows-only — eigensolves aren't
+    SQL; the numpy ground truth is pytest-pinned."""
+    from ..operators.vectors import label_top_eigenvalue
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return label_top_eigenvalue(emb)
+
+
+register(
+    QuerySpec(
+        name="label_embedding_spectrum",
+        description="per-label covariance top eigenvalue via grouped "
+        "Arrow-batched numpy (applyInPandas); rows-only",
+        spark=q_label_spectrum,
+        oracle=None,
+    )
+)

@@ -161,3 +161,33 @@ class TestApproxQuantiles:
                 # GK accuracy 10k on these group sizes is near-exact; allow
                 # a loose 5% envelope to keep the pin robust across SFs
                 assert a == pytest.approx(e, rel=0.05, abs=1.0)
+
+
+class TestLabelSpectrum:
+    def test_matches_local_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from spark_streaming_invoice_anomaly_detection_spark.operators.vectors import (
+            label_top_eigenvalue,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+
+        emb = load_table(spark, "embeddings", sf_dir)
+        got = {r.label: r for r in label_top_eigenvalue(emb).collect()}
+        rows = emb.collect()
+        by_label: dict[int, list] = {}
+        for r in rows:
+            by_label.setdefault(r.label, []).append(
+                np.asarray(r.embedding, dtype=np.float64)
+            )
+        for label, vecs in by_label.items():
+            mat = np.array(vecs)
+            centered = mat - mat.mean(axis=0, keepdims=True)
+            cov = (centered.T @ centered) / max(len(mat) - 1, 1)
+            eig = np.linalg.eigvalsh(cov)
+            r = got[label]
+            assert r.n_vectors == len(vecs)
+            assert r.top_eigenvalue == pytest.approx(float(eig[-1]), rel=1e-9)
+            assert 0.0 < r.explained_share <= 1.0
