@@ -2027,3 +2027,48 @@ register(
         oracle=None,
     )
 )
+
+
+def q_global_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row ids in corpus order WITHOUT a global
+    single-partition window: intra-shard row_number + broadcast shard
+    prefix counts (the counting twin of the packing cumsum). The id
+    assignment every training-example store needs; validated against the
+    oracle's global row_number.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    shard = F.floor(F.col("doc_id") / F.lit(_PACK_SHARD)).alias("shard")
+    t = docs.select("doc_id", shard)
+    w_in = Window.partitionBy("shard").orderBy("doc_id")
+    t = t.withColumn("rn_in", F.row_number().over(w_in))
+    shard_counts = t.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+    w_sh = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = shard_counts.select(
+        "shard",
+        F.coalesce(F.sum("cnt").over(w_sh), F.lit(0)).alias("prefix"),
+    )
+    return (
+        t.join(F.broadcast(prefix), "shard")
+        .select(
+            "doc_id",
+            (F.col("prefix") + F.col("rn_in")).cast("long").alias("row_id"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="global_row_numbers",
+        description="contiguous global row ids via two-level enumeration "
+        "(no full-corpus single-partition window)",
+        spark=q_global_row_numbers,
+        oracle="""
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+                     AS row_id
+            FROM documents
+        """,
+    )
+)
