@@ -50,13 +50,49 @@ def read_jsonl(
     spark: SparkSession,
     path: str,
     schema=None,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """Read JSONL. Pass an explicit schema in production — schema inference
-    is a full extra pass over the data (fine for tests, not for 100 TB)."""
+    is a full extra pass over the data (fine for tests, not for 100 TB).
+
+    ``keep_corrupt=True`` reads PERMISSIVE with a ``_corrupt_record``
+    column: malformed lines land there (other columns null) instead of
+    poisoning the read — the ingest twin of the streaming parser's
+    error_reason taxonomy, and the only sane mode for web-scraped JSONL
+    where some fraction of lines is always broken. Requires an explicit
+    ``schema`` (Spark cannot infer around corruption); the column must be
+    filtered, not just selected, per Spark's corrupt-record query rules.
+    """
     r = spark.read
-    if schema is not None:
+    if keep_corrupt:
+        if schema is None:
+            raise ValueError("keep_corrupt=True requires an explicit schema")
+        from pyspark.sql import types as T
+
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        schema = schema.add("_corrupt_record", T.StringType())
+        r = (
+            r.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+        )
+    elif schema is not None:
         r = r.schema(schema)
     return r.json(path)
 
 
-__all__ = ["write_jsonl", "read_jsonl"]
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, corrupt) split of a ``keep_corrupt`` read. Spark requires
+    caching before referencing _corrupt_record in a filter — handled here."""
+    df = df.cache()
+    good = df.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return good, bad
+
+
+__all__ = ["write_jsonl", "read_jsonl", "split_corrupt"]

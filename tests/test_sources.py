@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from spark_streaming_invoice_anomaly_detection_spark.sources.csv_batch import (
     load_and_featurize_training_csv,
     load_training_csv,
@@ -289,3 +291,36 @@ class TestPurchaseCsvDataSource:
         # good + parse-error kept; malformed silently dropped
         assert len(reasons) == 2
         assert reasons[0] == "ok" and reasons[1].startswith("parse error:")
+
+
+class TestCorruptJsonl:
+    def test_permissive_split(self, spark, tmp_path):
+        from spark_streaming_invoice_anomaly_detection_spark.sources.jsonl import (
+            read_jsonl,
+            split_corrupt,
+        )
+
+        p = tmp_path / "data.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "ok"}\n'
+            '{"doc_id": 2, "text": "also ok"}\n'
+            "{broken json here\n"
+            '{"doc_id": "notanint", "text": "bad type"}\n'
+        )
+        df = read_jsonl(
+            spark, str(p), schema="doc_id long, text string", keep_corrupt=True
+        )
+        good, bad = split_corrupt(df)
+        ids = sorted(r.doc_id for r in good.collect())
+        assert ids == [1, 2]
+        corrupt = [r._corrupt_record for r in bad.collect()]
+        assert len(corrupt) == 2  # syntax error + type mismatch
+        assert any("broken" in c for c in corrupt)
+
+    def test_requires_schema(self, spark, tmp_path):
+        from spark_streaming_invoice_anomaly_detection_spark.sources.jsonl import (
+            read_jsonl,
+        )
+
+        with pytest.raises(ValueError, match="explicit schema"):
+            read_jsonl(spark, str(tmp_path), keep_corrupt=True)
