@@ -131,3 +131,45 @@ class TestRound2Shapes:
         # 3 iterations -> at least 3 aggregate pairs over the edge joins
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestAQESkewJoin:
+    def test_skewed_partition_gets_split(self, spark):
+        """AQE skew-join actually FIRES on a skewed key under realistic
+        thresholds scaled to fixture size — the runtime half of the
+        salting/skew story (operators/layout.py is the static half)."""
+        conf_keys = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k, None) for k in conf_keys}
+        try:
+            for k, v in conf_keys.items():
+                spark.conf.set(k, v)
+            left = (
+                spark.range(200_000)
+                .select(F.lit(0).alias("k"), F.col("id").alias("v"))
+                .unionAll(
+                    spark.range(900).select(
+                        (F.col("id") % 9 + 1).alias("k"),
+                        F.col("id").alias("v"),
+                    )
+                )
+            )
+            right = spark.range(10).select(
+                F.col("id").alias("k"), F.lit("x").alias("tag")
+            )
+            j = left.join(right, "k")
+            # execute THIS df (count() would plan a different query and
+            # leave j's own AQE plan unfinalized)
+            assert len(j.collect()) == 200_900
+            plan = plan_of(j)
+            assert "skew=true" in plan, "AQE did not split the skewed partition"
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
