@@ -977,3 +977,44 @@ register(
         """,
     )
 )
+
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via VariantType (Spark 4): parse the props
+    JSON once into a variant, extract typed fields, aggregate. Variant
+    keeps the parsed binary form across expressions — repeated
+    ``get_json_object`` calls re-parse the string every time, which at
+    100 TB is the difference between one scan and k scans of the JSON.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="variant_extract",
+        description="VariantType semi-structured extraction: parse_json "
+        "once, typed variant_get, aggregate per event type",
+        spark=q_variant_extract,
+        oracle="""
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS INT))
+                        AS BIGINT) AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+    )
+)

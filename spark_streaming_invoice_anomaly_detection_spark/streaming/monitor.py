@@ -60,3 +60,17 @@ class BatchCountListener(StreamingQueryListener):
         logger.info(
             "query terminated: id=%s exception=%s", event.id, event.exception
         )
+
+
+def observed(df, name: str, *metrics):
+    """Attach inline metrics to a DataFrame (``Observation`` API): the
+    metrics compute DURING the job from the rows that actually flow —
+    zero extra scan, unlike a separate count()/agg job. Returns
+    (instrumented_df, observation); read ``observation.get`` after an
+    action. The per-query diagnostics surface for batch jobs, matching
+    BatchCountListener on the streaming side.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -191,3 +191,26 @@ class TestLabelSpectrum:
             assert r.n_vectors == len(vecs)
             assert r.top_eigenvalue == pytest.approx(float(eig[-1]), rel=1e-9)
             assert 0.0 < r.explained_share <= 1.0
+
+
+class TestObservedMetrics:
+    def test_metrics_computed_inline(self, spark, sf_dir):
+        import pyspark.sql.functions as FF
+
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.streaming.monitor import (
+            observed,
+        )
+
+        li = load_table(spark, "lineitem", sf_dir)
+        df, obs = observed(
+            li.filter(FF.col("l_quantity") > 25),
+            "filtered",
+            FF.count(FF.lit(1)).alias("rows_out"),
+            FF.sum("l_quantity").alias("qty_out"),
+        )
+        n = df.count()
+        assert obs.get["rows_out"] == n
+        assert obs.get["qty_out"] > 25 * max(n - 1, 1)
