@@ -2072,3 +2072,44 @@ register(
         """,
     )
 )
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein verification of planted near-dup pairs: edit distance
+    between each doc's prefix and its mutated copy's — the
+    character-level verifier for candidate pairs whose token-level
+    signals (MinHash/SimHash) already matched. Integer output, exact on
+    both engines. Bounded: one row per planted pair, never all-pairs.
+    """
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    a = F.substring(F.col("text"), 1, 60)
+    b = F.substring(F.col("text"), 21, 60)  # the _AUG mutation's view
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") + _AUG_OFFSET).alias("mutated_id"),
+        F.levenshtein(a, b).alias("edit_distance"),
+        F.length(a).alias("len_a"),
+        F.length(b).alias("len_b"),
+    )
+
+
+register(
+    QuerySpec(
+        name="edit_distance_pairs",
+        description="Levenshtein edit distance between planted near-dup "
+        "prefixes (character-level dedup verifier)",
+        spark=q_edit_distance_pairs,
+        oracle=f"""
+            SELECT doc_id,
+                   doc_id + {_AUG_OFFSET} AS mutated_id,
+                   CAST(levenshtein(substring(text, 1, 60),
+                                    substring(text, 21, 60)) AS INT)
+                     AS edit_distance,
+                   CAST(length(substring(text, 1, 60)) AS INT) AS len_a,
+                   CAST(length(substring(text, 21, 60)) AS INT) AS len_b
+            FROM documents WHERE doc_id % 10 = 0
+        """,
+    )
+)
