@@ -1018,3 +1018,48 @@ register(
         """,
     )
 )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from the same synthesized change log as
+    cdc_apply_snapshot: each change opens a validity interval closed by
+    the key's next change (lead window); the open row per key is flagged
+    current. The dimension-history build every warehouse runs beside the
+    type-1 snapshot collapse.
+    """
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.col("ts").alias("changed_at"),
+        F.col("value").alias("payload"),
+    )
+    w = Window.partitionBy("key").orderBy("seq")
+    return log.select(
+        "key",
+        "seq",
+        "payload",
+        F.col("changed_at").alias("valid_from"),
+        F.lead("changed_at").over(w).alias("valid_to"),
+        F.lead("seq").over(w).isNull().alias("is_current"),
+    )
+
+
+register(
+    QuerySpec(
+        name="scd2_history",
+        description="SCD2 dimension history: per-key validity intervals "
+        "from the change log, open row flagged current",
+        spark=q_scd2_history,
+        oracle="""
+            SELECT user_id AS key,
+                   event_id AS seq,
+                   value AS payload,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(event_id) OVER w IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+    )
+)
