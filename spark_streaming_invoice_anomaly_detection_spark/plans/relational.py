@@ -1572,3 +1572,40 @@ register(
         """,
     )
 )
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): nulls match
+    nulls, unlike plain equality which silently drops null keys. Nulls
+    are injected deterministically (regionkey 0 -> null on both sides) so
+    the semantic difference is observable: the null bucket joins here and
+    would vanish under '='.
+    """
+    n = _t(spark, sf_dir, "nation").select(
+        "n_name", F.nullif(F.col("n_regionkey"), F.lit(0)).alias("rk")
+    )
+    r = _t(spark, sf_dir, "region").select(
+        "r_name", F.nullif(F.col("r_regionkey"), F.lit(0)).alias("rk")
+    )
+    return (
+        n.join(r, n.rk.eqNullSafe(r.rk))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+register(
+    QuerySpec(
+        name="null_safe_join",
+        description="null-safe equality join: injected null keys match "
+        "across sides (IS NOT DISTINCT FROM)",
+        spark=q_null_safe_join,
+        oracle="""
+            SELECT r.r_name, count(*) AS n_nations
+            FROM (SELECT n_name, nullif(n_regionkey, 0) AS rk FROM nation) n
+            JOIN (SELECT r_name, nullif(r_regionkey, 0) AS rk FROM region) r
+              ON n.rk IS NOT DISTINCT FROM r.rk
+            GROUP BY r.r_name
+        """,
+    )
+)
