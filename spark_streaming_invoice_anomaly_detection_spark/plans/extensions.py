@@ -2113,3 +2113,69 @@ register(
         """,
     )
 )
+
+
+def q_decontaminated_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of decontamination: drop every training doc whose
+    5-gram overlap with any eval doc reaches 0.5, report survivor census
+    per source. Detection reuses q_decontamination's plan; removal is one
+    broadcast anti join on the (small) flagged-id set — detection cost
+    amortizes, the corpus is touched once more.
+    """
+    flagged = (
+        q_decontamination(spark, sf_dir)
+        .filter(F.col("overlap_frac") >= 0.5)
+        .select("doc_id")
+        .distinct()
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.join(F.broadcast(flagged), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_clean_docs"))
+    )
+
+
+register(
+    QuerySpec(
+        name="decontaminated_counts",
+        description="decontamination applied: anti-join flagged docs, "
+        "clean-survivor census per source",
+        spark=q_decontaminated_counts,
+        oracle=f"""
+            WITH ev AS (
+                SELECT doc_id + {_AUG_OFFSET} AS eval_id,
+                       substring(text, 21, 1000000) AS text
+                FROM documents WHERE doc_id % 20 = 0
+            ),
+            eg AS (
+                SELECT eval_id, {h60_sql('gram')} AS g
+                FROM (SELECT eval_id,
+                             unnest({_shingles_sql(_TOKENS_SQL, 5)}) AS gram
+                      FROM ev)
+            ),
+            tg AS (
+                SELECT doc_id, {h60_sql('gram')} AS g
+                FROM (SELECT doc_id,
+                             unnest({_shingles_sql(_TOKENS_SQL, 5)}) AS gram
+                      FROM documents)
+            ),
+            en AS (SELECT eval_id, count(*) AS n_eval FROM eg GROUP BY eval_id),
+            p AS (
+                SELECT t.doc_id, e.eval_id, count(*) AS n_overlap
+                FROM tg t JOIN eg e ON t.g = e.g
+                GROUP BY t.doc_id, e.eval_id
+            ),
+            flagged AS (
+                SELECT DISTINCT p.doc_id
+                FROM p JOIN en ON p.eval_id = en.eval_id
+                WHERE CAST(p.n_overlap AS DOUBLE) / CAST(en.n_eval AS DOUBLE)
+                      >= 0.5
+            )
+            SELECT d.source, count(*) AS n_clean_docs
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+            GROUP BY d.source
+        """,
+    )
+)

@@ -1609,3 +1609,58 @@ register(
         """,
     )
 )
+
+
+def q_monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue: calendar aggregation of order totals,
+    then lag/delta/percent-change over the (tiny) monthly series. The
+    window runs on ~80 month rows, not facts; the percent divides two
+    exact scaled-int64 sums so the doubles hash-match.
+    """
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("MONTH", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(scaled_long(F.col("o_totalprice"), 2)).alias("rev_s"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev_s").over(w)
+    return monthly.select(
+        "month",
+        (F.col("rev_s").cast("double") / F.lit(100.0)).alias("revenue"),
+        ((F.col("rev_s") - prev).cast("double") / F.lit(100.0)).alias(
+            "mom_delta"
+        ),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            (F.col("rev_s") - prev).cast("double") / prev.cast("double"),
+        ).alias("mom_pct"),
+    )
+
+
+register(
+    QuerySpec(
+        name="monthly_revenue_mom",
+        description="month-over-month revenue with lag delta and percent "
+        "change over the aggregated monthly series",
+        spark=q_monthly_revenue_mom,
+        oracle="""
+            WITH monthly AS (
+                SELECT date_trunc('month', o_orderdate) AS month,
+                       CAST(sum(CAST(round(o_totalprice * 100.0, 0)
+                                     AS BIGINT)) AS BIGINT) AS rev_s
+                FROM orders GROUP BY date_trunc('month', o_orderdate)
+            )
+            SELECT month,
+                   CAST(rev_s AS DOUBLE) / 100.0 AS revenue,
+                   CAST(rev_s - lag(rev_s) OVER (ORDER BY month) AS DOUBLE)
+                     / 100.0 AS mom_delta,
+                   CASE WHEN lag(rev_s) OVER (ORDER BY month) IS NOT NULL
+                         AND lag(rev_s) OVER (ORDER BY month) <> 0
+                        THEN CAST(rev_s - lag(rev_s) OVER (ORDER BY month)
+                                  AS DOUBLE)
+                             / CAST(lag(rev_s) OVER (ORDER BY month)
+                                    AS DOUBLE)
+                   END AS mom_pct
+            FROM monthly
+        """,
+    )
+)
