@@ -1664,3 +1664,294 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated per-key average threshold
+# ---------------------------------------------------------------------------
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from unusually small orders of one brand.
+
+    The correlated scalar subquery (``0.2 * avg(l_quantity)`` per part)
+    decorrelates into an aggregate + self-join: filter part by brand
+    (broadcast — the brand slice is tiny at any scale), join lineitem once,
+    compute the per-part average from that SAME slice, and join it back.
+    Lineitem is scanned once thanks to the brand pushdown; the avg is exact
+    (integer-valued quantities sum exactly in double), so the `<` comparison
+    is deterministic across engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    brand_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    thresholds = brand_lines.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.sum("l_quantity") / F.count(F.lit(1))).alias("qty_cut")
+    )
+    return (
+        brand_lines.join(
+            F.broadcast(thresholds),
+            brand_lines.l_partkey == thresholds.t_partkey,
+        )
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (exact_sum("l_extendedprice", 2) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="small_quantity_revenue",
+        description="TPC-H Q17 shape: per-part avg-quantity threshold "
+        "(decorrelated scalar subquery), brand-sliced revenue",
+        spark=q_small_quantity_revenue,
+        oracle=f"""
+            WITH brand_lines AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#23'
+            ), thresholds AS (
+                SELECT l_partkey AS t_partkey,
+                       0.2 * sum(l_quantity) / count(*) AS qty_cut
+                FROM brand_lines GROUP BY l_partkey
+            )
+            SELECT {exact_sum_sql('l_extendedprice', 2)} / 7.0 AS avg_yearly,
+                   count(*) AS n_lines
+            FROM brand_lines JOIN thresholds ON l_partkey = t_partkey
+            WHERE l_quantity < qty_cut
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: IN-subquery with HAVING, top-k large orders
+# ---------------------------------------------------------------------------
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold.
+
+    The ``IN (... GROUP BY ... HAVING sum > 150)`` subquery is an aggregate
+    + semi-join; here the aggregate IS the payload, so it becomes a plain
+    join: groupBy lineitem (one shuffle on l_orderkey, map-side combined),
+    HAVING-filter, then join orders + broadcast-join customer. Top-k via
+    TakeOrderedAndProject — no global sort at any scale.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+register(
+    QuerySpec(
+        name="large_orders",
+        description="TPC-H Q18 shape: HAVING-filtered agg semi-join, "
+        "top-100 by totalprice",
+        spark=q_large_orders,
+        oracle="""
+            SELECT c_name, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice, total_qty
+            FROM (
+                SELECT l_orderkey, sum(l_quantity) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 150
+            ) big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: sole-blamed supplier (EXISTS + NOT EXISTS, decorrelated)
+# ---------------------------------------------------------------------------
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for late multi-supplier
+    orders (ship >90 days after order date).
+
+    The reference Q21 pairs a correlated EXISTS (another supplier on the
+    order) with a NOT EXISTS (another LATE supplier). Both decorrelate into
+    ONE per-order aggregate: count distinct suppliers, count distinct late
+    suppliers, min late supplier — then ``n_supp >= 2 AND n_late_supp = 1``
+    replays exactly the exists/not-exists pair without any self-join.
+    lineitem⋈orders shuffles on the shared orderkey; supplier is broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("blamed_suppkey"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.join(
+            F.broadcast(supp), per_order.blamed_suppkey == supp.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(25)
+    )
+
+
+register(
+    QuerySpec(
+        name="sole_late_supplier",
+        description="TPC-H Q21 shape: EXISTS + NOT EXISTS decorrelated to "
+        "one per-order aggregate; sole-late-supplier blame counts",
+        spark=q_sole_late_supplier,
+        oracle="""
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE
+                           WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                           THEN l_suppkey END) AS n_late_supp,
+                       min(CASE WHEN l_shipdate > o_orderdate
+                                     + INTERVAL 90 DAY
+                                THEN l_suppkey END) AS blamed_suppkey
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY l_orderkey
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM per_order JOIN supplier ON blamed_suppkey = s_suppkey
+            WHERE n_supp >= 2 AND n_late_supp = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 25
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar-subquery threshold + anti-join, per-nation rollup
+# ---------------------------------------------------------------------------
+
+
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, rolled up per nation.
+
+    (Adapted: every customer in the testdata has SOME order, so the
+    NOT EXISTS is against orders after 2000-07-01 — same anti-join shape,
+    non-degenerate result.) The global-average threshold is a 1-row
+    aggregate broadcast into the filter; the balance average uses the
+    scaled-int64 discipline so the `>` comparison can't flip between
+    engines. The anti-join shuffles only custkeys.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    threshold = cust.filter(F.col("c_acctbal") > 0).agg(
+        exact_avg("c_acctbal", 2).alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+    )
+    return (
+        cust.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="dormant_rich_customers",
+        description="TPC-H Q22 shape: scalar-subquery balance threshold + "
+        "anti-join on recent orders, per-nation rollup",
+        spark=q_dormant_rich_customers,
+        oracle=f"""
+            SELECT n_name AS nation, count(*) AS n_custs,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > (
+                SELECT {exact_avg_sql('c_acctbal', 2)} FROM customer
+                WHERE c_acctbal > 0
+            )
+            AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-07-01'
+            )
+            GROUP BY n_name
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Aggregate extras: median / bool_and / bool_or / count_if
+# ---------------------------------------------------------------------------
+
+
+def q_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate surface: exact median (integer-valued input, so the
+    even-count midpoint is exact in double), boolean any/all, and
+    conditional counting — all single-pass hash aggregates.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("any_deep_discount"),
+        F.bool_and(F.col("l_tax") >= 0).alias("all_taxed"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+    )
+
+
+register(
+    QuerySpec(
+        name="agg_extras",
+        description="median / bool_or / bool_and / count_if aggregate "
+        "surface per return flag",
+        spark=q_agg_extras,
+        oracle="""
+            SELECT l_returnflag,
+                   median(l_quantity) AS median_qty,
+                   bool_or(l_discount > 0.05) AS any_deep_discount,
+                   bool_and(l_tax >= 0) AS all_taxed,
+                   count(*) FILTER (WHERE l_quantity > 25) AS n_bulk
+            FROM lineitem GROUP BY l_returnflag
+        """,
+    )
+)

@@ -58,6 +58,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet timestamps without a timezone (the testdata's timestamp[us])
+        # must read as TIMESTAMP_LTZ, not NTZ: with the UTC session timezone
+        # the epoch values are identical to DuckDB's naive interpretation, and
+        # epoch functions (unix_micros et al.) only accept LTZ inputs.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
