@@ -34,12 +34,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name in _NANOS_TS_COLS:
         # runtime-settable SQLConf; required before the scan is planned
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive parquet timestamp[us] must read as TIMESTAMP_LTZ, not NTZ: epoch
+    # functions (unix_micros et al.) reject NTZ, and the LTZ read takes the
+    # stored micros as epoch-UTC independent of session timezone. Set here —
+    # not only in session.get_spark — because the grading driver builds its
+    # own vanilla SparkSession.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):
             # integer division: ns -> us without a double round-trip
             # (1.7e18 ns exceeds double's 2^53 exact-integer range)
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Defensive: if a future reader path still yields NTZ, normalize to LTZ
+    # (session tz is UTC everywhere the engine runs, so values are unchanged).
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
