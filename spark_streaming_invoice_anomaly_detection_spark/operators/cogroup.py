@@ -1,0 +1,63 @@
+"""Co-grouped Arrow-batched operators (``groupBy().cogroup().applyInPandas``).
+
+The cogroup surface is Spark's answer to per-key algorithms that need BOTH
+sides of a join materialized together (merge_asof, windowed attribution,
+per-key reconciliation): each side shuffles ONCE on the key, and the pandas
+function sees the two aligned groups without a row-multiplying join. For a
+time-range count per order ("events in the 7 days before the order"), a
+plain range join multiplies rows (orders x matching events) before
+re-aggregating; the cogrouped form counts inside the group with two
+binary searches per order — O(n log n) per key, no intermediate blow-up,
+and per-key memory bounded by that key's rows (the property that matters
+when a 100 TB corpus shuffles onto 1000 executors).
+
+No reference counterpart (the reference has no joins, SURVEY.md §2.3 note);
+this generalizes the asof/range-join family to arbitrary per-key logic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+_OUT_SCHEMA = "o_orderkey long, n_events_7d long"
+
+_WINDOW = pd.Timedelta(days=7)
+
+
+def _count_recent(events: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+    """Per cogroup: for each order, events with ts in (date-7d, date]."""
+    if orders.empty:
+        return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                             "n_events_7d": pd.Series(dtype="int64")})
+    ts = events["ts"].sort_values().to_numpy() if not events.empty else (
+        pd.Series(dtype="datetime64[us]").to_numpy()
+    )
+    hi = orders["o_orderdate"].to_numpy()
+    lo = hi - _WINDOW.to_numpy()
+    # half-open (lo, hi]: right-side searchsorted at both bounds
+    n = ts.searchsorted(hi, side="right") - ts.searchsorted(lo, side="right")
+    return pd.DataFrame(
+        {"o_orderkey": orders["o_orderkey"].to_numpy(), "n_events_7d": n}
+    )
+
+
+def event_attribution(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per-order count of the user's events in the 7 days up to the order.
+
+    ``events`` needs (user_id, ts); ``orders`` needs (o_custkey, o_orderkey,
+    o_orderdate). Orders whose user has no events are kept with count 0
+    (left-outer semantics — the cogroup delivers the order group with an
+    empty event side).
+    """
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .cogroup(
+            orders.select("o_custkey", "o_orderkey", "o_orderdate").groupBy(
+                "o_custkey"
+            )
+        )
+        .applyInPandas(_count_recent, schema=_OUT_SCHEMA)
+    )

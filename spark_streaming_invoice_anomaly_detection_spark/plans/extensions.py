@@ -2179,3 +2179,116 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Co-grouped applyInPandas: per-order 7-day event attribution
+# ---------------------------------------------------------------------------
+
+
+def q_cogroup_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogroup surface (groupBy().cogroup().applyInPandas): per-order count
+    of that customer's events in the 7 days up to the order — a per-key
+    merge_asof-style algorithm with no row-multiplying range join. The
+    oracle is the equivalent (row-expanding) interval join + re-aggregate.
+    """
+    from ..operators.cogroup import event_attribution
+
+    events = load_table(spark, "events", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return event_attribution(events, orders)
+
+
+register(
+    QuerySpec(
+        name="cogroup_event_attribution",
+        description="cogrouped applyInPandas: per-order 7-day prior event "
+        "count (merge_asof-style, no row-multiplying join)",
+        spark=q_cogroup_event_attribution,
+        oracle="""
+            SELECT o.o_orderkey,
+                   count(e.ts) AS n_events_7d
+            FROM orders o
+            LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts > o.o_orderdate - INTERVAL 7 DAY
+             AND e.ts <= o.o_orderdate
+            GROUP BY o.o_orderkey
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source sampling (deterministic, cross-engine exact)
+# ---------------------------------------------------------------------------
+
+#: Knuth multiplicative-hash constant; doc_id * K stays well under 2^63.
+_MIX = 2654435761
+_U_DENOM = 4294967296  # 2^32
+
+
+def q_source_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture flattening for corpus assembly: downsample heavy sources so
+    per-source mass approaches the geometric middle (rate_s =
+    sqrt(min_mass / mass_s), i.e. temperature alpha=0.5 on character mass,
+    smallest source kept whole).
+
+    Determinism across engines: the per-row uniform is a multiplicative
+    hash of doc_id (exact int64 arithmetic), the rate uses one division +
+    sqrt (both IEEE correctly-rounded, so bit-identical in Spark and
+    DuckDB) — the keep/drop decision can never flip between engines. The
+    plan is two scans of documents (one tiny mass agg, broadcast back) —
+    no shuffle of the corpus itself at any scale.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    mass = docs.groupBy("source").agg(F.sum("n_chars").alias("mass"))
+    min_mass = mass.agg(F.min("mass").alias("min_mass"))
+    rates = mass.crossJoin(F.broadcast(min_mass)).select(
+        "source",
+        F.sqrt(
+            F.col("min_mass").cast("double") / F.col("mass").cast("double")
+        ).alias("rate"),
+    )
+    u = (
+        (F.col("doc_id") * F.lit(_MIX)) % F.lit(_U_DENOM)
+    ).cast("double") / F.lit(float(_U_DENOM))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(u < F.col("rate")).alias("n_kept"),
+            F.min("rate").alias("rate"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="source_temperature_sample",
+        description="temperature (alpha=0.5) source mixture flattening via "
+        "deterministic multiplicative-hash sampling",
+        spark=q_source_temperature_sample,
+        oracle=f"""
+            WITH mass AS (
+                SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+                FROM documents GROUP BY source
+            ), rates AS (
+                SELECT source,
+                       sqrt(CAST((SELECT min(mass) FROM mass) AS DOUBLE)
+                            / CAST(mass AS DOUBLE)) AS rate
+                FROM mass
+            )
+            SELECT d.source,
+                   count(*) AS n_docs,
+                   count(*) FILTER (
+                       WHERE CAST((d.doc_id * {_MIX}) % {_U_DENOM} AS DOUBLE)
+                             / {float(_U_DENOM)!r} < r.rate
+                   ) AS n_kept,
+                   min(r.rate) AS rate
+            FROM documents d JOIN rates r USING (source)
+            GROUP BY d.source
+        """,
+    )
+)
