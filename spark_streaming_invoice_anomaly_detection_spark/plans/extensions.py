@@ -2292,3 +2292,62 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index: term -> sorted posting list
+# ---------------------------------------------------------------------------
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list build, the retrieval-side twin of the dedup family:
+    explode terms (codegen'd generate, no Python), ONE hash agg keyed on
+    term builds occurrence count, document frequency, and the sorted
+    posting list together (collect_set merges map-side). Serialization via
+    array_join for exact cross-engine comparison. The df >= 3 cut keeps
+    the long tail of hapax terms out of the result the same way a real
+    index drops below-threshold postings into a cold tier.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        words.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("df"),
+            F.array_join(F.array_sort(F.collect_set("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= 3)
+    )
+
+
+register(
+    QuerySpec(
+        name="inverted_index",
+        description="inverted-index build: term -> (occurrences, doc "
+        "frequency, sorted posting list), one hash agg",
+        spark=q_inverted_index,
+        oracle="""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                         AS term
+                FROM documents
+            )
+            SELECT term,
+                   count(*) AS n_occ,
+                   count(DISTINCT doc_id) AS df,
+                   array_to_string(list_sort(list(DISTINCT doc_id)), ',')
+                     AS postings
+            FROM words
+            WHERE term <> ''
+            GROUP BY term
+            HAVING count(DISTINCT doc_id) >= 3
+        """,
+    )
+)
