@@ -1675,24 +1675,20 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from unusually small orders of one brand.
 
     The correlated scalar subquery (``0.2 * avg(l_quantity)`` per part)
-    decorrelates into an aggregate + self-join: filter part by brand
-    (broadcast — the brand slice is tiny at any scale), join lineitem once,
-    compute the per-part average from that SAME slice, and join it back.
-    Lineitem is scanned once thanks to the brand pushdown; the avg is exact
-    (integer-valued quantities sum exactly in double), so the `<` comparison
-    is deterministic across engines.
+    decorrelates into a WINDOW over the brand slice rather than an
+    aggregate + join-back: the aggregate form would scan lineitem twice
+    (once for thresholds, once for the probe), and at 100 TB the second
+    full scan costs far more than shuffling the ~1/25-brand slice once on
+    l_partkey. The avg is exact (integer-valued quantities sum exactly in
+    double), so the `<` comparison is deterministic across engines.
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    brand_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    thresholds = brand_lines.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.lit(0.2) * F.sum("l_quantity") / F.count(F.lit(1))).alias("qty_cut")
-    )
+    w = Window.partitionBy("l_partkey")
+    qty_cut = F.lit(0.2) * F.sum("l_quantity").over(w) / F.count(F.lit(1)).over(w)
     return (
-        brand_lines.join(
-            F.broadcast(thresholds),
-            brand_lines.l_partkey == thresholds.t_partkey,
-        )
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("qty_cut", qty_cut)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             (exact_sum("l_extendedprice", 2) / F.lit(7.0)).alias("avg_yearly"),

@@ -173,3 +173,51 @@ class TestAQESkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestTpchShapePlans:
+    """Round-2 TPC-H shapes: the plan properties that survive a 100x."""
+
+    def test_q17_single_lineitem_scan(self, spark, sf_dir, q):
+        """The decorrelated threshold must come from a window over the
+        brand slice — ONE lineitem scan — not an aggregate joined back
+        (which re-scans the fact table)."""
+        plan = plan_of(q["small_quantity_revenue"](spark, sf_dir), "simple")
+        assert plan.count("Scan parquet") <= 3  # lineitem once + part once (+AQE reuse)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q18_take_ordered_no_global_sort(self, spark, sf_dir, q):
+        plan = plan_of(q["large_orders"](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+        assert "BroadcastHashJoin" in plan  # customer is the broadcast side
+
+    def test_q21_decorrelates_without_self_join(self, spark, sf_dir, q):
+        """EXISTS + NOT EXISTS fold into one per-order aggregate: exactly
+        one lineitem scan, no nested-loop, supplier broadcast."""
+        plan = plan_of(q["sole_late_supplier"](spark, sf_dir), "simple")
+        assert plan.count("Scan parquet") <= 3
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q22_anti_join_shape(self, spark, sf_dir, q):
+        """Scalar threshold is a 1-row broadcast; the NOT EXISTS is a hash
+        anti-join, never a nested loop over customer x orders."""
+        plan = plan_of(q["dormant_rich_customers"](spark, sf_dir), "simple")
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_inverted_index_single_agg(self, spark, sf_dir, q):
+        """count + countDistinct + collect_set in one keyed aggregation:
+        no extra shuffle beyond the term key (countDistinct expands to a
+        two-phase agg over the same hashpartitioning)."""
+        plan = plan_of(q["inverted_index"](spark, sf_dir), "simple")
+        assert "hashpartitioning(term" in plan
+
+    def test_cogroup_shuffles_each_side_once(self, spark, sf_dir, q):
+        """FlatMapCoGroupsInPandas: one exchange per input, no join node."""
+        plan = plan_of(q["cogroup_event_attribution"](spark, sf_dir), "simple")
+        assert "FlatMapCoGroupsInPandas" in plan
+        assert plan.count("Exchange") == 2
+        assert "Join" not in plan
