@@ -2351,3 +2351,113 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Keyword search: exact-arithmetic TF-IDF top-k over the corpus
+# ---------------------------------------------------------------------------
+
+_SEARCH_TERMS = ("join", "shuffle", "broadcast")
+
+
+def q_keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked keyword retrieval: score(doc) = sum over query terms of
+    tf(term, doc) * (N / df(term)) — TF-IDF with a rational idf instead of
+    a log, because log() is not IEEE-exactly-rounded and differs between
+    libm builds, while (+ - * /) on identical inputs are bit-identical in
+    Spark and DuckDB. The per-doc sum is written as a FIXED-ORDER
+    expression over per-term pivot columns (never F.sum over a double
+    column, whose accumulation order is engine- and partitioning-
+    dependent), so the score can't drift by an ulp and flip the top-k
+    boundary. Plan: one explode + one (doc) agg with conditional counts,
+    one tiny cross-joined 1-row df frame, TakeOrdered for top-k.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()  # 1-row job; a literal keeps the plan simple
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term").isin(*_SEARCH_TERMS))
+    tf = words.groupBy("doc_id").agg(
+        *[
+            F.count_if(F.col("term") == t).alias(f"tf_{t}")
+            for t in _SEARCH_TERMS
+        ]
+    )
+    dfs = tf.agg(
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}")
+            for t in _SEARCH_TERMS
+        ]
+    )
+    n = F.lit(float(n_docs))
+    score = None
+    for t in _SEARCH_TERMS:
+        # greatest(df,1): a term absent from the corpus has tf=0 everywhere,
+        # so its contribution is 0 regardless of divisor — but ANSI mode
+        # would otherwise raise DIVIDE_BY_ZERO.
+        safe_df = F.greatest(F.col(f"df_{t}"), F.lit(1)).cast("double")
+        w = F.col(f"tf_{t}").cast("double") * (n / safe_df)
+        score = w if score is None else score + w
+    n_hit = None
+    for t in _SEARCH_TERMS:
+        h = (F.col(f"tf_{t}") > 0).cast("long")
+        n_hit = h if n_hit is None else n_hit + h
+    return (
+        tf.crossJoin(F.broadcast(dfs))
+        .select(
+            "doc_id",
+            score.alias("score"),
+            n_hit.alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+register(
+    QuerySpec(
+        name="keyword_search_topk",
+        description="TF-IDF keyword retrieval (rational idf, cross-engine "
+        "exact), top-20 docs for a 3-term query",
+        spark=q_keyword_search_topk,
+        oracle=f"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                         AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id,
+                       count(*) FILTER (WHERE term = 'join') AS tf_join,
+                       count(*) FILTER (WHERE term = 'shuffle') AS tf_shuffle,
+                       count(*) FILTER (WHERE term = 'broadcast')
+                         AS tf_broadcast
+                FROM words
+                WHERE term IN {_SEARCH_TERMS!r}
+                GROUP BY doc_id
+            ), dfs AS (
+                SELECT count(*) FILTER (WHERE tf_join > 0) AS df_join,
+                       count(*) FILTER (WHERE tf_shuffle > 0) AS df_shuffle,
+                       count(*) FILTER (WHERE tf_broadcast > 0)
+                         AS df_broadcast
+                FROM tf
+            ), n AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+            )
+            SELECT doc_id,
+                   CAST(tf_join AS DOUBLE)
+                     * (n_docs / CAST(greatest(df_join, 1) AS DOUBLE))
+                   + CAST(tf_shuffle AS DOUBLE)
+                     * (n_docs / CAST(greatest(df_shuffle, 1) AS DOUBLE))
+                   + CAST(tf_broadcast AS DOUBLE)
+                     * (n_docs / CAST(greatest(df_broadcast, 1) AS DOUBLE)) AS score,
+                   CAST(tf_join > 0 AS BIGINT)
+                   + CAST(tf_shuffle > 0 AS BIGINT)
+                   + CAST(tf_broadcast > 0 AS BIGINT) AS n_terms_hit
+            FROM tf, dfs, n
+            ORDER BY score DESC, doc_id
+            LIMIT 20
+        """,
+    )
+)
