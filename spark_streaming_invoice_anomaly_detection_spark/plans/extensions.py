@@ -2461,3 +2461,67 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: per-document type-token ratio + hapax ratio
+# ---------------------------------------------------------------------------
+
+
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary richness (type-token ratio, hapax share) —
+    the per-doc complement of the corpus-level rare-token stats. One
+    explode + one (doc, term) agg + one doc agg, all map-side combined;
+    the ratios are single exact divisions (int64 -> double), so no
+    accumulation-order risk.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    per_term = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.sum("occ").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        (F.count(F.lit(1)).cast("double") / F.sum("occ").cast("double")).alias(
+            "ttr"
+        ),
+        (
+            F.count_if(F.col("occ") == 1).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("hapax_ratio"),
+    )
+
+
+register(
+    QuerySpec(
+        name="text_lexical_diversity",
+        description="per-doc type-token ratio and hapax share (vocabulary "
+        "richness quality signal)",
+        spark=q_text_lexical_diversity,
+        oracle="""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                         AS term
+                FROM documents
+            ), per_term AS (
+                SELECT doc_id, term, count(*) AS occ
+                FROM words WHERE term <> ''
+                GROUP BY doc_id, term
+            )
+            SELECT doc_id,
+                   CAST(sum(occ) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types,
+                   CAST(count(*) AS DOUBLE)
+                     / CAST(CAST(sum(occ) AS BIGINT) AS DOUBLE) AS ttr,
+                   CAST(count(*) FILTER (WHERE occ = 1) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS hapax_ratio
+            FROM per_term
+            GROUP BY doc_id
+        """,
+    )
+)
