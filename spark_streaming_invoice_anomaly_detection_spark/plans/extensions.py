@@ -2525,3 +2525,76 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search: day-of-week activity profile distance
+# (shape follows "Time Series Similarity Search for Streaming Data in
+# Distributed Systems", EDBT 2019 — fixed-length feature vector + top-k)
+# ---------------------------------------------------------------------------
+
+_TS_QUERY_USER = 7
+_DOW = list(range(1, 8))  # Spark dayofweek: 1=Sunday .. 7=Saturday
+
+
+def q_ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users whose weekly activity profile (7-dim day-of-week event
+    count vector) is nearest the query user's, by squared L2 distance.
+
+    Counts are integers, so the distance is EXACT int64 arithmetic — the
+    one similarity query in the family with zero floating-point risk. One
+    pivot-style conditional agg per user (single shuffle), the query
+    vector is a broadcast 1-row frame, top-k via TakeOrdered.
+    """
+    events = load_table(spark, "events", sf_dir)
+    prof = events.groupBy("user_id").agg(
+        *[
+            F.count_if(F.dayofweek("ts") == d).alias(f"d{d}")
+            for d in _DOW
+        ]
+    )
+    target = (
+        prof.filter(F.col("user_id") == _TS_QUERY_USER)
+        .select(*[F.col(f"d{d}").alias(f"t{d}") for d in _DOW])
+    )
+    dist = None
+    for d in _DOW:
+        sq = (F.col(f"d{d}") - F.col(f"t{d}")) * (F.col(f"d{d}") - F.col(f"t{d}"))
+        dist = sq if dist is None else dist + sq
+    return (
+        prof.filter(F.col("user_id") != _TS_QUERY_USER)
+        .crossJoin(F.broadcast(target))
+        .select("user_id", dist.alias("sq_dist"))
+        .orderBy(F.col("sq_dist").asc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+register(
+    QuerySpec(
+        name="ts_similarity_topk",
+        description="time-series similarity search: integer-exact L2 over "
+        "day-of-week activity profiles, top-10 nearest users",
+        spark=q_ts_similarity_topk,
+        oracle=f"""
+            WITH prof AS (
+                SELECT user_id,
+                       {', '.join(
+                           f"count(*) FILTER (WHERE dayofweek(ts) + 1 = {d})"
+                           f" AS d{d}" for d in _DOW
+                       )}
+                FROM events GROUP BY user_id
+            ), target AS (
+                SELECT {', '.join(f'd{d} AS t{d}' for d in _DOW)}
+                FROM prof WHERE user_id = {_TS_QUERY_USER}
+            )
+            SELECT user_id,
+                   {' + '.join(f'(d{d} - t{d}) * (d{d} - t{d})' for d in _DOW)}
+                     AS sq_dist
+            FROM prof, target
+            WHERE user_id <> {_TS_QUERY_USER}
+            ORDER BY sq_dist ASC, user_id
+            LIMIT 10
+        """,
+    )
+)
