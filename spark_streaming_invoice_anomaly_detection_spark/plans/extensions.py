@@ -2542,28 +2542,34 @@ def q_ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     count vector) is nearest the query user's, by squared L2 distance.
 
     Counts are integers, so the distance is EXACT int64 arithmetic — the
-    one similarity query in the family with zero floating-point risk. One
-    pivot-style conditional agg per user (single shuffle), the query
-    vector is a broadcast 1-row frame, top-k via TakeOrdered.
+    one similarity query in the family with zero floating-point risk. The
+    query user's 7-int profile is fetched to the driver (tiny-scalar rule:
+    a 1-row pushdown-filtered job, same budget as a count()) and inlined
+    as literals, so the ranking pass is ONE events scan + one conditional
+    agg + TakeOrdered — no second scan, no self-join.
     """
     events = load_table(spark, "events", sf_dir)
-    prof = events.groupBy("user_id").agg(
-        *[
-            F.count_if(F.dayofweek("ts") == d).alias(f"d{d}")
-            for d in _DOW
-        ]
-    )
-    target = (
-        prof.filter(F.col("user_id") == _TS_QUERY_USER)
-        .select(*[F.col(f"d{d}").alias(f"t{d}") for d in _DOW])
+
+    def profile(df):
+        return df.groupBy("user_id").agg(
+            *[
+                F.count_if(F.dayofweek("ts") == d).alias(f"d{d}")
+                for d in _DOW
+            ]
+        )
+
+    target_row = (
+        profile(events.filter(F.col("user_id") == _TS_QUERY_USER))
+        .collect()[0]
+        .asDict()
     )
     dist = None
     for d in _DOW:
-        sq = (F.col(f"d{d}") - F.col(f"t{d}")) * (F.col(f"d{d}") - F.col(f"t{d}"))
+        diff = F.col(f"d{d}") - F.lit(target_row[f"d{d}"])
+        sq = diff * diff
         dist = sq if dist is None else dist + sq
     return (
-        prof.filter(F.col("user_id") != _TS_QUERY_USER)
-        .crossJoin(F.broadcast(target))
+        profile(events.filter(F.col("user_id") != _TS_QUERY_USER))
         .select("user_id", dist.alias("sq_dist"))
         .orderBy(F.col("sq_dist").asc(), F.col("user_id"))
         .limit(10)
