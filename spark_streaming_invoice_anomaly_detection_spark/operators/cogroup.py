@@ -13,34 +13,18 @@ when a 100 TB corpus shuffles onto 1000 executors).
 
 No reference counterpart (the reference has no joins, SURVEY.md §2.3 note);
 this generalizes the asof/range-join family to arbitrary per-key logic.
+
+The pandas function is defined INSIDE the operator builder so cloudpickle
+serializes it by value: the grading driver's Python workers do not have
+this package on their import path, so a module-level function (pickled by
+reference) would fail with ModuleNotFoundError on the executor.
 """
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame
 
 _OUT_SCHEMA = "o_orderkey long, n_events_7d long"
-
-_WINDOW = pd.Timedelta(days=7)
-
-
-def _count_recent(events: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
-    """Per cogroup: for each order, events with ts in (date-7d, date]."""
-    if orders.empty:
-        return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
-                             "n_events_7d": pd.Series(dtype="int64")})
-    ts = events["ts"].sort_values().to_numpy() if not events.empty else (
-        pd.Series(dtype="datetime64[us]").to_numpy()
-    )
-    hi = orders["o_orderdate"].to_numpy()
-    lo = hi - _WINDOW.to_numpy()
-    # half-open (lo, hi]: right-side searchsorted at both bounds
-    n = ts.searchsorted(hi, side="right") - ts.searchsorted(lo, side="right")
-    return pd.DataFrame(
-        {"o_orderkey": orders["o_orderkey"].to_numpy(), "n_events_7d": n}
-    )
 
 
 def event_attribution(events: DataFrame, orders: DataFrame) -> DataFrame:
@@ -51,6 +35,31 @@ def event_attribution(events: DataFrame, orders: DataFrame) -> DataFrame:
     (left-outer semantics — the cogroup delivers the order group with an
     empty event side).
     """
+
+    def count_recent(events_pdf, orders_pdf):
+        # worker-side: keep all imports/constants local (pickled by value)
+        import pandas as pd
+
+        window = pd.Timedelta(days=7)
+        if orders_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "n_events_7d": pd.Series(dtype="int64"),
+                }
+            )
+        if events_pdf.empty:
+            ts = pd.Series(dtype="datetime64[us]").to_numpy()
+        else:
+            ts = events_pdf["ts"].sort_values().to_numpy()
+        hi = orders_pdf["o_orderdate"].to_numpy()
+        lo = hi - window.to_numpy()
+        # half-open (lo, hi]: right-side searchsorted at both bounds
+        n = ts.searchsorted(hi, side="right") - ts.searchsorted(lo, side="right")
+        return pd.DataFrame(
+            {"o_orderkey": orders_pdf["o_orderkey"].to_numpy(), "n_events_7d": n}
+        )
+
     return (
         events.select("user_id", "ts")
         .groupBy("user_id")
@@ -59,5 +68,5 @@ def event_attribution(events: DataFrame, orders: DataFrame) -> DataFrame:
                 "o_custkey"
             )
         )
-        .applyInPandas(_count_recent, schema=_OUT_SCHEMA)
+        .applyInPandas(count_recent, schema=_OUT_SCHEMA)
     )
