@@ -1951,3 +1951,160 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bidirectional two-nation shipping volume by year
+# ---------------------------------------------------------------------------
+
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flowing between two nations (supplier side
+    x customer side, both directions) per ship year.
+
+    Join shape at scale: lineitem⋈orders is the one fact-fact sort-merge
+    (shared l_orderkey/o_orderkey key); supplier, customer, and both
+    nation legs are broadcast dims. The two-nation disjunction filters
+    AFTER the cheap broadcast joins, so the big shuffle carries only
+    orderkey-matched rows. Revenue aggregates in scaled int64 (4-decimal
+    grid after the discount product), exact under any accumulation order.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    a, b = _Q7_NATIONS
+    pair = (
+        ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+        | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="nation_volume_shipping",
+        description="TPC-H Q7 shape: bidirectional two-nation revenue by "
+        "ship year; one fact-fact join, four broadcast dims",
+        spark=q_nation_volume_shipping,
+        oracle=f"""
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   {exact_sum_sql('l_extendedprice * (1 - l_discount)', 4)}
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = '{_Q7_NATIONS[0]}'
+                   AND n2.n_name = '{_Q7_NATIONS[1]}')
+               OR (n1.n_name = '{_Q7_NATIONS[1]}'
+                   AND n2.n_name = '{_Q7_NATIONS[0]}')
+            GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table, so supply cost is
+    ``0.6 * p_retailprice``): per-line profit = disc_price − cost·qty,
+    aggregated by supplier nation and order year.
+
+    Exactness: disc_price lands on the 4-decimal grid, cost·qty on the
+    3-decimal grid — both sides scale each term to int64 at ITS OWN grid,
+    widen to the common 4-decimal scale in integer arithmetic, and sum
+    exactly; one double division at the end. Join shape: fact-fact on
+    orderkey + three broadcast dims (part filtered by name pattern first,
+    pruning lineitem through the broadcast hash join).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("1"))
+    disc_s = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    cost_s = scaled_long(
+        F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"), 3
+    )
+    profit_s = disc_s - cost_s * F.lit(10)  # widen 3-dec -> 4-dec grid
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (F.sum(profit_s) / F.lit(10_000.0)).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="nation_profit",
+        description="TPC-H Q9 shape (retailprice-derived cost): profit by "
+        "supplier nation and order year, exact mixed-grid int64 math",
+        spark=q_nation_profit,
+        oracle="""
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(sum(
+                       CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000.0, 0) AS BIGINT)
+                       - CAST(round(0.6 * p_retailprice * l_quantity
+                                    * 1000.0, 0) AS BIGINT) * 10
+                   ) AS BIGINT) / 10000.0 AS sum_profit,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%1%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+    )
+)
