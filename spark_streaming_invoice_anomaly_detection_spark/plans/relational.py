@@ -2108,3 +2108,93 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: supplier-nation market share within a region, by year
+# ---------------------------------------------------------------------------
+
+_Q8_NATION = "NATION_1"
+_Q8_REGION = "REGION_0"
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the share of one supplier nation's revenue within
+    all revenue sold to customers of one region, per order year.
+
+    The share is a ratio of two conditional sums — the classic place a
+    double aggregate diverges between engines. Both the numerator and
+    denominator aggregate the 4-decimal-grid revenue in scaled int64
+    (conditional term folded into the same hash agg), so the single final
+    division is over identical integers: bit-identical share, no rounding.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cn = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == _Q8_REGION)
+        .select("c_custkey")
+    )
+    sn = supp.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev_s = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    nation_rev_s = F.when(
+        F.col("supp_nation") == _Q8_NATION, rev_s
+    ).otherwise(F.lit(0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(nation_rev_s).cast("double")
+                / F.sum(rev_s).cast("double")
+            ).alias("mkt_share"),
+            (F.sum(rev_s) / F.lit(10_000.0)).alias("total_revenue"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="nation_market_share",
+        description="TPC-H Q8 shape: supplier-nation market share per year "
+        "as a ratio of scaled-int64 conditional sums (bit-exact)",
+        spark=q_nation_market_share,
+        oracle=f"""
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(sum(CASE WHEN n2.n_name = '{_Q8_NATION}'
+                       THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 10000.0, 0) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                         * 10000.0, 0) AS BIGINT))
+                          AS DOUBLE) AS mkt_share,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 10000.0, 0) AS BIGINT)) AS BIGINT)
+                     / 10000.0 AS total_revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = '{_Q8_REGION}'
+            GROUP BY year(o_orderdate)
+        """,
+    )
+)
