@@ -2198,3 +2198,76 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) by quarterly revenue (view + scalar max)
+# ---------------------------------------------------------------------------
+
+_Q15_START = "1997-01-01"
+_Q15_END = "1997-04-01"
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view (per-supplier revenue over one
+    quarter), then the supplier(s) achieving the global maximum.
+
+    The scalar max is a 1-row aggregate of the (tiny) revenue view,
+    broadcast back for an equality filter — the view is computed once into
+    a shuffle whose exchange is reused for both the max and the probe
+    (ReusedExchange under AQE), so lineitem is scanned once. Revenue
+    compares in scaled int64: the equality with max can't miss by an ulp.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    in_window = F.col("l_shipdate").between(
+        F.lit(_Q15_START).cast("timestamp"),
+        F.lit(_Q15_END).cast("timestamp"),
+    )
+    rev = (
+        li.filter(in_window)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                scaled_long(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                )
+            ).alias("rev_s")
+        )
+    )
+    max_rev = rev.agg(F.max("rev_s").alias("max_rev_s"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("rev_s") == F.col("max_rev_s"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_s") / F.lit(10_000.0)).alias("total_revenue"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="top_supplier_revenue",
+        description="TPC-H Q15 shape: quarterly revenue view + scalar-max "
+        "equality (int64 compare, exchange reused)",
+        spark=q_top_supplier_revenue,
+        oracle=f"""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                           * 10000.0, 0) AS BIGINT))
+                            AS BIGINT) AS rev_s
+                FROM lineitem
+                WHERE l_shipdate BETWEEN TIMESTAMP '{_Q15_START}'
+                                     AND TIMESTAMP '{_Q15_END}'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, rev_s / 10000.0 AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_s = (SELECT max(rev_s) FROM rev)
+        """,
+    )
+)
