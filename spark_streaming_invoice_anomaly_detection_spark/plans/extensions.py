@@ -2604,3 +2604,71 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Token surprisal proxy: exact-integer information content per document
+# ---------------------------------------------------------------------------
+
+
+def q_doc_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based information-content score: for every token
+    occurrence, floor(log2(corpus_count(term))) "popularity bits"; docs
+    dominated by rare tokens score low total bits per token (the same
+    signal a unigram LM perplexity gives, without the log()).
+
+    floor(log2(n)) is computed as length(binary(n)) - 1 — pure integer
+    logic, exact in both engines, where a floating log2 could land an ulp
+    below an exact power of two and floor() off by one. Plan: one explode
+    -> corpus term counts (one shuffle), join occurrences back on term
+    (AQE reuses the exploded exchange), one per-doc integer agg.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = words.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    bits = (F.length(F.bin(F.col("n"))) - F.lit(1)).cast("long")
+    return (
+        words.join(counts.withColumn("bits", bits), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("total_bits"),
+            (
+                F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("bits_per_token"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="doc_surprisal_bits",
+        description="exact-integer unigram information content per doc "
+        "(floor(log2(count)) via binary length, no FP log)",
+        spark=q_doc_surprisal_bits,
+        oracle="""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                         AS term
+                FROM documents
+            ), occ AS (
+                SELECT doc_id, term FROM words WHERE term <> ''
+            ), counts AS (
+                SELECT term,
+                       length(printf('%b', count(*))) - 1 AS bits
+                FROM occ GROUP BY term
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(bits) AS BIGINT) AS total_bits,
+                   CAST(CAST(sum(bits) AS BIGINT) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS bits_per_token
+            FROM occ JOIN counts USING (term)
+            GROUP BY doc_id
+        """,
+    )
+)
