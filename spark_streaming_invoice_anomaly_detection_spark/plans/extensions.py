@@ -2672,3 +2672,48 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow surface: Arrow-kernel text stats, aggregated per source
+# ---------------------------------------------------------------------------
+
+
+def q_arrow_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third Python boundary (after pandas map/cogroup/state):
+    ``mapInArrow`` with pure pyarrow.compute kernels — Arrow buffers in,
+    Arrow buffers out, no pandas materialization. Integer outputs make the
+    downstream per-source aggregate exact; the oracle recomputes the same
+    stats with DuckDB string kernels.
+    """
+    from ..operators.arrowops import text_stats_arrow
+
+    docs = load_table(spark, "documents", sf_dir)
+    stats = text_stats_arrow(docs)
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_utf8").alias("total_chars"),
+        F.sum("n_words").alias("total_words"),
+        F.max("n_words").alias("max_words"),
+    )
+
+
+register(
+    QuerySpec(
+        name="arrow_text_stats",
+        description="mapInArrow + pyarrow.compute kernels: per-source "
+        "char/word totals (zero-pandas Python boundary)",
+        spark=q_arrow_text_stats,
+        oracle="""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(length(regexp_extract_all(text, '[a-zA-Z0-9]+')))
+                        AS BIGINT) AS total_words,
+                   CAST(max(length(regexp_extract_all(text, '[a-zA-Z0-9]+')))
+                        AS BIGINT) AS max_words
+            FROM documents
+            GROUP BY source
+        """,
+    )
+)
