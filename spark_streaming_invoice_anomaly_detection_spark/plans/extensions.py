@@ -2619,25 +2619,33 @@ def q_doc_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     floor(log2(n)) is computed as length(binary(n)) - 1 — pure integer
     logic, exact in both engines, where a floating log2 could land an ulp
-    below an exact power of two and floor() off by one. Plan: one explode
-    -> corpus term counts (one shuffle), join occurrences back on term
-    (AQE reuses the exploded exchange), one per-doc integer agg.
+    below an exact power of two and floor() off by one. Plan: ONE explode,
+    immediately compressed to (doc, term, cnt) pairs (map-side combined);
+    corpus term totals derive from those deduped pairs (the shared
+    exchange is reused, never a second explode of the corpus), and every
+    later shuffle carries pairs, not occurrences.
     """
     docs = load_table(spark, "documents", sf_dir)
-    words = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
-    ).filter(F.col("term") != "")
-    counts = words.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    occ = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts = occ.groupBy("term").agg(F.sum("cnt").alias("n"))
     bits = (F.length(F.bin(F.col("n"))) - F.lit(1)).cast("long")
     return (
-        words.join(counts.withColumn("bits", bits), "term")
+        occ.join(counts.withColumn("bits", bits).drop("n"), "term")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("bits").alias("total_bits"),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("bits")).alias("total_bits"),
             (
-                F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double")
+                F.sum(F.col("cnt") * F.col("bits")).cast("double")
+                / F.sum("cnt").cast("double")
             ).alias("bits_per_token"),
         )
     )

@@ -221,3 +221,23 @@ class TestTpchShapePlans:
         assert "FlatMapCoGroupsInPandas" in plan
         assert plan.count("Exchange") == 2
         assert "Join" not in plan
+
+
+class TestPythonBoundaryPlans:
+    def test_arrow_stats_uses_arrow_eval(self, spark, sf_dir, q):
+        """mapInArrow plans as an ArrowEvalPython/MapInArrow node over a
+        pruned 3-column scan (payload columns never read)."""
+        df = q["arrow_text_stats"](spark, sf_dir)
+        plan = plan_of(df, "simple")
+        assert ("MapInArrow" in plan) or ("ArrowEvalPython" in plan)
+        read_schema = plan_of(df).split("ReadSchema")[1].split("\n")[0]
+        assert "lang" not in read_schema  # unused column pruned from scan
+
+    def test_surprisal_reuses_exploded_exchange(self, spark, sf_dir, q):
+        """The term-count build side and the occurrence probe side come
+        from the same explode: AQE must reuse the exchange, not re-explode
+        the corpus twice."""
+        df = q["doc_surprisal_bits"](spark, sf_dir)
+        df.collect()
+        plan = plan_of(df, "simple")
+        assert "ReusedExchange" in plan or plan.count("Generate") == 1
