@@ -1063,3 +1063,103 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation without a global row window
+# ---------------------------------------------------------------------------
+
+
+def _min_rank_map(df: DataFrame, col: str) -> DataFrame:
+    """value -> min-rank (count of strictly smaller rows + 1).
+
+    Built from per-VALUE counts: the window runs over distinct values
+    (bounded — a 2-decimal price grid, not the row count), so no global
+    per-row windowing ever happens; rows get their rank by joining this
+    map back.
+    """
+    counts = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        "v",
+        (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.lit(1)).alias("rank"),
+    )
+
+
+def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho between l_quantity and l_extendedprice.
+
+    rho = Pearson over min-ranks (ties -> min rank on BOTH sides, keeping
+    every rank an integer). The five moment sums accumulate in exact
+    int64 — any order — and the final formula is one fixed-order double
+    expression (identical IEEE ops in DuckDB), so the statistic is
+    bit-reproducible. (Bound: sum(rank^2) stays in int64 up to ~2e6 rows;
+    beyond that, scale the moments in int128/decimal or sample — ANSI mode
+    fails loudly rather than silently wrapping.) Scale shape: two distinct-value rank maps (window
+    over the value grid, not rows), two joins back (quantity map is
+    broadcast — 50 values; price map shuffles on the price key), one
+    global 1-row aggregate.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    rq = _min_rank_map(li, "l_quantity").withColumnRenamed("rank", "rx")
+    rp = _min_rank_map(li, "l_extendedprice").withColumnRenamed("rank", "ry")
+    ranked = (
+        li.join(F.broadcast(rq), li.l_quantity == rq.v)
+        .drop("v")
+        .join(rp, li.l_extendedprice == rp.v)
+        .drop("v")
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return m.select("n", rho.alias("spearman_rho"))
+
+
+register(
+    QuerySpec(
+        name="spearman_qty_price",
+        description="Spearman rank correlation via distinct-value min-rank "
+        "maps (no global row window), exact int64 moments",
+        spark=q_spearman_qty_price,
+        oracle="""
+            WITH ranked AS (
+                SELECT CAST(rank() OVER (ORDER BY l_quantity) AS BIGINT)
+                         AS rx,
+                       CAST(rank() OVER (ORDER BY l_extendedprice) AS BIGINT)
+                         AS ry
+                FROM lineitem
+            ), m AS (
+                SELECT count(*) AS n,
+                       CAST(sum(rx) AS BIGINT) AS sx,
+                       CAST(sum(ry) AS BIGINT) AS sy,
+                       CAST(sum(rx * ry) AS BIGINT) AS sxy,
+                       CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                       CAST(sum(ry * ry) AS BIGINT) AS syy
+                FROM ranked
+            )
+            SELECT n,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     AS spearman_rho
+            FROM m
+        """,
+    )
+)
