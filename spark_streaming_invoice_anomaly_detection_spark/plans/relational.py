@@ -2271,3 +2271,61 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier diversity per part attribute, NOT-IN exclusion
+# ---------------------------------------------------------------------------
+
+
+def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): how many distinct
+    suppliers ship each (brand, size) part class, excluding suppliers with
+    negative account balance (Q16's complaint-supplier NOT IN).
+
+    The NOT IN is a broadcast anti-join on the (tiny) excluded-supplier
+    set; the diversity count is one distinct-agg shuffled on the composite
+    group key. distinct (partkey, suppkey) pairs are pre-deduped BEFORE
+    the part join so the expensive distinct runs on the smallest relation.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+        .limit(50)
+    )
+
+
+register(
+    QuerySpec(
+        name="part_supplier_diversity",
+        description="TPC-H Q16 shape: distinct-supplier count per "
+        "brand/size with NOT-IN supplier exclusion (broadcast anti-join)",
+        spark=q_part_supplier_diversity,
+        oracle="""
+            SELECT p_brand, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+            )
+            GROUP BY p_brand, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_size
+            LIMIT 50
+        """,
+    )
+)
