@@ -1088,19 +1088,38 @@ def _min_rank_map(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def rank_moments(ranked: DataFrame) -> DataFrame:
+    """1-row exact moment sums over integer rank columns ``rx``/``ry``.
+
+    decimal(19,0) operands -> decimal(38,0) products and sums: exact
+    integer arithmetic to ~1e12 rows (sum(rank^2) <= n^3 <= 1e36), still
+    a mergeable hash aggregate. int64 would wrap (ANSI: fail) at ~2e6 rows.
+    """
+    rx = F.col("rx").cast("decimal(19,0)")
+    ry = F.col("ry").cast("decimal(19,0)")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rx).alias("sx"),
+        F.sum(ry).alias("sy"),
+        F.sum(rx * ry).alias("sxy"),
+        F.sum(rx * rx).alias("sxx"),
+        F.sum(ry * ry).alias("syy"),
+    )
+
+
 def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rho between l_quantity and l_extendedprice.
 
     rho = Pearson over min-ranks (ties -> min rank on BOTH sides, keeping
     every rank an integer). The five moment sums accumulate in exact
-    int64 — any order — and the final formula is one fixed-order double
-    expression (identical IEEE ops in DuckDB), so the statistic is
-    bit-reproducible. (Bound: sum(rank^2) stays in int64 up to ~2e6 rows;
-    beyond that, scale the moments in int128/decimal or sample — ANSI mode
-    fails loudly rather than silently wrapping.) Scale shape: two distinct-value rank maps (window
-    over the value grid, not rows), two joins back (quantity map is
-    broadcast — 50 values; price map shuffles on the price key), one
-    global 1-row aggregate.
+    decimal(38,0) — mergeable in any order, headroom to ~1e12 rows
+    (sum(rank^2) <= n^3 <= 1e36 < 1e38), where int64 capped out at ~2e6
+    rows — and the final formula is one fixed-order double expression
+    (identical IEEE ops in DuckDB, which accumulates the same moments in
+    HUGEINT), so the statistic is bit-reproducible. Scale shape: two
+    distinct-value rank maps (window over the value grid, not rows), two
+    joins back (quantity map is broadcast — 50 values; price map shuffles
+    on the price key), one global 1-row aggregate.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
     rq = _min_rank_map(li, "l_quantity").withColumnRenamed("rank", "rx")
@@ -1111,14 +1130,7 @@ def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rp, li.l_extendedprice == rp.v)
         .drop("v")
     )
-    m = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-    )
+    m = rank_moments(ranked)
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
@@ -1144,11 +1156,11 @@ register(
                 FROM lineitem
             ), m AS (
                 SELECT count(*) AS n,
-                       CAST(sum(rx) AS BIGINT) AS sx,
-                       CAST(sum(ry) AS BIGINT) AS sy,
-                       CAST(sum(rx * ry) AS BIGINT) AS sxy,
-                       CAST(sum(rx * rx) AS BIGINT) AS sxx,
-                       CAST(sum(ry * ry) AS BIGINT) AS syy
+                       sum(CAST(rx AS HUGEINT)) AS sx,
+                       sum(CAST(ry AS HUGEINT)) AS sy,
+                       sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+                       sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+                       sum(CAST(ry AS HUGEINT) * ry) AS syy
                 FROM ranked
             )
             SELECT n,

@@ -2715,7 +2715,9 @@ register(
         oracle="""
             SELECT source,
                    count(*) AS n_docs,
-                   CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+                   -- length() = codepoints, matching pc.utf8_length on the
+                   -- Spark side (strlen is bytes: diverges on non-ASCII)
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
                    CAST(sum(length(regexp_extract_all(text, '[a-zA-Z0-9]+')))
                         AS BIGINT) AS total_words,
                    CAST(max(length(regexp_extract_all(text, '[a-zA-Z0-9]+')))

@@ -39,15 +39,66 @@ def register(spec: QuerySpec) -> QuerySpec:
     return spec
 
 
+# The driver samples ~50 queries per round walking the registry in
+# iteration order under a wall-clock budget, so ordering is the only lever
+# for getting external verification onto the long tail. Priority: queries
+# changed this round (need a fresh row), then queries never sampled in any
+# CORRECTNESS file (63 after r2), then the already-green ones.
+_FIXED_THIS_ROUND: tuple[str, ...] = (
+    "approx_quantiles_by_type",
+    "nation_market_share",
+    "nation_profit",
+    "part_supplier_diversity",
+    "arrow_text_stats",
+    "spearman_qty_price",
+)
+
+# Union of query names appearing in CORRECTNESS_r01.json + CORRECTNESS_r02.json.
+_DRIVER_CHECKED: frozenset[str] = frozenset({
+    "approx_quantiles_by_type", "array_agg_funcs", "asof_join_last_click",
+    "bisecting_invoice_anomalies", "cancellation_split",
+    "centroid_distance_score", "conditional_bucketing", "count_distinct",
+    "cube_orders", "date_funcs", "disjunctive_predicate_revenue",
+    "doc_fingerprint", "embedding_neardup_pairs", "exact_correlation",
+    "exact_dedup_groups", "exists_subquery", "explode_wordcount",
+    "forecast_revenue_change", "grouping_sets", "hour_extraction",
+    "invoice_featurize", "invoice_featurize_valid", "join_anti",
+    "join_broadcast_dims", "join_fact_fact_revenue", "join_five_way_volume",
+    "join_left_outer", "join_salted_skew", "join_semi", "json_extract",
+    "kmeans_invoice_anomalies", "late_shipment_priority", "map_type_ops",
+    "minhash_lsh_neardups", "multimodal_decode_stats", "ngram_jaccard_pairs",
+    "order_count_distribution", "order_limit", "percentile_quartiles",
+    "pivot_status", "pricing_summary", "promo_revenue_percent",
+    "regex_extract_groups", "revenue_share_by_nation", "rollup_qty",
+    "scalar_subquery_agg", "sessionize_events", "set_except", "set_ops",
+    "set_ops_all", "simhash_signatures", "similarity_topk_bruteforce",
+    "similarity_topk_lsh", "skew_diagnostics", "sliding_window_count",
+    "stats_agg", "string_funcs", "text_lang_id", "text_quality_score",
+    "threshold_topk", "top_returning_customers", "topk_per_group",
+    "union_distinct", "validation_cascade", "video_frame_counts",
+    "window_lag_delta", "window_rank_by_value", "window_running_sum",
+})
+
+
+def _ordered_names() -> list[str]:
+    fixed = [n for n in _FIXED_THIS_ROUND if n in REGISTRY]
+    tail = [n for n in REGISTRY if n not in fixed]
+    never = [n for n in tail if n not in _DRIVER_CHECKED]
+    green = [n for n in tail if n in _DRIVER_CHECKED]
+    return fixed + never + green
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {name: spec.spark for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }
 
 

@@ -1060,11 +1060,16 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_round2_ops.py).
     """
     ev = _t(spark, sf_dir, "events")
+    # One GK sketch per group, then three scalar projections: the driver's
+    # canonicalizer sorts result columns in pandas, which cannot factorize
+    # array values, so the quartile array must be unpacked before return
+    # (CORRECTNESS_r02 err: "unhashable type: 'list'").
+    quartiles = F.percentile_approx("value", [0.25, 0.5, 0.75], 10_000)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile_approx(
-            "value", [0.25, 0.5, 0.75], 10_000
-        ).alias("quartiles_approx"),
+        F.element_at(quartiles, 1).alias("q25_approx"),
+        F.element_at(quartiles, 2).alias("q50_approx"),
+        F.element_at(quartiles, 3).alias("q75_approx"),
     )
 
 
@@ -2058,7 +2063,9 @@ def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("1"))
+    # 'widget' occurs in the generated part names ('red widget', ...); the
+    # r2 filter ('%1%') matched nothing and validated an empty result.
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
     disc_s = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     cost_s = scaled_long(
         F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"), 3
@@ -2103,7 +2110,7 @@ register(
             JOIN part     ON l_partkey = p_partkey
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation   ON s_nationkey = n_nationkey
-            WHERE p_name LIKE '%1%'
+            WHERE p_name LIKE '%widget%'
             GROUP BY n_name, year(o_orderdate)
         """,
     )
@@ -2114,8 +2121,10 @@ register(
 # TPC-H Q8 shape: supplier-nation market share within a region, by year
 # ---------------------------------------------------------------------------
 
+# Literals must exist in the testdata or the share ratio is never exercised
+# (r2 ADVICE: region names are AFRICA/AMERICA/ASIA/EUROPE/MIDDLE EAST).
 _Q8_NATION = "NATION_1"
-_Q8_REGION = "REGION_0"
+_Q8_REGION = "ASIA"
 
 
 def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2292,7 +2301,7 @@ def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     bad_supp = (
         _t(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
+        .filter(F.col("s_acctbal") < 1000)  # non-empty in testdata (r2 ADVICE)
         .select("s_suppkey")
     )
     pairs = (
@@ -2321,7 +2330,7 @@ register(
             FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
             JOIN part ON l_partkey = p_partkey
             WHERE l_suppkey NOT IN (
-                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
             )
             GROUP BY p_brand, p_size
             ORDER BY supplier_cnt DESC, p_brand, p_size

@@ -51,9 +51,19 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def assert_matches_oracle(spark_df: DataFrame, con, sql: str, name: str = "?") -> None:
+def assert_matches_oracle(
+    spark_df: DataFrame,
+    con,
+    sql: str,
+    name: str = "?",
+    allow_empty: bool = True,
+) -> None:
     got = _normalize(spark_df.toPandas())
     want = _normalize(con.execute(sql).fetchdf())
+    assert allow_empty or len(got) > 0, (
+        f"[{name}] degenerate: both sides empty — the comparison validates "
+        f"nothing (dead filter literal?)"
+    )
     assert list(got.columns) == list(want.columns), (
         f"[{name}] column mismatch: spark={list(got.columns)} duckdb={list(want.columns)}"
     )

@@ -171,3 +171,28 @@ class TestApproxDistinct:
         assert approx.keys() == exact.keys()
         for k in exact:
             assert abs(approx[k] - exact[k]) <= max(0.05 * exact[k], 2)
+
+
+class TestSpearmanMoments:
+    def test_exact_past_int64_horizon(self, spark):
+        """rank_moments must stay exact where int64 sums would wrap.
+
+        Ranks ~2^32 over 1000 rows give sum(rank^2) ~ 1.9e22 >> int64 max
+        (9.2e18) — the shape a ~3e9-row global rank join would produce.
+        Compared against arbitrary-precision Python ints.
+        """
+        from spark_streaming_invoice_anomaly_detection_spark.plans.advanced import (
+            rank_moments,
+        )
+
+        base = 2**32
+        rows = [(base + i, base + ((i * 7919) % 1000)) for i in range(1000)]
+        df = spark.createDataFrame(rows, "rx long, ry long")
+        got = rank_moments(df).collect()[0]
+        assert got.n == 1000
+        assert int(got.sx) == sum(rx for rx, _ in rows)
+        assert int(got.sy) == sum(ry for _, ry in rows)
+        assert int(got.sxy) == sum(rx * ry for rx, ry in rows)
+        assert int(got.sxx) == sum(rx * rx for rx, _ in rows)
+        assert int(got.syy) == sum(ry * ry for _, ry in rows)
+        assert int(got.sxx) > 2**63  # the test is vacuous unless we crossed

@@ -14,6 +14,11 @@ from .oracle import assert_matches_oracle, duckdb_con
 queries()  # force registry load
 ORACLE_NAMES = [n for n, s in REGISTRY.items() if s.oracle is not None]
 
+# Queries whose correct result CAN be empty at small SF. Everything else
+# must return rows — an empty result matching an empty oracle is a vacuous
+# pass (r2 ADVICE: three queries validated nothing through dead filters).
+EMPTY_OK = {"join_anti", "nation_volume_shipping"}
+
 
 @pytest.fixture(scope="module")
 def con(sf_dir):
@@ -26,4 +31,6 @@ def con(sf_dir):
 def test_query_matches_oracle(spark, sf_dir, con, name):
     spec = REGISTRY[name]
     df = spec.spark(spark, sf_dir)
-    assert_matches_oracle(df, con, spec.oracle, name=name)
+    assert_matches_oracle(
+        df, con, spec.oracle, name=name, allow_empty=name in EMPTY_OK
+    )

@@ -146,7 +146,7 @@ class TestApproxQuantiles:
         )
 
         approx = {
-            r.event_type: r.quartiles_approx
+            r.event_type: (r.q25_approx, r.q50_approx, r.q75_approx)
             for r in q_approx_quantiles(spark, sf_dir).collect()
         }
         ev = load_table(spark, "events", sf_dir)
