@@ -42,6 +42,11 @@ def main() -> None:
         "topk_per_group",           # window row_number top-k
         "window_running_sum",       # analytic running agg
         "rollup_qty",               # multi-level aggregation
+        # round-2 surface, timed since r3 so regressions are visible:
+        "join_five_way_volume",     # TPC-H Q5 shape, dim-broadcast chain
+        "top_returning_customers",  # Q10 shape, fact-fact + top-20
+        "minhash_lsh_neardups",     # banded-LSH dedup (shuffle-heavy)
+        "arrow_text_stats",         # mapInArrow Python-boundary path
     ]
     headline = [q for q in headline if q in REGISTRY]
 
@@ -54,10 +59,12 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Two timed reps, min per query: the host is shared, so single-shot
-    # timings see multi-second noise spikes from co-tenant processes.
+    # Three timed reps, min per query: the host is shared, so single-shot
+    # timings see multi-second noise spikes from co-tenant processes
+    # (r2's pricing_summary "+16% regression" was min-of-2 measurement
+    # noise; min-of-3 tightens the floor).
     timings: dict[str, float] = {}
-    for _rep in range(2):
+    for _rep in range(3):
         for name in headline:
             t0 = time.perf_counter()
             df = REGISTRY[name].spark(spark, sf_dir)

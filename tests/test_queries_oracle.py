@@ -34,3 +34,35 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     assert_matches_oracle(
         df, con, spec.oracle, name=name, allow_empty=name in EMPTY_OK
     )
+
+
+ROWS_ONLY_NAMES = [n for n, s in REGISTRY.items() if s.oracle is None]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_schema_canonicalizable(spark, sf_dir, name):
+    """The driver canonicalizes EVERY sampled query — including rows-only
+    ones — by sorting rows on all columns in pandas, which cannot factorize
+    array/map values (CORRECTNESS_r02: approx_quantiles_by_type crashed
+    with 'unhashable type: list'). Pin that no rows-only query exposes a
+    top-level container column; unpack to scalars instead."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    schema = REGISTRY[name].spark(spark, sf_dir).schema
+    bad = [
+        f.name for f in schema.fields if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert not bad, (
+        f"[{name}] rows-only query returns container column(s) {bad}: the "
+        f"driver's pandas sort_values canonicalizer will crash on these"
+    )
+
+
+def test_driver_canonicalizer_rejects_list_columns():
+    """Documents WHY the schema pin above exists: pandas sort_values (the
+    driver's row canonicalization) raises on list-valued columns."""
+    import pandas as pd
+
+    df = pd.DataFrame({"k": [1, 2], "v": [[1, 2], [3, 4]]})
+    with pytest.raises(TypeError):
+        df.sort_values(by=list(df.columns))
