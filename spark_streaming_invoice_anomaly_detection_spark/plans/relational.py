@@ -2338,3 +2338,319 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: minimum-cost supplier per part within a region
+# ---------------------------------------------------------------------------
+
+_Q2_REGION = "EUROPE"
+_Q2_MAX_SIZE = 10
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table: the supply relation is the
+    distinct (l_partkey, l_suppkey) pairs, and ``s_acctbal`` stands in for
+    the per-supplier supply cost): for every small part, the region's
+    supplier(s) achieving the MINIMUM cost — the classic correlated-min
+    subquery.
+
+    Plan: the correlated subquery is decorrelated into a per-partition
+    window-min over ``l_partkey`` followed by an equality filter. A
+    groupBy-min + join-back reads the candidate subplan TWICE (verified:
+    two full lineitem distinct shuffles in the physical plan, which AQE
+    cannot reuse because the two sides project different columns); the
+    window form shuffles the candidate pairs ONCE and sorts within each
+    part's rows — the dominant cost stays the single pair-distinct. The
+    min compare is on untouched parquet doubles (no arithmetic), so Spark
+    and DuckDB see bit-identical values.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= _Q2_MAX_SIZE)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rsupp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == _Q2_REGION)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    cand = pairs.join(
+        F.broadcast(rsupp), pairs.l_suppkey == rsupp.s_suppkey
+    )
+    min_bal = F.min("s_acctbal").over(Window.partitionBy("l_partkey"))
+    return (
+        cand.withColumn("min_bal", min_bal)
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(part), cand.l_partkey == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "p_size"
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+register(
+    QuerySpec(
+        name="min_cost_supplier",
+        description="TPC-H Q2 shape: per-part minimum-cost regional "
+        "supplier via decorrelated groupBy-min + equality join back",
+        spark=q_min_cost_supplier,
+        oracle=f"""
+            WITH rsupp AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = '{_Q2_REGION}'
+            ),
+            cand AS (
+                SELECT DISTINCT l_partkey, s_suppkey, s_name, s_acctbal,
+                       n_name
+                FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) p
+                JOIN rsupp ON p.l_suppkey = rsupp.s_suppkey
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name, p_size
+            FROM cand
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= {_Q2_MAX_SIZE}
+              AND s_acctbal = (
+                SELECT min(c2.s_acctbal) FROM cand c2
+                WHERE c2.l_partkey = cand.l_partkey
+              )
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: important parts by value share (HAVING vs scalar subquery)
+# ---------------------------------------------------------------------------
+
+_Q11_NATION = "NATION_3"
+_Q11_FRACTION_DEN = 1000  # part qualifies if value > total/1000
+
+
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part revenue from one nation's suppliers,
+    keeping parts whose value exceeds a fixed fraction of the nation
+    total — a grouped agg filtered against a scalar subquery.
+
+    Both the per-part values and the grand total aggregate the 4-decimal
+    revenue grid in scaled int64; the grand total is a 1-row broadcast and
+    the HAVING compares ``value * DEN > total`` in decimal(38,0) so the
+    threshold is exact at any scale (no double rounding at the boundary,
+    no int64 overflow when value*1000 exceeds 2^63 at ~100 TB volumes).
+    The nation's suppliers broadcast; one shuffle on l_partkey.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nsupp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == _Q11_NATION)
+        .select("s_suppkey")
+    )
+    rev_s = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    per_part = (
+        li.join(F.broadcast(nsupp), li.l_suppkey == nsupp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(rev_s).alias("val_s"))
+    )
+    total = per_part.agg(F.sum("val_s").alias("total_s"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("val_s").cast("decimal(38,0)") * _Q11_FRACTION_DEN
+            > F.col("total_s").cast("decimal(38,0)")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("val_s") / F.lit(10_000.0)).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+register(
+    QuerySpec(
+        name="important_part_value",
+        description="TPC-H Q11 shape: parts above a fixed fraction of "
+        "national value (scalar-subquery HAVING, exact int64 threshold)",
+        spark=q_important_part_value,
+        oracle=f"""
+            WITH per_part AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                           * 10000.0, 0) AS BIGINT))
+                            AS BIGINT) AS val_s
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                WHERE n_name = '{_Q11_NATION}'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey AS p_partkey, val_s / 10000.0 AS part_value
+            FROM per_part
+            WHERE CAST(val_s AS HUGEINT) * {_Q11_FRACTION_DEN}
+                  > (SELECT CAST(sum(val_s) AS HUGEINT) FROM per_part)
+            ORDER BY part_value DESC, p_partkey
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: priority class counts per line status for late lines
+# ---------------------------------------------------------------------------
+
+_Q12_LATE_DAYS = 60
+
+
+def q_linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_linestatus stands in for l_shipmode, ship-lag
+    for the commit/receipt comparison — neither column exists in this
+    schema): for lines shipped more than 60 days after the order date,
+    count urgent/high-priority vs lower-priority orders per line status.
+
+    The conditional counts fold into ONE partial+final hash agg on a
+    2-value key (no separate filtered scans); the fact-fact join shuffles
+    on orderkey with only the two needed order columns projected.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            > _Q12_LATE_DAYS
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+register(
+    QuerySpec(
+        name="linestatus_priority_counts",
+        description="TPC-H Q12 shape: urgent-vs-low priority line counts "
+        "per line status for late shipments (single conditional hash agg)",
+        spark=q_linestatus_priority_counts,
+        oracle=f"""
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE date_diff('day', o_orderdate, l_shipdate) > {_Q12_LATE_DAYS}
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers with concentrated recent shipments
+# ---------------------------------------------------------------------------
+
+_Q20_YEAR = 1997
+
+
+def q_recent_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp availqty: "excess stock" becomes
+    "recent-shipment concentration"): suppliers of widget parts whose
+    1997 shipped quantity exceeds 1/6 of their all-time widget quantity
+    (above the ~1/7 a uniform 7-year spread predicts) — the correlated
+    fraction-of-sum threshold of Q20's subquery.
+
+    Both quantity sums are integer-exact (quantities are whole numbers on
+    this data; summed as long). One hash agg per supplier computes both
+    sums in a single pass (conditional partial agg), the widget part set
+    is broadcast into the lineitem scan, and the name lookup broadcasts
+    the supplier dim. The fraction compare is ``6*recent > total`` in
+    int64 — no doubles anywhere.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    qty = F.col("l_quantity").cast("long")
+    recent = F.when(F.year("l_shipdate") == _Q20_YEAR, qty).otherwise(
+        F.lit(0)
+    )
+    per_supp = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(qty).alias("total_qty"),
+            F.sum(recent).alias("recent_qty"),
+        )
+        .filter(F.col("recent_qty") * 6 > F.col("total_qty"))
+    )
+    return (
+        per_supp.join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(nation),
+                    supp.s_nationkey == nation.n_nationkey,
+                ).select("s_suppkey", "s_name", "n_name")
+            ),
+            per_supp.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name", "total_qty", "recent_qty")
+        .orderBy("s_suppkey")
+    )
+
+
+register(
+    QuerySpec(
+        name="recent_widget_suppliers",
+        description="TPC-H Q20 shape: suppliers with >1/6 of their widget "
+        "volume shipped in one year (correlated fraction-sum, one hash agg)",
+        spark=q_recent_widget_suppliers,
+        oracle=f"""
+            SELECT s_suppkey, s_name, n_name,
+                   CAST(total_qty AS BIGINT) AS total_qty,
+                   CAST(recent_qty AS BIGINT) AS recent_qty
+            FROM (
+                SELECT l_suppkey,
+                       sum(CAST(l_quantity AS BIGINT)) AS total_qty,
+                       sum(CASE WHEN year(l_shipdate) = {_Q20_YEAR}
+                           THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                         AS recent_qty
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%widget%'
+                GROUP BY l_suppkey
+            )
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE recent_qty * 6 > total_qty
+            ORDER BY s_suppkey
+        """,
+    )
+)

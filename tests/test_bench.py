@@ -31,5 +31,5 @@ def test_bench_prints_contract_json():
     assert rec["unit"] == "sec"
     assert rec["value"] > 0
     assert rec["sf"] == 0.001
-    assert len(rec["queries"]) == 10
+    assert len(rec["queries"]) == 14
     assert all(v >= 0 for v in rec["queries"].values())
