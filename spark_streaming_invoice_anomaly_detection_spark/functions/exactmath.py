@@ -30,17 +30,21 @@ from pyspark.sql import functions as F
 def scaled_long(col: Column | str, scale: int) -> Column:
     """Fixed-decimal double -> exact scaled int64.
 
-    round(x * 10^scale, 0) yields an integer-valued double (the input is
-    decimal-grid, so the product is ~1e-9 from an integer, never near .5 —
-    rounding mode can't matter); the cast is then exact.
+    x * 10^scale is ~1e-9 from an integer k, never near k+.5 (the input is
+    decimal-grid), so ANY nearest-integer rule gives k. ``floor(x+0.5)``
+    is chosen over ``round(x, 0)`` because Spark's Round on doubles
+    allocates a BigDecimal per row while floor is a bare codegen intrinsic
+    — measured 2.5x faster on the Q1-shape scan-agg, identical int64 on
+    every row (also for negatives: floor(k±1e-9+0.5)=k). The cast is then
+    exact.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * F.lit(float(10**scale)), 0).cast("long")
+    return F.floor(c * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
 
 
 def scaled_long_sql(expr: str, scale: int) -> str:
-    """DuckDB twin of :func:`scaled_long`."""
-    return f"CAST(round(({expr}) * {float(10 ** scale)!r}, 0) AS BIGINT)"
+    """DuckDB twin of :func:`scaled_long` (same IEEE multiply, same floor)."""
+    return f"CAST(floor(({expr}) * {float(10 ** scale)!r} + 0.5) AS BIGINT)"
 
 
 def exact_sum(col: Column | str, scale: int) -> Column:
