@@ -241,3 +241,45 @@ class TestPythonBoundaryPlans:
         df.collect()
         plan = plan_of(df, "simple")
         assert "ReusedExchange" in plan or plan.count("Generate") == 1
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide physical-plan hygiene (r3 audit, pinned)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_registry_plan_hygiene(spark, sf_dir):
+    """Every registered query's physical plan stays free of the 100 TB
+    scale-killers: CartesianProduct, row-at-a-time Python (BatchEvalPython),
+    and runaway shuffle counts. Iterative algorithms that legitimately
+    shuffle per iteration are allowlisted with their reason."""
+    from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
+        REGISTRY,
+        queries,
+    )
+
+    queries()
+    # fixed-iteration label propagation: one shuffle per iteration by design
+    shuffle_allow = {"pagerank_neardup_graph"}
+    # training queries execute .fit() at build time — cost, not plan shape;
+    # their serving plans are pinned in tests/test_ml.py
+    skip_build = {"kmeans_invoice_anomalies", "bisecting_invoice_anomalies"}
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name in skip_build:
+            continue
+        plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        problems = []
+        if plan.count("CartesianProduct"):
+            problems.append("CartesianProduct")
+        if plan.count("BatchEvalPython"):
+            problems.append("row-at-a-time Python UDF")
+        if n_shuffles >= 5 and name not in shuffle_allow:
+            problems.append(f"{n_shuffles} shuffles")
+        if problems:
+            offenders.append((name, problems))
+    assert not offenders, f"plan hygiene regressions: {offenders}"
