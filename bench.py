@@ -79,10 +79,61 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Additive context the batch timings can't show: sustained streaming
+        # ingest through the reference's parse/route path. The reference's
+        # only throughput envelope is its simulator's 5-10 ms pacing
+        # (~100-200 rec/s, BASELINE.md); this measures the engine's actual
+        # drain rate on the same wire format. Stateless portion only — the
+        # stateful sessionizer is timed nowhere near a contract-critical
+        # path (its timeout semantics need a running wall clock).
+        "streaming_parse_lines_per_sec": _streaming_parse_rate(spark),
     }
     print(json.dumps(line))
     sys.stdout.flush()
     spark.stop()
+
+
+def _streaming_parse_rate(spark, n_lines: int = 100_000) -> int:
+    """Lines/sec draining a burst through parse_purchase_lines+route_events
+    with an availableNow trigger (terminates deterministically)."""
+    import shutil
+    import tempfile
+
+    from spark_streaming_invoice_anomaly_detection_spark.streaming.parse import (
+        parse_purchase_lines,
+        route_events,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        with open(os.path.join(src, "burst.txt"), "w") as f:
+            for i in range(n_lines):
+                inv = 100000 + (i // 4)
+                qty = "notanint" if i % 97 == 0 else "6"
+                f.write(
+                    f"{inv},85123A,ITEM,{qty},12/1/2010 8:26,2.55,17850,"
+                    "United Kingdom\n"
+                )
+        raw = spark.readStream.format("text").load(src)
+        parsed = route_events(parse_purchase_lines(raw))
+        counts: list[int] = []
+        t0 = time.perf_counter()
+        q = (
+            parsed.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _e: counts.append(df.count()))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            return -1  # did not drain; surface as sentinel, never hang
+        dt = time.perf_counter() - t0
+        return int(sum(counts) / dt) if dt > 0 else -1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

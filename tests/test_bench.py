@@ -33,3 +33,6 @@ def test_bench_prints_contract_json():
     assert rec["sf"] == 0.001
     assert len(rec["queries"]) == 14
     assert all(v >= 0 for v in rec["queries"].values())
+    # streaming drain rate: positive, and far above the reference
+    # simulator's ~200 rec/s ceiling (-1 = did-not-drain sentinel)
+    assert rec["streaming_parse_lines_per_sec"] > 1000
