@@ -1175,3 +1175,68 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Native session_window: Spark's built-in session operator (batch form)
+# ---------------------------------------------------------------------------
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 30-minute-gap sessions as ``sessionize_events``, but via
+    Spark's NATIVE ``session_window`` aggregation — the operator that runs
+    identically over a stream (where the gaps-and-islands window form is
+    impossible: no unbounded lag on unbounded input).
+
+    Boundary semantics pinned on both sides: session_window merges an
+    event into the open session iff its timestamp is STRICTLY inside
+    (last_ts + gap); the oracle's new-session flag is therefore
+    ``diff >= gap``, not ``>``. Window start = first event, end = last
+    event + gap. The struct column is unpacked to scalar start/end — the
+    driver's canonicalizer cannot sort struct values.
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="session_window_native",
+        description="native session_window aggregation (stream-capable "
+        "sessionizer), strict-gap merge semantics, struct unpacked",
+        spark=q_session_window_native,
+        oracle=f"""
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    >= {_GAP_US}
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM flagged
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events
+            FROM numbered
+            GROUP BY user_id, session_id
+        """,
+    )
+)
