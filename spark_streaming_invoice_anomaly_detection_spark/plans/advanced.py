@@ -1240,3 +1240,71 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Time-based RANGE frame: 7-day trailing revenue
+# ---------------------------------------------------------------------------
+
+
+def q_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue with its 7-day trailing sum — the time-based RANGE
+    frame (value range, not row count: days with no sales still age out
+    of the window correctly, which a ROWS frame gets wrong).
+
+    Two-level shape: the heavy lineitem scan collapses to one row per day
+    in a partial+final hash agg FIRST; the window then runs over ~2k daily
+    rows — never over raw lineitem. The frame orders on the integer day
+    number (days since epoch) with rangeBetween(-6, 0), identical
+    arithmetic on both engines; revenue aggregates on the exact scaled
+    int64 grid throughout and divides once at the end.
+    """
+    from ..functions.exactmath import scaled_long
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.sum(
+                scaled_long(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                )
+            ).alias("rev_s")
+        )
+        .withColumn("day_no", F.datediff(F.col("d"), F.lit("1970-01-01")))
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        "d",
+        (F.col("rev_s") / F.lit(10_000.0)).alias("day_revenue"),
+        (F.sum("rev_s").over(w) / F.lit(10_000.0)).alias("trailing7_revenue"),
+    )
+
+
+register(
+    QuerySpec(
+        name="trailing_week_revenue",
+        description="time-based RANGE frame: 7-day trailing revenue over "
+        "pre-aggregated daily rows (exact int64 grid)",
+        spark=q_trailing_week_revenue,
+        oracle="""
+            WITH daily AS (
+                SELECT CAST(l_shipdate AS DATE) AS d,
+                       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                           * 10000.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS rev_s,
+                       CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                            AS BIGINT) AS day_no
+                FROM lineitem
+                GROUP BY 1, 3
+            )
+            SELECT d,
+                   rev_s / 10000.0 AS day_revenue,
+                   CAST(sum(rev_s) OVER (
+                       ORDER BY day_no
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) / 10000.0 AS trailing7_revenue
+            FROM daily
+        """,
+    )
+)
