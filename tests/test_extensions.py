@@ -412,3 +412,40 @@ class TestMultimodal:
         assert counts, "expected at least one video asset"
         for aid, n in counts.items():
             assert n == max(durations[aid] - 1, 0) // 1000 + 1
+
+
+class TestMultimodalCodecRoundtrip:
+    def test_randomized_png_wav_roundtrip(self, spark):
+        """20 random grayscale images + 10 random PCM16 clips encoded by
+        the test helpers and decoded by the operator in one job — the
+        decoder's filter reconstruction and chunk walking hold across
+        arbitrary content, not just the fixed fixture."""
+        import random
+
+        rng = random.Random(20260814)
+        rows, want_feat = [], {}
+        for i in range(20):
+            w, h = rng.randint(1, 40), rng.randint(1, 40)
+            px = [rng.randrange(256) for _ in range(w * h)]
+            rows.append((i, "image", TestMultimodal._make_png(w, h, px)))
+            feat = [v / 255.0 for v in px[:8]]
+            want_feat[i] = feat + [0.0] * (8 - len(feat))
+        for i in range(20, 30):
+            n = rng.randint(1, 30)
+            samples = [rng.randint(-32768, 32767) for _ in range(n)]
+            rows.append((i, "audio", TestMultimodal._make_wav(samples)))
+            feat = [s / 32768.0 for s in samples[:8]]
+            want_feat[i] = feat + [0.0] * (8 - len(feat))
+
+        from spark_streaming_invoice_anomaly_detection_spark.operators.multimodal import (
+            decode_assets,
+        )
+
+        assets = spark.createDataFrame(
+            rows, "asset_id long, modality string, payload binary"
+        )
+        got = {
+            r.asset_id: list(r.feature)
+            for r in decode_assets(assets, real_decode=True).collect()
+        }
+        assert got == want_feat
