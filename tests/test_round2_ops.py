@@ -214,3 +214,47 @@ class TestObservedMetrics:
         n = df.count()
         assert obs.get["rows_out"] == n
         assert obs.get["qty_out"] > 25 * max(n - 1, 1)
+
+
+class TestArrowTextStatsUnicode:
+    def test_codepoint_semantics_on_non_ascii(self, spark):
+        """n_chars_utf8 counts CODEPOINTS (pc.utf8_length), and the DuckDB
+        oracle uses length() (also codepoints) — pinned here on non-ASCII
+        input so a future ASCII-only testdata regeneration can't hide a
+        bytes-vs-codepoints regression (r2 ADVICE #4)."""
+        import duckdb
+
+        from spark_streaming_invoice_anomaly_detection_spark.operators.arrowops import (
+            text_stats_arrow,
+        )
+
+        texts = ["héllo wörld", "日本語 テスト", "emoji 🎉 text", "plain"]
+        df = spark.createDataFrame(
+            [(i, t, "s") for i, t in enumerate(texts)],
+            "doc_id long, text string, source string",
+        )
+        got = {r.doc_id: r.n_chars_utf8 for r in text_stats_arrow(df).collect()}
+        want_py = {i: len(t) for i, t in enumerate(texts)}
+        assert got == want_py
+        con = duckdb.connect()
+        for i, t in enumerate(texts):
+            assert con.execute("SELECT length(?)", [t]).fetchone()[0] == want_py[i]
+
+
+class TestRegistryRotation:
+    def test_fixed_then_unchecked_then_green(self):
+        """The driver walks queries() in order under a wall-clock budget;
+        the rotation contract is: this round's fixed queries first, then
+        never-driver-checked ones, then already-green ones."""
+        from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
+            _DRIVER_CHECKED,
+            _FIXED_THIS_ROUND,
+            queries,
+        )
+
+        names = list(queries())
+        fixed = [n for n in _FIXED_THIS_ROUND if n in names]
+        assert names[: len(fixed)] == fixed
+        tail = names[len(fixed):]
+        tiers = [0 if n not in _DRIVER_CHECKED else 1 for n in tail]
+        assert tiers == sorted(tiers), "never-checked queries must precede green ones"
