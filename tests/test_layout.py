@@ -142,3 +142,53 @@ class TestSaltedJoin:
             .count()
         )
         assert n_groups == 8
+
+
+class TestZOrder:
+    def test_two_dimensional_file_skipping(self, spark, sf_dir, tmp_path):
+        """Z-order layout clusters BOTH columns at once: a 10%-range
+        predicate on either dimension touches a minority of files (via
+        parquet min/max stats), where a single-column sort only localizes
+        the sorted column."""
+        from spark_streaming_invoice_anomaly_detection_spark.operators.layout import (
+            write_zordered,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+
+        li = load_table(spark, "lineitem", sf_dir).select(
+            "l_partkey", "l_suppkey", "l_quantity"
+        )
+        path = str(tmp_path / "zordered")
+        # 64 files -> each dimension contributes 3 of the top 6 Morton
+        # bits, so a thin slice on either column confines to ~1/4 of files
+        write_zordered(li, path, "l_partkey", "l_suppkey", bits=8, num_files=64)
+
+        import glob
+
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        assert len(files) > 16, "need enough files for skipping to mean anything"
+
+        def files_touched(col: str) -> int:
+            stats = [
+                spark.read.parquet(f)
+                .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                .first()
+                for f in files
+            ]
+            full = li.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+            width = (full.hi - full.lo) or 1
+            # off-center 8% slice (a midpoint-straddling slice crosses the
+            # top-bit boundary and doubles the touched set — worst case)
+            q_lo = full.lo + width * 0.20
+            q_hi = full.lo + width * 0.28
+            return sum(1 for s in stats if s.lo <= q_hi and s.hi >= q_lo)
+
+        n = len(files)
+        touched_a = files_touched("l_partkey")
+        touched_b = files_touched("l_suppkey")
+        # both dimensions skip simultaneously — the single-column-sort
+        # counterexample would touch ~all files on its unsorted column
+        assert touched_a <= n * 0.5, (touched_a, n)
+        assert touched_b <= n * 0.5, (touched_b, n)
