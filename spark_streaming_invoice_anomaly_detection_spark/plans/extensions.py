@@ -2727,3 +2727,134 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of keyword + vector top-k
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60.0  # standard RRF damping constant
+_RRF_DEPTH = 20  # depth of each input ranked list
+_RRF_OUT = 10
+
+
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the TF-IDF keyword top-20 (documents) and the
+    exact cosine top-20 (embeddings — the tables share the 0..N id space)
+    by reciprocal-rank fusion: rrf(d) = sum over lists of 1/(60 + rank).
+
+    RRF works on RANKS, not scores, so the two lists' incomparable score
+    scales never mix — only the integer ranks (deterministic via score
+    then id tiebreaks) enter the fusion, and the one double expression
+    that combines them is fixed-order on both engines. The ranked lists
+    are both tiny (depth 20), so the row_number windows and the full
+    outer join run on driver-trivial data; all heavy lifting happened in
+    the upstream top-k queries (TakeOrdered scans, no global sort).
+    """
+    kw_top = q_keyword_search_topk(spark, sf_dir).select("doc_id", "score")
+    w_kw = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    kw = kw_top.select(
+        "doc_id", F.row_number().over(w_kw).alias("kw_rank")
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    vec_top = S.brute_force_topk(emb, QUERY_VEC, k=_RRF_DEPTH)
+    w_vec = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    vec = vec_top.select(
+        "vec_id", F.row_number().over(w_vec).alias("vec_rank")
+    )
+    fused = kw.join(vec, kw.doc_id == vec.vec_id, "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("kw_rank").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank").cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            "kw_rank",
+            "vec_rank",
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(_RRF_OUT)
+    )
+
+
+register(
+    QuerySpec(
+        name="hybrid_rrf_search",
+        description="reciprocal-rank fusion of TF-IDF keyword top-20 and "
+        "exact cosine top-20 (rank-only fusion, fixed-order double)",
+        spark=q_hybrid_rrf_search,
+        oracle=f"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                         AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id,
+                       count(*) FILTER (WHERE term = 'join') AS tf_join,
+                       count(*) FILTER (WHERE term = 'shuffle') AS tf_shuffle,
+                       count(*) FILTER (WHERE term = 'broadcast')
+                         AS tf_broadcast
+                FROM words
+                WHERE term IN {_SEARCH_TERMS!r}
+                GROUP BY doc_id
+            ), dfs AS (
+                SELECT count(*) FILTER (WHERE tf_join > 0) AS df_join,
+                       count(*) FILTER (WHERE tf_shuffle > 0) AS df_shuffle,
+                       count(*) FILTER (WHERE tf_broadcast > 0)
+                         AS df_broadcast
+                FROM tf
+            ), n AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+            ), kw_top AS (
+                SELECT doc_id,
+                       CAST(tf_join AS DOUBLE)
+                         * (n_docs / CAST(greatest(df_join, 1) AS DOUBLE))
+                       + CAST(tf_shuffle AS DOUBLE)
+                         * (n_docs / CAST(greatest(df_shuffle, 1) AS DOUBLE))
+                       + CAST(tf_broadcast AS DOUBLE)
+                         * (n_docs / CAST(greatest(df_broadcast, 1) AS DOUBLE))
+                         AS score
+                FROM tf, dfs, n
+                ORDER BY score DESC, doc_id
+                LIMIT {_RRF_DEPTH}
+            ), kw AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id)
+                         AS kw_rank
+                FROM kw_top
+            ), vec_top AS (
+                SELECT vec_id,
+                       list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        {_QUERY_SQL})
+                       / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product({_QUERY_SQL},
+                                                  {_QUERY_SQL})))
+                         AS cos_sim
+                FROM embeddings
+                ORDER BY cos_sim DESC, vec_id
+                LIMIT {_RRF_DEPTH}
+            ), vec AS (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                         AS vec_rank
+                FROM vec_top
+            )
+            SELECT coalesce(kw.doc_id, vec.vec_id) AS doc_id,
+                   kw_rank,
+                   vec_rank,
+                   coalesce(1.0 / ({_RRF_K!r} + CAST(kw_rank AS DOUBLE)), 0.0)
+                   + coalesce(1.0 / ({_RRF_K!r} + CAST(vec_rank AS DOUBLE)), 0.0)
+                     AS rrf_score
+            FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.vec_id
+            ORDER BY rrf_score DESC, doc_id
+            LIMIT {_RRF_OUT}
+        """,
+    )
+)
