@@ -1308,3 +1308,81 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day DISTINCT users: windowed count-distinct via day-grid explode
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users active in the trailing 7 days, per day — the
+    windowed COUNT DISTINCT that window functions cannot express (Spark
+    forbids DISTINCT aggregates over frames; a RANGE-frame count would
+    double-count multi-day users).
+
+    Shape: collapse events to (day, user) pairs FIRST (one hash distinct
+    — the only pass over raw events), then explode each pair onto the <=7
+    window days it is visible in, and count distinct per window day. The
+    7x fan-out happens on the already-deduped day-user pairs, not raw
+    events; at larger windows the HLL sketch path (approx_distinct_users)
+    is the scale alternative and this exact form is its oracle twin.
+    """
+    ev = _t(spark, sf_dir, "events")
+    day_users = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_no"),
+            "user_id",
+        )
+        .distinct()
+    )
+    bounds = day_users.agg(
+        F.min("day_no").alias("lo"), F.max("day_no").alias("hi")
+    )
+    return (
+        day_users.select(
+            F.explode(
+                F.sequence(F.col("day_no"), F.col("day_no") + F.lit(6))
+            ).alias("w_day"),
+            "user_id",
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("w_day") <= F.col("hi"))
+        .groupBy("w_day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .select(
+            F.date_add(F.lit("1970-01-01"), F.col("w_day")).alias("d"),
+            "active_users_7d",
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="rolling_distinct_users",
+        description="trailing-7-day distinct active users per day "
+        "(windowed COUNT DISTINCT via deduped day-grid explode)",
+        spark=q_rolling_distinct_users,
+        oracle="""
+            WITH day_users AS (
+                SELECT DISTINCT
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                         AS day_no,
+                       user_id
+                FROM events
+            ), bounds AS (
+                SELECT max(day_no) AS hi FROM day_users
+            ), grid AS (
+                SELECT unnest(generate_series(day_no, day_no + 6)) AS w_day,
+                       user_id
+                FROM day_users
+            )
+            SELECT CAST(DATE '1970-01-01' + INTERVAL (w_day) DAY AS DATE)
+                     AS d,
+                   count(DISTINCT user_id) AS active_users_7d
+            FROM grid, bounds
+            WHERE w_day <= hi
+            GROUP BY w_day
+        """,
+    )
+)
