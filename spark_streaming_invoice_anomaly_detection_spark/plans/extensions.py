@@ -2858,3 +2858,103 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: most-similar CROSS-label neighbor per vector
+# ---------------------------------------------------------------------------
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every embedding, its hardest negative — the most similar vector
+    carrying a DIFFERENT label — the pair-mining step of contrastive
+    training (triplet/InfoNCE batches want negatives near the anchor).
+
+    All-pairs at corpus scale is quadratic, so candidates come from the
+    same 4-plane RP-LSH bucket (the deterministic h60 hyperplanes the
+    oracle reproduces): the self-join keys on (bucket) with label
+    inequality inside the join, cosine only on surviving pairs, and one
+    row_number window per anchor picks the top with (sim desc, id) ties.
+    Vectors whose bucket holds no cross-label vector drop out — at 100 TB
+    you'd multi-probe neighboring buckets exactly like similarity_topk_lsh
+    rather than widen to all-pairs.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    b = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        S.rp_lsh_signature("embedding", _LSH_PLANES, 64).alias("bucket"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = a.join(
+        c,
+        (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("label_a") != F.col("label_b")),
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc("hard_neg_sim"), F.asc("id_b")
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "label_a",
+            "id_b",
+            "label_b",
+            D.cosine(F.col("emb_a"), F.col("emb_b")).alias("hard_neg_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+register(
+    QuerySpec(
+        name="hard_negative_mining",
+        description="per-vector hardest cross-label negative from the "
+        "RP-LSH bucket (contrastive pair mining, bounded candidates)",
+        spark=q_hard_negative_mining,
+        oracle=f"""
+            WITH base AS (
+                SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS embedding
+                FROM embeddings
+            ), sigs AS (
+                SELECT vec_id, label, embedding,
+                       {_LSH_SIG_SQL} AS bucket
+                FROM base
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, a.label AS label_a,
+                       b.vec_id AS id_b, b.label AS label_b,
+                       list_dot_product(a.embedding, b.embedding)
+                       / (sqrt(list_dot_product(a.embedding, a.embedding))
+                          * sqrt(list_dot_product(b.embedding, b.embedding)))
+                         AS hard_neg_sim
+                FROM sigs a JOIN sigs b
+                  ON a.bucket = b.bucket AND a.label <> b.label
+            )
+            SELECT id_a, label_a, id_b, label_b, hard_neg_sim
+            FROM (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY id_a
+                           ORDER BY hard_neg_sim DESC, id_b
+                       ) AS rn
+                FROM pairs
+            )
+            WHERE rn = 1
+        """,
+    )
+)
