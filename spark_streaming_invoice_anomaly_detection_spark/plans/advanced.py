@@ -1386,3 +1386,128 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: exact total-variation distance, first vs second half
+# ---------------------------------------------------------------------------
+
+_TV_BINS = 20
+
+
+def q_value_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distribution drift of ``value`` between the first
+    and second half of the time range, as TOTAL-VARIATION distance over a
+    fixed 20-bin histogram: TV = 0.5 * sum_i |p_i - q_i|.
+
+    Drift metrics usually reach for KL/PSI, but ln() is not correctly
+    rounded IEEE and differs across libm builds — unverifiable by a hash
+    oracle and irreproducible across engines. TV needs no transcendental:
+    with integer bin counts, sum_i |c1_i*n2 - c2_i*n1| is EXACT integer
+    arithmetic (decimal(38,0) headroom for 1e12-row halves), and the one
+    final division by 2*n1*n2 is a fixed-order double op. Binning and the
+    time split are closed-form from the global min/max (one tiny 1-row
+    aggregate broadcast into the scan) — no per-row Python, two shuffles.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t_lo"),
+        F.max(F.unix_micros("ts")).alias("t_hi"),
+        F.min("value").alias("v_lo"),
+        F.max("value").alias("v_hi"),
+    )
+    with_bins = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        # integer midpoint: identical floor division on both engines
+        (F.unix_micros("ts")
+         >= (F.col("t_lo") + F.col("t_hi")) / F.lit(2)).cast("int")
+        .alias("half"),
+        F.least(
+            F.lit(_TV_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("v_lo"))
+                / (F.col("v_hi") - F.col("v_lo"))
+                * F.lit(float(_TV_BINS))
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    per_bin = with_bins.groupBy("event_type", "bin").agg(
+        F.count_if(F.col("half") == 0).alias("c1"),
+        F.count_if(F.col("half") == 1).alias("c2"),
+    )
+    dec = "decimal(38,0)"
+    # two-pass form: totals first, then the exact |c1*n2 - c2*n1| sum
+    totals = per_bin.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    joined = per_bin.join(F.broadcast(totals), "event_type")
+    diff = F.abs(
+        F.col("c1").cast(dec) * F.col("n2").cast(dec)
+        - F.col("c2").cast(dec) * F.col("n1").cast(dec)
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            F.sum(diff).alias("num"),
+        )
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            (
+                F.col("num").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n1").cast("double")
+                    * F.col("n2").cast("double")
+                )
+            ).alias("tv_distance"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="value_drift_tv",
+        description="per-type distribution drift as exact total-variation "
+        "distance over 20 bins (integer cross-products, no transcendentals)",
+        spark=q_value_drift_tv,
+        oracle=f"""
+            WITH bounds AS (
+                SELECT min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi,
+                       min(value) AS v_lo, max(value) AS v_hi
+                FROM events
+            ), binned AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) >= (t_lo + t_hi) / 2 AS INT)
+                         AS half,
+                       least({_TV_BINS - 1},
+                             CAST(floor((value - v_lo) / (v_hi - v_lo)
+                                        * {float(_TV_BINS)!r}) AS INT))
+                         AS bin
+                FROM events, bounds
+            ), per_bin AS (
+                SELECT event_type, bin,
+                       count(*) FILTER (WHERE half = 0) AS c1,
+                       count(*) FILTER (WHERE half = 1) AS c2
+                FROM binned
+                GROUP BY event_type, bin
+            ), totals AS (
+                SELECT event_type,
+                       CAST(sum(c1) AS BIGINT) AS n1,
+                       CAST(sum(c2) AS BIGINT) AS n2
+                FROM per_bin
+                GROUP BY event_type
+            )
+            SELECT p.event_type, n1, n2,
+                   CAST(sum(abs(CAST(c1 AS HUGEINT) * n2
+                                - CAST(c2 AS HUGEINT) * n1)) AS DOUBLE)
+                   / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                     AS tv_distance
+            FROM per_bin p JOIN totals t ON p.event_type = t.event_type
+            GROUP BY p.event_type, n1, n2
+        """,
+    )
+)
