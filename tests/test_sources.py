@@ -324,3 +324,72 @@ class TestCorruptJsonl:
 
         with pytest.raises(ValueError, match="explicit schema"):
             read_jsonl(spark, str(tmp_path), keep_corrupt=True)
+
+
+class TestColumnarFormats:
+    def test_orc_roundtrip_with_pushdown(self, spark, sf_dir, tmp_path):
+        """ORC round-trip preserves values exactly, and a subsequent
+        filtered scan pushes the predicate into the ORC reader
+        (PushedFilters in the plan) with pruned columns."""
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.formats import (
+            read_orc,
+            write_orc,
+        )
+
+        from pyspark.sql import functions as F
+
+        li = load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        path = str(tmp_path / "li_orc")
+        write_orc(li, path)
+        back = read_orc(spark, path)
+        assert back.count() == li.count()
+        # exact value preservation (ORC stores the same doubles bit-for-bit)
+        a = li.agg(F.sum("l_extendedprice").alias("s")).first().s
+        b = back.agg(F.sum("l_extendedprice").alias("s")).first().s
+        assert a == b
+
+        scan = (
+            back.filter(F.col("l_quantity") > 40)
+            .select("l_orderkey")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [" in scan and "l_quantity" in scan.split(
+            "PushedFilters"
+        )[1].split("]")[0]
+        read_schema = scan.split("ReadSchema:")[1].split("\n")[0]
+        assert "l_extendedprice" not in read_schema  # column pruned
+
+    def test_avro_gated(self, spark, sf_dir, tmp_path):
+        """Avro runs when the external module exists, else the helpers
+        raise naming the missing jar (and the test skips)."""
+        import pytest as _pytest
+
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.formats import (
+            avro_available,
+            read_avro,
+            write_avro,
+        )
+
+        li = load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_quantity"
+        )
+        path = str(tmp_path / "li_avro")
+        if not avro_available(spark):
+            with _pytest.raises(RuntimeError, match="spark-avro"):
+                write_avro(li, path)
+            _pytest.skip(
+                "spark-avro external module not on the classpath "
+                "(org.apache.spark.sql.avro.AvroFileFormat unresolvable)"
+            )
+        write_avro(li, path)
+        assert read_avro(spark, path).count() == li.count()
