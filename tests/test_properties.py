@@ -196,3 +196,23 @@ def test_scaled_long_exact_on_decimal_grid(spark, cents, scale):
     ).collect()
     for r in rows:
         assert r.s == r.k, f"scale={scale}: {r.k} -> {r.s}"
+
+
+class TestScaledLongFormula:
+    """The exactmath core formula floor(x*10^k + 0.5) must pick the true
+    grid integer for EVERY k-decimal value an engine can hold — pinned by
+    property test against arbitrary-precision Decimal (round-half-up),
+    including negatives and the int64-relevant magnitude range."""
+
+    @given(
+        units=st.integers(min_value=-(10**15), max_value=10**15),
+        scale=st.sampled_from([0, 2, 3, 4, 6]),
+    )
+    @settings(max_examples=500, deadline=None)
+    def test_matches_decimal_half_up(self, units, scale):
+        import math
+
+        # x is an EXACT k-decimal grid point stored as the nearest double
+        x = units / float(10**scale)
+        got = math.floor(x * float(10**scale) + 0.5)
+        assert got == units, (x, scale, got, units)
