@@ -130,5 +130,6 @@ def _load_all() -> None:
     from . import relational  # noqa: F401
     from . import advanced  # noqa: F401
     from . import extensions  # noqa: F401
+    from . import sketch_queries  # noqa: F401
 
     _LOADED = True
