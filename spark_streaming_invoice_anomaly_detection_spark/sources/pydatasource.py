@@ -4,9 +4,10 @@ connector.
 
 Why it exists: S1/S8 adapters cover the standard loaders; this shows the
 engine can also own a *connector* — schema declaration, file-level
-partition planning, and per-partition reads — entirely in Python, the
-Spark-4 route for sources with no JVM implementation (internal formats,
-feeds behind Python SDKs).
+partition planning, per-partition reads, and a replayable streaming
+reader with line-offset checkpointing (``PurchaseReplayStreamReader``) —
+entirely in Python, the Spark-4 route for sources with no JVM
+implementation (internal formats, feeds behind Python SDKs).
 
 Scope note: rows cross the Python boundary one at a time, so this is a
 CONNECTOR surface, not the hot path — the engine's bulk I/O stays on the
@@ -18,7 +19,12 @@ downstream validation.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: Output schema: the typed purchase line + parse-error column (P1).
 PURCHASE_CSV_SCHEMA = (
@@ -45,6 +51,9 @@ class PurchaseCsvDataSource(DataSource):
 
     def reader(self, schema) -> "PurchaseCsvReader":
         return PurchaseCsvReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "PurchaseReplayStreamReader":
+        return PurchaseReplayStreamReader(self.options)
 
 
 class _FilePartition(InputPartition):
@@ -103,6 +112,88 @@ class PurchaseCsvReader(DataSourceReader):
                 next(reader, None)
             for row in reader:
                 yield parse([c.strip() for c in row])
+
+
+class PurchaseReplayStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector: the reference's paced replay
+    (InvoiceDataProducer.scala:10-45) as a first-class
+    ``spark.readStream.format("purchase_csv")`` source.
+
+    Offsets are line positions into the replay file — ``{"line": N}`` —
+    so the source is REPLAYABLE: ``readBetweenOffsets(start, end)``
+    re-yields exactly the lines in ``[start, end)``, which is what lets a
+    restarted query re-run an uncommitted micro-batch from the
+    checkpointed offset instead of at-most-once-ing it (the guarantee the
+    reference's fire-and-forget Kafka producer does NOT give).
+
+    ``maxLinesPerBatch`` (default 200) bounds each micro-batch — the
+    admission-control knob that keeps batch latency flat when the replay
+    file is hours of backlog: N executors process a bounded slice per
+    trigger instead of the whole remaining file in batch 0 (the same role
+    as maxFilesPerTrigger / maxOffsetsPerTrigger on the built-in sources).
+
+    The simple-reader variant prefetches on the driver (rows ship to
+    executors with the plan) — right for a replay/control source at
+    replay rates; a partition-parallel ``DataSourceStreamReader`` is the
+    step up when a single driver thread can't keep up.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("purchase_csv: 'path' option is required")
+        self.header = str(options.get("header", "false")).lower() == "true"
+        self.max_lines = int(options.get("maxLinesPerBatch", 200))
+
+    def initialOffset(self) -> dict:
+        return {"line": 0}
+
+    def _read_span(self, start_line: int, limit: int | None):
+        # stdlib-only; runs on the driver. Re-opens the file each call so a
+        # file still being appended to (paced replay) yields new lines on
+        # later triggers.
+        import csv as _csv
+
+        def parse(row):
+            if not row or all(not f.strip() for f in row):
+                return ("UNKNOWN", None, None, None, None, None, "empty line")
+            if len(row) < 8:
+                return (
+                    row[0] if row else "UNKNOWN",
+                    None,
+                    None,
+                    None,
+                    None,
+                    None,
+                    "malformed purchase line",
+                )
+            try:
+                qty = int(row[3])
+                price = float(row[5])
+            except ValueError as e:
+                return (row[0], None, None, None, None, None, f"parse error: {e}")
+            return (row[0], qty, row[4], price, row[6], row[7], None)
+
+        out = []
+        with open(self.path, newline="", encoding="utf-8") as f:
+            reader = _csv.reader(f)
+            if self.header:
+                next(reader, None)
+            for i, row in enumerate(reader):
+                if i < start_line:
+                    continue
+                if limit is not None and len(out) >= limit:
+                    break
+                out.append(parse([c.strip() for c in row]))
+        return out
+
+    def read(self, start: dict):
+        rows = self._read_span(start["line"], self.max_lines)
+        return iter(rows), {"line": start["line"] + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = self._read_span(start["line"], end["line"] - start["line"])
+        return iter(rows)
 
 
 def register(spark) -> None:

@@ -393,3 +393,95 @@ class TestColumnarFormats:
             )
         write_avro(li, path)
         assert read_avro(spark, path).count() == li.count()
+
+
+class TestPurchaseReplayStream:
+    def test_stream_reads_in_bounded_batches_exactly_once(self, spark, tmp_path):
+        """readStream over the Python connector: line-offset checkpointing
+        delivers every line exactly once, and maxLinesPerBatch bounds each
+        micro-batch (admission control for a backlogged replay file)."""
+        from spark_streaming_invoice_anomaly_detection_spark.sources.pydatasource import (
+            register,
+        )
+
+        from .test_streaming import _poll
+
+        register(spark)
+        p = tmp_path / "replay.csv"
+        lines = [
+            f"5363{i:02d},85123A,ITEM {i},{i % 7},12/1/2010 8:{i % 60:02d},1.25,178{i:02d},France"
+            for i in range(25)
+        ]
+        lines[3] = "536399,85123A,SHORT,4"  # malformed -> error_reason row
+        p.write_text("\n".join(lines) + "\n")
+
+        batches: list = []
+        q = (
+            spark.readStream.format("purchase_csv")
+            .option("path", str(p))
+            .option("maxLinesPerBatch", "10")
+            .load()
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, e: batches.append((e, df.collect())))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        try:
+            _poll(lambda: sum(len(rows) for _, rows in batches), 25)
+        finally:
+            q.stop()
+        rows = [r for _, b in batches for r in b]
+        assert len(rows) == 25  # exactly once, no dupes across batches
+        assert max(len(b) for _, b in batches) <= 10  # bounded micro-batches
+        assert sum(1 for _, b in batches if b) >= 3  # really took >1 batch
+        bad = [r for r in rows if r.error_reason]
+        assert [r.error_reason for r in bad] == ["malformed purchase line"]
+        assert {r.country for r in rows if r.error_reason is None} == {"France"}
+
+    def test_stream_restart_resumes_from_checkpoint(self, spark, tmp_path):
+        """A restarted query continues from the committed line offset —
+        the replayable-offset property the batch connector can't give."""
+        from spark_streaming_invoice_anomaly_detection_spark.sources.pydatasource import (
+            register,
+        )
+
+        from .test_streaming import _poll
+
+        register(spark)
+        p = tmp_path / "replay.csv"
+        mk = lambda i: f"10{i:04d},SKU,D,{i},12/1/2010 8:00,1.0,C{i},UK"
+        p.write_text("\n".join(mk(i) for i in range(8)) + "\n")
+
+        seen: list = []
+        ckpt = str(tmp_path / "ckpt")
+
+        def run():
+            return (
+                spark.readStream.format("purchase_csv")
+                .option("path", str(p))
+                .option("maxLinesPerBatch", "5")
+                .load()
+                .writeStream.outputMode("append")
+                .foreachBatch(lambda df, _e: seen.extend(df.collect()))
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="1 seconds")
+                .start()
+            )
+
+        q = run()
+        try:
+            _poll(lambda: len(seen), 8)
+        finally:
+            q.stop()
+        # append more lines while the query is down, then restart
+        with open(p, "a") as f:
+            f.write("\n".join(mk(i) for i in range(8, 13)) + "\n")
+        q = run()
+        try:
+            _poll(lambda: len(seen), 13)
+        finally:
+            q.stop()
+        assert sorted(r.invoice_no for r in seen) == sorted(
+            f"10{i:04d}" for i in range(13)
+        )  # no re-delivery of the first 8, all 5 appended lines picked up
