@@ -63,24 +63,24 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # The convergence flag is FUSED into the propagation projection:
+        # detecting "did any label change" is then a predicate scan of the
+        # frame we just checkpointed anyway, not (as a naive loop writes
+        # it) a second old-vs-new join — one fewer shuffle per round.
+        new_comp = F.least(
+            F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+        )
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
+                new_comp.alias("comp"),
+                (new_comp < F.col("comp")).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             edges.unpersist()
             return labels
