@@ -2958,3 +2958,134 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle + token-budget sampling
+# ---------------------------------------------------------------------------
+
+#: Seed folded into the shuffle hash: changing it is a full reshuffle.
+_SHUFFLE_SEED = 20260814
+
+
+def _shuffled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + (h, shard, n_tokens): md5(doc_id:seed) is the shuffle
+    key; its first 2 hex chars are the shard (256 uniform shards, and
+    shard order == hash-prefix order, so (shard, h) IS the global order)."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_SHUFFLE_SEED}")))
+    return docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.substring(h, 1, 2).alias("shard"),
+        X.bpe_token_estimate(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+def _with_global_rank(t: DataFrame) -> DataFrame:
+    """Global (shuffle_rank, cum_before) WITHOUT a single-partition window:
+    rank/cumsum within each of the 256 hash-prefix shards, then add
+    per-shard offsets from a 256-row aggregate (same two-level scheme as
+    packed_sequences above — the only global window runs over shard
+    summaries, not documents)."""
+    w_in = Window.partitionBy("shard").orderBy("h", "doc_id")
+    t = t.withColumn("in_rank", F.row_number().over(w_in)).withColumn(
+        "in_cum", F.sum("n_tokens").over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    shard_tot = t.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok")
+    )
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = shard_tot.select(
+        "shard",
+        F.coalesce(F.sum("n").over(w_sh), F.lit(0)).alias("rank_off"),
+        F.coalesce(F.sum("tok").over(w_sh), F.lit(0)).alias("tok_off"),
+    )
+    return t.join(F.broadcast(offsets), "shard").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("rank_off") + F.col("in_rank")).cast("long").alias("shuffle_rank"),
+        (F.col("tok_off") + F.col("in_cum") - F.col("n_tokens"))
+        .cast("long")
+        .alias("cum_before"),
+    )
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic corpus shuffle: every doc's global training
+    order as rank over md5(doc_id:seed).
+
+    Why an operator and not ORDER BY rand(): training-data order must be
+    reproducible across reruns/engines and recomputable for any subset
+    (resume from step k). The hash gives both; the two-level rank keeps
+    the computation shuffle-light at corpus scale (no global sort of the
+    full corpus — per-shard sorts plus a 256-row prefix sum).
+    """
+    return _with_global_rank(_shuffled_docs(spark, sf_dir)).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First documents in shuffle order until 25% of the corpus token
+    budget is spent: the "train on N tokens" cut every scaling-law run
+    makes. A doc is kept iff the budget wasn't exhausted when its turn
+    came (cum_before * 4 < total — exact integers, no division).
+
+    The total-token scalar rides in on a broadcast cross join of a 1-row
+    aggregate — no second scan of documents, no driver round-trip.
+    """
+    ranked = _with_global_rank(_shuffled_docs(spark, sf_dir))
+    total = ranked.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .filter(F.col("cum_before") * 4 < F.col("total_tokens"))
+        .select("doc_id", "n_tokens", "shuffle_rank", "cum_before")
+    )
+
+
+_SHUF_SQL = f"md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SEED}')"
+
+register(
+    QuerySpec(
+        name="corpus_shuffle",
+        description="seeded deterministic corpus shuffle rank via md5 "
+        "(two-level shard rank, no global sort)",
+        spark=q_corpus_shuffle,
+        oracle=f"""
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY {_SHUF_SQL}, doc_id)
+                       AS shuffle_rank
+            FROM documents
+        """,
+    )
+)
+
+register(
+    QuerySpec(
+        name="token_budget_sample",
+        description="docs in shuffle order until 25% of corpus tokens "
+        "(exact integer budget arithmetic)",
+        spark=q_token_budget_sample,
+        oracle=f"""
+            WITH t AS (
+                SELECT doc_id, {_SHUF_SQL} AS h,
+                       CAST(len(regexp_extract_all(text, '{{bpe}}'))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_tokens,
+                       row_number() OVER (ORDER BY h, doc_id)
+                           AS shuffle_rank,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cum_before
+                FROM t
+            )
+            SELECT doc_id, n_tokens, shuffle_rank, cum_before
+            FROM r
+            WHERE cum_before * 4 < (SELECT SUM(n_tokens) FROM t)
+        """.replace("{bpe}", _BPE_SQL),
+    )
+)
