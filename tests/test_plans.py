@@ -126,6 +126,18 @@ class TestRound2Shapes:
         assert phys.count("Window") >= 2
         assert "hashpartitioning(shard" in phys
 
+    def test_corpus_shuffle_no_global_sort_and_broadcast_offsets(
+        self, spark, sf_dir, q
+    ):
+        """Global shuffle rank must come from shard-partitioned windows +
+        a broadcast 256-row offset join — never a corpus-wide range
+        exchange (the thing that dies first at 100 TB)."""
+        for name in ("corpus_shuffle", "token_budget_sample"):
+            phys = plan_of(q[name](spark, sf_dir), "simple")
+            assert "hashpartitioning(shard" in phys, name
+            assert "Exchange rangepartitioning" not in phys, name
+            assert "BroadcastHashJoin" in phys, name
+
     def test_pagerank_unrolls_three_joins(self, spark, sf_dir, q):
         plan = plan_of(q["pagerank_neardup_graph"](spark, sf_dir))
         # 3 iterations -> at least 3 aggregate pairs over the edge joins
