@@ -210,3 +210,56 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog statistics (cost-based optimizer feed)
+# ---------------------------------------------------------------------------
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> None:
+    """Collect table (and optionally per-column) statistics into the
+    catalog — the input the cost-based optimizer needs to pick join order
+    and broadcast sides from DATA SIZE rather than file size.
+
+    At 100 TB the difference is concrete: without rowCount/NDV stats the
+    planner only sees compressed parquet bytes (post-filter selectivity
+    unknown → defensive sort-merge joins); with column stats +
+    ``spark.sql.cbo.enabled`` it can reorder a multi-join and broadcast a
+    dimension whose FILTERED size fits, even when the raw table doesn't.
+    Column analysis is one extra scan per call — schedule it with the
+    write, not per query.
+    """
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def table_stats(spark: SparkSession, table: str) -> dict:
+    """Read back the catalog statistics line: {'size_bytes': int,
+    'row_count': int | None} (row_count None until analyzed)."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r.col_name == "Statistics":
+            # e.g. "12345 bytes, 6789 rows" (rows absent pre-ANALYZE)
+            parts = r.data_type.split(",")
+            out = {"size_bytes": int(parts[0].split()[0]), "row_count": None}
+            if len(parts) > 1 and "rows" in parts[1]:
+                out["row_count"] = int(parts[1].split()[0])
+            return out
+    return {"size_bytes": None, "row_count": None}
+
+
+def column_stats(spark: SparkSession, table: str, column: str) -> dict:
+    """Per-column catalog stats (after ``analyze_table(..., columns=...)``):
+    distinct_count/min/max/num_nulls as strings, absent keys -> None."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table} {column}").collect()
+    info = {r.info_name: r.info_value for r in rows}
+    return {
+        "distinct_count": info.get("distinct_count"),
+        "min": info.get("min"),
+        "max": info.get("max"),
+        "num_nulls": info.get("num_nulls"),
+    }

@@ -192,3 +192,33 @@ class TestZOrder:
         # counterexample would touch ~all files on its unsorted column
         assert touched_a <= n * 0.5, (touched_a, n)
         assert touched_b <= n * 0.5, (touched_b, n)
+
+
+class TestCatalogStats:
+    def test_analyze_feeds_cbo_row_and_column_stats(self, spark, sf_dir, tmp_path):
+        """ANALYZE round-trip: rowCount and per-column NDV/min/max land in
+        the catalog — the CBO's join-reorder/broadcast inputs."""
+        from spark_streaming_invoice_anomaly_detection_spark.operators import layout
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+
+        nation = load_table(spark, "nation", sf_dir)
+        n_rows = nation.count()
+        try:
+            nation.write.mode("overwrite").option(
+                "path", str(tmp_path / "nation_tbl")
+            ).saveAsTable("t_nation_stats")
+            assert layout.table_stats(spark, "t_nation_stats")["row_count"] is None
+            layout.analyze_table(
+                spark, "t_nation_stats", columns=["n_nationkey", "n_regionkey"]
+            )
+            stats = layout.table_stats(spark, "t_nation_stats")
+            assert stats["row_count"] == n_rows
+            assert stats["size_bytes"] > 0
+            cstats = layout.column_stats(spark, "t_nation_stats", "n_nationkey")
+            assert cstats["distinct_count"] == str(n_rows)  # key column: NDV = rows
+            assert cstats["num_nulls"] == "0"
+            assert cstats["min"] == "0"
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_nation_stats")
