@@ -6,6 +6,8 @@
             --source-dir DIR | --kafka-brokers B --kafka-topic T
             [--out-dir DIR] [--trigger-seconds 20]
     python -m spark_streaming_invoice_anomaly_detection_spark produce <file.csv> <watch_dir> [--min-ms 5 --max-ms 10]
+    python -m spark_streaming_invoice_anomaly_detection_spark sql "SELECT ..." [--sf-dir DIR] [--explain]
+    python -m spark_streaming_invoice_anomaly_detection_spark query <name>|list [--sf-dir DIR] [--explain]
 
 `train` mirrors KMeansClusterInvoices.main / BisectingKMeansClusterInvoices
 (CSV -> featurize -> filter -> sweep+elbow -> model + threshold persisted,
@@ -130,6 +132,42 @@ def _cmd_produce(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_sql(args: argparse.Namespace) -> int:
+    from .session import get_spark
+    from .sources.catalog import register_views
+
+    spark = get_spark(app_name="invoice-engine-sql")
+    register_views(spark, args.sf_dir)
+    df = spark.sql(args.query)
+    if args.explain:
+        df.explain("formatted")
+    for line in df.limit(args.limit).toJSON().collect():
+        print(line)
+    return 0
+
+
+def _cmd_query(args: argparse.Namespace) -> int:
+    from .plans.registry import REGISTRY, queries
+
+    qs = queries()
+    if args.name == "list":
+        for name in qs:
+            print(f"{name}\t{REGISTRY[name].description}")
+        return 0
+    if args.name not in qs:
+        print(f"unknown query: {args.name} (try 'query list')", file=sys.stderr)
+        return 2
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"invoice-engine-{args.name}")
+    df = qs[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    for line in df.limit(args.limit).toJSON().collect():
+        print(line)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="spark_streaming_invoice_anomaly_detection_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -162,6 +200,22 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--max-ms", type=float, default=10.0)
     r.add_argument("--chunk-lines", type=int, default=50)
     r.set_defaults(fn=_cmd_produce)
+
+    q = sub.add_parser("sql", help="ad-hoc SQL over the test catalog views")
+    q.add_argument("query")
+    q.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR"))
+    q.add_argument("--limit", type=int, default=100)
+    q.add_argument("--explain", action="store_true")
+    q.set_defaults(fn=_cmd_sql)
+
+    g = sub.add_parser(
+        "query", help="run a registered engine query by name ('list' to enumerate)"
+    )
+    g.add_argument("name")
+    g.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR"))
+    g.add_argument("--limit", type=int, default=100)
+    g.add_argument("--explain", action="store_true")
+    g.set_defaults(fn=_cmd_query)
     return p
 
 

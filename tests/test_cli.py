@@ -186,3 +186,37 @@ def test_full_cli_loop_train_produce_pipeline(spark, training_csv, tmp_path):
         assert emitted() > 0, "no anomalies flowed through the full loop"
     finally:
         handle.stop()
+
+
+def test_sql_cli_runs_adhoc_query(spark, capsys):
+    rc = main(
+        [
+            "sql",
+            "SELECT r_name, count(*) AS n FROM region GROUP BY r_name ORDER BY r_name",
+            "--sf-dir",
+            os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 5 and all(r["n"] == 1 for r in lines)
+
+
+def test_query_cli_lists_and_runs_registered_query(spark, capsys):
+    assert main(["query", "list"]) == 0
+    listing = capsys.readouterr().out
+    assert "pricing_summary" in listing and "minhash_lsh_neardups" in listing
+
+    rc = main(
+        [
+            "query",
+            "pricing_summary",
+            "--sf-dir",
+            os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+        ]
+    )
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and {"l_returnflag", "l_linestatus"} <= set(rows[0])
+
+    assert main(["query", "no_such_query"]) == 2
