@@ -1600,7 +1600,11 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
     outdeg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    ed = edges.join(outdeg, "u")
+    # The LSH candidate pipeline above is a deep subtree; unrolled 3x it
+    # would be re-derived per iteration (exchange reuse does not reach
+    # across the rank-join boundary). One persist caps it at one
+    # computation — the edge list is tiny relative to the corpus.
+    ed = edges.join(outdeg, "u").persist()
 
     n_docs = load_table(spark, "documents", sf_dir).count()  # tiny scalar
     big_n = 2 * n_docs
