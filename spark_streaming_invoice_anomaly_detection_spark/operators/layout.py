@@ -263,3 +263,53 @@ def column_stats(spark: SparkSession, table: str, column: str) -> dict:
         "max": info.get("max"),
         "num_nulls": info.get("num_nulls"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction
+# ---------------------------------------------------------------------------
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 128,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_mb``-sized files;
+    returns the output file count.
+
+    Why this is a first-class operator: every incremental producer
+    (streaming micro-batches, per-partition appends) accretes small
+    files, and at 100 TB the resulting listing + footer + task-per-file
+    overheads dominate scan cost long before IO does. Output file count
+    is sized from the ACTUAL input bytes (driver-side file metadata — a
+    listing, not a data read). With ``cluster_by`` the rewrite range-
+    partitions on those columns so each output file covers a narrow
+    key range and parquet min/max stats prune files for later predicates
+    (same idea as write_zordered, one dimension).
+    """
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(src_path)
+    total = 0
+    for f in df.inputFiles():
+        p = urlparse(f)
+        if p.scheme in ("file", ""):
+            total += os.path.getsize(p.path)
+        else:  # non-local FS: fall back to the Hadoop FileSystem API
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(f)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            total += fs.getFileStatus(jpath).getLen()
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    out = (
+        df.repartitionByRange(n_files, *cluster_by)
+        if cluster_by
+        else df.repartition(n_files)
+    )
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_files

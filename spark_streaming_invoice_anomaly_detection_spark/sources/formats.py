@@ -65,3 +65,19 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
 
 
 __all__ = ["write_orc", "read_orc", "avro_available", "write_avro", "read_avro"]
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under DIFFERENT
+    schema versions (columns added over time), unioning the schemas.
+
+    ``mergeSchema`` makes the scan reconcile every file footer instead of
+    sampling one: rows from files that predate a column read it as null.
+    This is the read half of schema evolution on a plain parquet lake —
+    the write half is simply "writers may add nullable columns". Merge is
+    footer-metadata work at planning time; at 100 TB, listing/footer cost
+    scales with file count (another reason compaction matters), not data
+    size. Incompatible type changes still fail loudly — correct behavior,
+    not a gap.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
