@@ -87,3 +87,41 @@ def test_cms_sketches_merge_deterministically(spark, sf_dir):
         sk.cms_agg("user_id", _CMS_EPS, _CMS_CONF, _CMS_SEED).alias("s")
     ).collect()[0]["s"]
     assert bytes(one) == bytes(many)
+
+
+def test_hll_sketches_survive_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """The storable-partial claim end-to-end: persist per-day sketches to
+    parquet, read them back, union — same estimates as never persisting.
+    (This is the rescan-free date-range rollup a deployment relies on.)"""
+    ev = load_table(spark, "events", sf_dir).withColumn("day", F.to_date("ts"))
+    daily = sk.distinct_sketches(ev, ["event_type", "day"], "user_id")
+    path = str(tmp_path / "daily_sketches")
+    daily.write.parquet(path)
+
+    stored = spark.read.parquet(path)
+    from_disk = {
+        r["event_type"]: r["est"]
+        for r in sk.rollup_distinct(stored, ["event_type"], estimate_col="est").collect()
+    }
+    live = {
+        r["event_type"]: r["est"]
+        for r in sk.rollup_distinct(daily, ["event_type"], estimate_col="est").collect()
+    }
+    assert from_disk == live
+
+    # date-range rollup without rescanning events: union only 3 days' files
+    some_days = [r["day"] for r in stored.select("day").distinct().limit(3).collect()]
+    subset = stored.filter(F.col("day").isin(some_days))
+    est = {
+        r["event_type"]: r["est"]
+        for r in sk.rollup_distinct(subset, ["event_type"], estimate_col="est").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.filter(F.col("day").isin(some_days))
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(1, 0.05 * n), (t, est[t], n)
