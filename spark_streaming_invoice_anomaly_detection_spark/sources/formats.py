@@ -81,3 +81,67 @@ def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
     not a gap.
     """
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def write_with_manifest(df: DataFrame, path: str, mode: str = "overwrite") -> dict:
+    """Write parquet plus a ``_manifest.json`` recording row count, schema,
+    and an order-insensitive content hash; returns the manifest dict.
+
+    The hash is SUM(xxhash64(all columns)) accumulated in decimal(38,0) —
+    exact, commutative, and mergeable, so it computes in one distributed
+    aggregate with no ordering requirement and stays stable across
+    partitioning/shuffle/AQE differences. This is the provenance record a
+    training run pins ("trained on exactly this data"): re-verification
+    is one scan, not a byte-compare.
+    """
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    df.write.mode(mode).parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    row = back.agg(
+        _F.count(_F.lit(1)).alias("rows"),
+        _F.sum(
+            _F.xxhash64(*[_F.col(c) for c in sorted(back.columns)]).cast(
+                "decimal(38,0)"
+            )
+        ).alias("content_hash"),
+    ).first()
+    manifest = {
+        "rows": row["rows"],
+        "content_hash": str(row["content_hash"]),
+        "schema": _json.loads(back.schema.json()),
+    }
+    with open(_os.path.join(path, "_manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def verify_manifest(spark: SparkSession, path: str) -> dict:
+    """Recompute the manifest over what's on disk and compare; returns
+    {'ok': bool, 'expected': ..., 'actual': ...}. Catches lost/extra/
+    modified files that a row count alone would miss."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    with open(_os.path.join(path, "_manifest.json")) as f:
+        expected = _json.load(f)
+    df = spark.read.parquet(path)
+    row = df.agg(
+        _F.count(_F.lit(1)).alias("rows"),
+        _F.sum(
+            _F.xxhash64(*[_F.col(c) for c in sorted(df.columns)]).cast(
+                "decimal(38,0)"
+            )
+        ).alias("content_hash"),
+    ).first()
+    actual = {"rows": row["rows"], "content_hash": str(row["content_hash"])}
+    ok = (
+        actual["rows"] == expected["rows"]
+        and actual["content_hash"] == expected["content_hash"]
+    )
+    return {"ok": ok, "expected": expected, "actual": actual}

@@ -485,3 +485,37 @@ class TestPurchaseReplayStream:
         assert sorted(r.invoice_no for r in seen) == sorted(
             f"10{i:04d}" for i in range(13)
         )  # no re-delivery of the first 8, all 5 appended lines picked up
+
+
+class TestManifestSink:
+    def test_manifest_roundtrip_and_tamper_detection(self, spark, sf_dir, tmp_path):
+        import glob
+        import os as _os
+
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.formats import (
+            verify_manifest,
+            write_with_manifest,
+        )
+
+        nation = load_table(spark, "nation", sf_dir)
+        path = str(tmp_path / "nation_manifested")
+        # write fragmented so the content hash spans multiple files
+        m = write_with_manifest(nation.repartition(4), path)
+        assert m["rows"] == nation.count()
+
+        assert verify_manifest(spark, path)["ok"]
+
+        # hash is partitioning-independent: rewrite with different layout
+        path2 = str(tmp_path / "nation_other_layout")
+        m2 = write_with_manifest(nation.coalesce(1), path2)
+        assert m2["content_hash"] == m["content_hash"]
+
+        # tamper: drop one data file -> verification must fail
+        victim = sorted(glob.glob(f"{path}/part-*.parquet"))[0]
+        _os.remove(victim)
+        res = verify_manifest(spark, path)
+        assert not res["ok"]
+        assert res["actual"]["rows"] < res["expected"]["rows"]
