@@ -283,3 +283,44 @@ def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     unmatched = [r for r in out if r.p_id is None]
     assert any(r.user_id == "u2" for r in unmatched)
     assert all(r.p_ts is None for r in unmatched)
+
+
+@pytest.mark.slow
+def test_stream_static_broadcast_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: each micro-batch joins the static dimension
+    without watermarks or state (the static side re-resolves per batch).
+    The canonical enrichment shape — stream of events + dimension table."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+        load_table,
+    )
+
+    static_dim = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("nat"), "n_name"
+    )
+    src = tmp_path / "in"
+    os.makedirs(src)
+    with open(src / "a.csv", "w") as f:
+        f.write("e1,0\ne2,1\ne3,0\ne4,99\n")  # 99: no dim match -> dropped
+    raw = (
+        spark.readStream.format("csv")
+        .schema("event_id string, nat int")
+        .load(str(src))
+    )
+    out: list = []
+    q = (
+        raw.join(F.broadcast(static_dim), "nat")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        _poll(lambda: len(out), 3)
+    finally:
+        q.stop()
+    got = {r.event_id: r.n_name for r in out}
+    assert set(got) == {"e1", "e2", "e3"}  # inner join drops the orphan
+    assert got["e2"] != got["e1"]
