@@ -3093,3 +3093,87 @@ register(
         """.replace("{bpe}", _BPE_SQL),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Transitive contamination closure (recursive CTE)
+# ---------------------------------------------------------------------------
+
+#: Depth bound for the closure walk: near-dup clusters are stars/cliques
+#: (diameter <= ~3); the bound also caps recursion on the cyclic
+#: undirected edge list.
+_CLOSURE_MAX_HOPS = 4
+
+
+def q_contamination_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive decontamination: starting from seed documents (stand-in
+    for an eval-set match list: original ids divisible by 10), every doc
+    reachable through near-dup edges within 4 hops, with its minimum hop
+    count. One contaminated doc taints its near-dups, their near-dups, and
+    so on — the closure a thorough decontamination pass must remove, where
+    the plain hash anti-join (`decontaminated_counts`) removes only exact
+    seed matches.
+
+    Runs as a Spark 4 recursive CTE (`WITH RECURSIVE`): each recursion
+    level is one distributed join of the frontier against the edge list,
+    and the depth predicate bounds the unrolling — the declarative twin of
+    the driver-looped min-label propagation in operators/graph.py, checked
+    against DuckDB's recursive CTE over the bit-identical pair graph.
+    """
+    # Eagerly materialize the pair list BEFORE the recursive plan refers
+    # to it: each recursion level re-reads the edge view, and without the
+    # checkpoint every level re-derives the whole LSH candidate pipeline
+    # (52s -> ~13s cold at sf0.01).
+    pairs = _near_dup_pairs(spark, sf_dir).select("id_a", "id_b").localCheckpoint()
+    pairs.createOrReplaceTempView("_closure_pairs")
+    _augmented_docs(spark, sf_dir).select("doc_id").createOrReplaceTempView(
+        "_closure_docs"
+    )
+    return spark.sql(
+        f"""
+        WITH RECURSIVE edges AS (
+            SELECT id_a AS u, id_b AS v FROM _closure_pairs
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM _closure_pairs
+        ),
+        reach(doc_id, depth) AS (
+            SELECT doc_id, 0 FROM _closure_docs
+            WHERE doc_id % 10 = 0 AND doc_id < {_AUG_OFFSET}
+            UNION ALL
+            SELECT e.v, r.depth + 1
+            FROM reach r JOIN edges e ON e.u = r.doc_id
+            WHERE r.depth < {_CLOSURE_MAX_HOPS}
+        )
+        SELECT doc_id, CAST(MIN(depth) AS INT) AS hops
+        FROM reach GROUP BY doc_id
+        """
+    )
+
+
+register(
+    QuerySpec(
+        name="contamination_closure",
+        description="transitive near-dup contamination closure from seed "
+        "docs via WITH RECURSIVE (min hop count, depth-bounded)",
+        spark=q_contamination_closure,
+        oracle=f"""
+            WITH RECURSIVE pairs AS MATERIALIZED ({_MINHASH_ORACLE}),
+            edges AS MATERIALIZED (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            aug AS ({_AUG_DOCS_SQL}),
+            reach(doc_id, depth) AS (
+                SELECT doc_id, 0 FROM aug
+                WHERE doc_id % 10 = 0 AND doc_id < {_AUG_OFFSET}
+                UNION ALL
+                SELECT e.v, r.depth + 1
+                FROM reach r JOIN edges e ON e.u = r.doc_id
+                WHERE r.depth < {_CLOSURE_MAX_HOPS}
+            )
+            SELECT doc_id, CAST(MIN(depth) AS INT) AS hops
+            FROM reach GROUP BY doc_id
+        """,
+    )
+)

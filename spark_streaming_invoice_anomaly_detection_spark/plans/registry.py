@@ -87,6 +87,7 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
 _COSTLY: frozenset[str] = frozenset({
     "neardup_components", "neardup_keep_best", "pagerank_neardup_graph",
     "kmeans_invoice_anomalies", "bisecting_invoice_anomalies",
+    "contamination_closure",
 })
 
 
