@@ -1097,8 +1097,8 @@ register(
         "canonical doc per component (iterative min-label propagation)",
         spark=q_neardup_components,
         oracle=f"""
-            WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
-            edges AS (
+            WITH RECURSIVE pairs AS MATERIALIZED ({_MINHASH_ORACLE}),
+            edges AS MATERIALIZED (
                 SELECT id_a AS u, id_b AS v FROM pairs
                 UNION
                 SELECT id_b AS u, id_a AS v FROM pairs
@@ -1649,8 +1649,8 @@ def _pagerank_oracle() -> str:
             GROUP BY n.node
         )""")
     return f"""
-        WITH pairs AS ({_MINHASH_ORACLE}),
-        edges AS (
+        WITH pairs AS MATERIALIZED ({_MINHASH_ORACLE}),
+        edges AS MATERIALIZED (
             SELECT id_a AS u, id_b AS v FROM pairs
             UNION ALL
             SELECT id_b AS u, id_a AS v FROM pairs
@@ -1896,8 +1896,8 @@ register(
         "connected component",
         spark=q_neardup_keep_best,
         oracle=f"""
-            WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
-            edges AS (
+            WITH RECURSIVE pairs AS MATERIALIZED ({_MINHASH_ORACLE}),
+            edges AS MATERIALIZED (
                 SELECT id_a AS u, id_b AS v FROM pairs
                 UNION
                 SELECT id_b AS u, id_a AS v FROM pairs
