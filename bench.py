@@ -63,9 +63,27 @@ def main() -> None:
     # timings see multi-second noise spikes from co-tenant processes
     # (r2's pricing_summary "+16% regression" was min-of-2 measurement
     # noise; min-of-3 tightens the floor).
+    # minhash_lsh_neardups memoizes its pair list (plans/extensions.py
+    # _PAIRS_CACHE — legitimately shared by four graph queries in a real
+    # session); for an honest per-rep timing the cache is dropped before
+    # each timed run, otherwise the number measures a cache read (~0.06s)
+    # instead of the banded-LSH work.
+    def _reset_pairs_cache() -> None:
+        from spark_streaming_invoice_anomaly_detection_spark.plans import (
+            extensions as _ext,
+        )
+
+        for df in _ext._PAIRS_CACHE.values():
+            df.unpersist()
+        _ext._PAIRS_CACHE.clear()
+
+    pre_rep = {"minhash_lsh_neardups": _reset_pairs_cache}
+
     timings: dict[str, float] = {}
     for _rep in range(3):
         for name in headline:
+            if name in pre_rep:
+                pre_rep[name]()
             t0 = time.perf_counter()
             df = REGISTRY[name].spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
