@@ -168,6 +168,15 @@ def minhash_near_dups(
     sides) — measured 2x end-to-end. Tokenize/ngram recompute is the
     alternative at cluster scale if shingle storage exceeds the cache.
     """
+    # Tokenize/shingle is the pipeline's CPU hot spot, and its parallelism
+    # is whatever the text scan produced — a handful of parquet files (or
+    # one upstream coalesce) leaves most cores idle. If the input is
+    # under-parallel, spread it first: the shuffle moves only (id, text)
+    # once, and every downstream stage inherits the width. When the input
+    # already has enough partitions (any real cluster scan), no-op.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     # Empty-shingle docs (fewer than ngram tokens) would all hash to the
     # SAME band bucket (array_min of [] is null; concat_ws skips nulls ->
     # md5('')), forming one quadratic candidate bucket of short docs that
