@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_streaming_invoice_anomaly_detection_spark.operators import sketches as sk
@@ -125,3 +126,22 @@ def test_hll_sketches_survive_parquet_roundtrip(spark, sf_dir, tmp_path):
     }
     for t, n in exact.items():
         assert abs(est[t] - n) <= max(1, 0.05 * n), (t, est[t], n)
+
+
+@pytest.mark.parametrize(
+    "eps,conf",
+    [(0.1, 0.9), (0.01, 0.99), (0.001, 0.999)],
+)
+def test_cms_envelope_across_parameter_grid(spark, sf_dir, eps, conf):
+    """Wire-format invariants hold across the (eps, confidence) grid:
+    parsed depth/width match the public sizing formula, the byte length
+    is exactly the header+seeds+counters layout, and totals stay exact."""
+    ev = load_table(spark, "events", sf_dir).limit(500)
+    raw = ev.agg(sk.cms_agg("user_id", eps, conf, 7).alias("s")).collect()[0]["s"]
+    parsed = sk.parse_cms(bytes(raw))
+    depth, width = sk.cms_depth_width(eps, conf)
+    assert (parsed.depth, parsed.width) == (depth, width)
+    assert len(bytes(raw)) == 20 + 8 * depth + 8 * depth * width
+    n = ev.count()
+    assert parsed.total_count == n
+    assert all(sum(row) == n for row in parsed.counters)
