@@ -73,9 +73,10 @@ def main() -> None:
             extensions as _ext,
         )
 
-        for df in _ext._PAIRS_CACHE.values():
-            df.unpersist()
-        _ext._PAIRS_CACHE.clear()
+        for cache in (_ext._PAIRS_CACHE, _ext._PR_EDGES_CACHE):
+            for df in cache.values():
+                df.unpersist()
+            cache.clear()
 
     pre_rep = {"minhash_lsh_neardups": _reset_pairs_cache}
 

@@ -174,8 +174,14 @@ def minhash_near_dups(
     # under-parallel, spread it first: the shuffle moves only (id, text)
     # once, and every downstream stage inherits the width. When the input
     # already has enough partitions (any real cluster scan), no-op.
+    # Probe width via inputFiles(), NOT df.rdd.getNumPartitions(): under
+    # AQE the rdd accessor eagerly executes any upstream shuffle stages
+    # just to learn the count, and those results are then thrown away.
+    # Non-file-backed inputs (len == 0) get the spread unconditionally —
+    # their width is unknowable cheaply and the shuffle is one narrow pass.
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n_files = len(df.inputFiles())
+    if n_files < target:
         df = df.repartition(target)
     # Empty-shingle docs (fewer than ngram tokens) would all hash to the
     # SAME band bucket (array_min of [] is null; concat_ws skips nulls ->

@@ -292,14 +292,15 @@ def compact_parquet(
     """
     import math
     import os
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     df = spark.read.parquet(src_path)
     total = 0
     for f in df.inputFiles():
         p = urlparse(f)
         if p.scheme in ("file", ""):
-            total += os.path.getsize(p.path)
+            # inputFiles() returns percent-encoded URIs (spaces -> %20)
+            total += os.path.getsize(unquote(p.path))
         else:  # non-local FS: fall back to the Hadoop FileSystem API
             jvm = spark._jvm
             jpath = jvm.org.apache.hadoop.fs.Path(f)

@@ -163,8 +163,12 @@ def cms_summary(
     agged = df.groupBy(*group_cols).agg(
         cms_agg(value_col, eps, confidence, seed).alias("sketch")
     )
+    # group columns keep their ACTUAL types (a hardcoded string schema
+    # would make Arrow conversion fail for int/date group keys)
     out_schema = (
-        ", ".join(f"{c} string" for c in group_cols)
+        ", ".join(
+            f"{c} {agged.schema[c].dataType.simpleString()}" for c in group_cols
+        )
         + ", depth int, width int, total_count long, sketch_bytes int"
     )
     gcols = list(group_cols)

@@ -146,6 +146,9 @@ _MH_K, _MH_BANDS, _MH_NGRAM, _MH_THRESHOLD = 8, 4, 3, 0.3
 #: r1 driver-time-budget starvation. A fresh session just repopulates.
 _PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
+#: Degree-joined PageRank edge list, same keying/lifecycle as _PAIRS_CACHE.
+_PR_EDGES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
 
 def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
@@ -1602,9 +1605,14 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     # The LSH candidate pipeline above is a deep subtree; unrolled 3x it
     # would be re-derived per iteration (exchange reuse does not reach
-    # across the rank-join boundary). One persist caps it at one
-    # computation — the edge list is tiny relative to the corpus.
-    ed = edges.join(outdeg, "u").persist()
+    # across the rank-join boundary). One persisted edge list caps it at
+    # one computation; MEMOIZED per (session, sf_dir) like _PAIRS_CACHE —
+    # a bare per-call persist() would leak a CacheManager entry on every
+    # invocation of the query in a long-lived session.
+    ed_key = (id(spark), sf_dir)
+    if ed_key not in _PR_EDGES_CACHE:
+        _PR_EDGES_CACHE[ed_key] = edges.join(outdeg, "u").persist()
+    ed = _PR_EDGES_CACHE[ed_key]
 
     n_docs = load_table(spark, "documents", sf_dir).count()  # tiny scalar
     big_n = 2 * n_docs

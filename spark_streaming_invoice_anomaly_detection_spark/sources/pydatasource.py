@@ -119,18 +119,31 @@ class PurchaseReplayStreamReader(SimpleDataSourceStreamReader):
     (InvoiceDataProducer.scala:10-45) as a first-class
     ``spark.readStream.format("purchase_csv")`` source.
 
-    Offsets are line positions into the replay file — ``{"line": N}`` —
+    ``path`` may be a single append-only file or a directory of chunk
+    files (the paced producer's watch-dir layout, replay.py) — directory
+    files are consumed in sorted name order, matching the producer's
+    monotonically-named atomic chunks.
+
+    Offsets are positions in the virtual concatenation of those lines —
+    ``{"line": N, "file": i, "pos": B}`` (file index + byte position make
+    resumption O(batch), the line count is the exactly-once contract) —
     so the source is REPLAYABLE: ``readBetweenOffsets(start, end)``
     re-yields exactly the lines in ``[start, end)``, which is what lets a
     restarted query re-run an uncommitted micro-batch from the
     checkpointed offset instead of at-most-once-ing it (the guarantee the
     reference's fire-and-forget Kafka producer does NOT give).
 
+    Tail safety: a final line not yet newline-terminated (a producer's
+    unflushed write) is NOT consumed — the offset stops before it and the
+    completed line is picked up by a later trigger. Records are parsed
+    per line, so quoted commas survive but embedded newlines inside
+    quotes do not (the reference wire format has none).
+
     ``maxLinesPerBatch`` (default 200) bounds each micro-batch — the
     admission-control knob that keeps batch latency flat when the replay
-    file is hours of backlog: N executors process a bounded slice per
-    trigger instead of the whole remaining file in batch 0 (the same role
-    as maxFilesPerTrigger / maxOffsetsPerTrigger on the built-in sources).
+    file is hours of backlog: a bounded slice per trigger instead of the
+    whole remaining file in batch 0 (the same role as maxFilesPerTrigger
+    / maxOffsetsPerTrigger on the built-in sources).
 
     The simple-reader variant prefetches on the driver (rows ship to
     executors with the plan) — right for a replay/control source at
@@ -146,53 +159,79 @@ class PurchaseReplayStreamReader(SimpleDataSourceStreamReader):
         self.max_lines = int(options.get("maxLinesPerBatch", 200))
 
     def initialOffset(self) -> dict:
-        return {"line": 0}
+        return {"line": 0, "file": 0, "pos": 0}
 
-    def _read_span(self, start_line: int, limit: int | None):
-        # stdlib-only; runs on the driver. Re-opens the file each call so a
-        # file still being appended to (paced replay) yields new lines on
-        # later triggers.
+    def _files(self) -> list[str]:
+        import glob
+        import os
+
+        if os.path.isdir(self.path):
+            return sorted(
+                f
+                for f in glob.glob(os.path.join(self.path, "*"))
+                if os.path.isfile(f)
+            )
+        return [self.path]
+
+    @staticmethod
+    def _parse_line(line: str):
         import csv as _csv
 
-        def parse(row):
-            if not row or all(not f.strip() for f in row):
-                return ("UNKNOWN", None, None, None, None, None, "empty line")
-            if len(row) < 8:
-                return (
-                    row[0] if row else "UNKNOWN",
-                    None,
-                    None,
-                    None,
-                    None,
-                    None,
-                    "malformed purchase line",
-                )
-            try:
-                qty = int(row[3])
-                price = float(row[5])
-            except ValueError as e:
-                return (row[0], None, None, None, None, None, f"parse error: {e}")
-            return (row[0], qty, row[4], price, row[6], row[7], None)
+        row = [c.strip() for c in next(_csv.reader([line]), [])]
+        if not row or all(not f for f in row):
+            return ("UNKNOWN", None, None, None, None, None, "empty line")
+        if len(row) < 8:
+            return (row[0], None, None, None, None, None, "malformed purchase line")
+        try:
+            qty = int(row[3])
+            price = float(row[5])
+        except ValueError as e:
+            return (row[0], None, None, None, None, None, f"parse error: {e}")
+        return (row[0], qty, row[4], price, row[6], row[7], None)
 
-        out = []
-        with open(self.path, newline="", encoding="utf-8") as f:
-            reader = _csv.reader(f)
-            if self.header:
-                next(reader, None)
-            for i, row in enumerate(reader):
-                if i < start_line:
-                    continue
-                if limit is not None and len(out) >= limit:
+    def _read_span(self, start: dict, limit: int | None):
+        """Lines from ``start`` (file idx + byte pos), newline-terminated
+        only, up to ``limit``. Returns (rows, end_offset). Resumption
+        seeks straight to the byte position — per-trigger work is
+        O(lines read), not O(lines ever read)."""
+        files = self._files()
+        rows: list = []
+        f_idx, pos, line_no = start["file"], start["pos"], start["line"]
+        while f_idx < len(files) and (limit is None or len(rows) < limit):
+            with open(files[f_idx], "r", encoding="utf-8", newline="") as f:
+                f.seek(pos)
+                if self.header and pos == 0 and f_idx == 0:
+                    first = f.readline()
+                    if not first.endswith("\n"):
+                        break  # header itself incomplete; wait
+                    pos = f.tell()
+                while limit is None or len(rows) < limit:
+                    line = f.readline()
+                    if not line.endswith("\n"):
+                        # EOF or an unflushed partial tail: do not consume;
+                        # a later trigger re-reads from this position.
+                        break
+                    rows.append(self._parse_line(line.rstrip("\r\n")))
+                    pos = f.tell()
+                    line_no += 1
+                else:
+                    break  # limit reached mid-file
+                # fell through: this file is drained (or tail partial).
+                # Advance to the next file ONLY if one already exists —
+                # chunk files are atomic (rename), so a drained non-final
+                # file is complete.
+                if f_idx + 1 < len(files):
+                    f_idx, pos = f_idx + 1, 0
+                else:
                     break
-                out.append(parse([c.strip() for c in row]))
-        return out
+        return rows, {"line": line_no, "file": f_idx, "pos": pos}
 
     def read(self, start: dict):
-        rows = self._read_span(start["line"], self.max_lines)
-        return iter(rows), {"line": start["line"] + len(rows)}
+        rows, end = self._read_span(start, self.max_lines)
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        rows = self._read_span(start["line"], end["line"] - start["line"])
+        rows, _ = self._read_span(start, end["line"] - start["line"])
         return iter(rows)
 
 

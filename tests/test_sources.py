@@ -519,3 +519,83 @@ class TestManifestSink:
         res = verify_manifest(spark, path)
         assert not res["ok"]
         assert res["actual"]["rows"] < res["expected"]["rows"]
+
+
+class TestPurchaseReplayStreamTail:
+    def test_partial_trailing_line_not_consumed_then_completed(
+        self, spark, tmp_path
+    ):
+        """An unflushed (no-newline) tail line must not be consumed; once
+        completed it arrives intact — no corrupted half-record ever
+        committed to the offset log."""
+        from spark_streaming_invoice_anomaly_detection_spark.sources.pydatasource import (
+            register,
+        )
+
+        from .test_streaming import _poll
+
+        register(spark)
+        p = tmp_path / "replay.csv"
+        full = "536365,85123A,OK,6,12/1/2010 8:26,2.55,17850,United Kingdom"
+        partial_head = "536366,85123A,OK,7,12/1/2010 8:27,2.55,178"
+        p.write_text(full + "\n" + partial_head)  # tail NOT terminated
+
+        out: list = []
+        q = (
+            spark.readStream.format("purchase_csv")
+            .option("path", str(p))
+            .load()
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _e: out.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        try:
+            _poll(lambda: len(out), 1)
+            assert [r.invoice_no for r in out] == ["536365"]  # tail held back
+            with open(p, "a") as f:
+                f.write("50,France\n")  # complete the line
+            _poll(lambda: len(out), 2)
+        finally:
+            q.stop()
+        done = {r.invoice_no: r for r in out}
+        assert done["536366"].customer_id == "17850"  # arrived intact
+        assert done["536366"].country == "France"
+        assert done["536366"].error_reason is None
+
+    def test_directory_of_producer_chunks(self, spark, tmp_path):
+        """readStream over the paced producer's watch-dir layout: sorted
+        chunk files consumed in order, late-arriving chunks picked up."""
+        from spark_streaming_invoice_anomaly_detection_spark.sources.pydatasource import (
+            register,
+        )
+
+        from .test_streaming import _poll
+
+        register(spark)
+        d = tmp_path / "watch"
+        d.mkdir()
+        mk = lambda i: f"20{i:04d},SKU,D,{i},12/1/2010 8:00,1.0,C{i},UK\n"
+        (d / "chunk-000001.csv").write_text("".join(mk(i) for i in range(4)))
+        (d / "chunk-000002.csv").write_text("".join(mk(i) for i in range(4, 6)))
+
+        out: list = []
+        q = (
+            spark.readStream.format("purchase_csv")
+            .option("path", str(d))
+            .option("maxLinesPerBatch", "3")
+            .load()
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _e: out.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        try:
+            _poll(lambda: len(out), 6)
+            (d / "chunk-000003.csv").write_text(mk(6))  # late chunk
+            _poll(lambda: len(out), 7)
+        finally:
+            q.stop()
+        assert sorted(r.invoice_no for r in out) == [f"20{i:04d}" for i in range(7)]
