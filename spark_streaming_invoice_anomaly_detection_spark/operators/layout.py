@@ -197,6 +197,13 @@ def write_zordered(
         F.min(col_b).alias("b_lo"),
         F.max(col_b).alias("b_hi"),
     ).first()
+    if bounds.a_lo is None or bounds.b_lo is None:
+        # empty input or an all-NULL cluster column: no range to normalize
+        # over — write as-is (what plain df.write would do) instead of
+        # crashing in float(None). Constant columns (lo == hi) are fine:
+        # width_bucket's out-of-range NULL clamps into the top bucket.
+        df.write.mode(mode).parquet(path)
+        return
     zkey = zorder_key2(
         zorder_bucket(col_a, bounds.a_lo, bounds.a_hi, bits),
         zorder_bucket(col_b, bounds.b_lo, bounds.b_hi, bits),

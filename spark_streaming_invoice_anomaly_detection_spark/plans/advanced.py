@@ -1336,9 +1336,7 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    bounds = day_users.agg(
-        F.min("day_no").alias("lo"), F.max("day_no").alias("hi")
-    )
+    bounds = day_users.agg(F.max("day_no").alias("hi"))
     return (
         day_users.select(
             F.explode(

@@ -167,6 +167,13 @@ def _cached_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _FEATS_CACHE[key]
 
 
+#: Fixed output projection of both training queries: three scalar columns
+#: (string invoice key, int cluster id, double distance). The rows-only
+#: canonicalizable test pins against this constant instead of training two
+#: sweeps just to read a schema.
+ANOMALY_OUTPUT_COLUMNS = ("invoice_no", "cluster", "dist")
+
+
 def _train_and_flag(spark: SparkSession, sf_dir: str, algo: str) -> DataFrame:
     from ..ml.clustering import (
         detect_anomalies,
@@ -183,7 +190,9 @@ def _train_and_flag(spark: SparkSession, sf_dir: str, algo: str) -> DataFrame:
     )
     scored = distance_to_centroid(feats, model)
     return detect_anomalies(scored, threshold).select(
-        "invoice_no", F.col("prediction").alias("cluster"), "dist"
+        ANOMALY_OUTPUT_COLUMNS[0],
+        F.col("prediction").alias(ANOMALY_OUTPUT_COLUMNS[1]),
+        ANOMALY_OUTPUT_COLUMNS[2],
     )
 
 

@@ -1244,7 +1244,7 @@ register(
             WITH r AS (
                 SELECT l_returnflag AS returnflag,
                        CAST(l_quantity AS BIGINT) AS x,
-                       CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS y
+                       CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
                 FROM lineitem
             ),
             m AS (
@@ -1408,13 +1408,13 @@ register(
         oracle="""
             SELECT 100.0
                    * CAST(CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
-                               THEN CAST(round(l.l_extendedprice
+                               THEN CAST(floor(l.l_extendedprice
                                                * (1 - l.l_discount)
-                                               * 10000.0, 0) AS BIGINT)
+                                               * 10000.0 + 0.5) AS BIGINT)
                                ELSE 0 END) AS BIGINT) AS DOUBLE)
-                   / CAST(CAST(sum(CAST(round(l.l_extendedprice
+                   / CAST(CAST(sum(CAST(floor(l.l_extendedprice
                                               * (1 - l.l_discount)
-                                              * 10000.0, 0) AS BIGINT))
+                                              * 10000.0 + 0.5) AS BIGINT))
                           AS BIGINT) AS DOUBLE)
                      AS promo_revenue_pct,
                    count(*) AS n_lines
@@ -1576,9 +1576,9 @@ register(
         oracle="""
             WITH rev AS (
                 SELECT n.n_name,
-                       CAST(sum(CAST(round(l.l_extendedprice
+                       CAST(sum(CAST(floor(l.l_extendedprice
                                            * (1 - l.l_discount)
-                                           * 10000.0, 0) AS BIGINT))
+                                           * 10000.0 + 0.5) AS BIGINT))
                             AS BIGINT) AS rev_s
                 FROM lineitem l
                 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1667,7 +1667,7 @@ register(
         oracle="""
             WITH monthly AS (
                 SELECT date_trunc('month', o_orderdate) AS month,
-                       CAST(sum(CAST(round(o_totalprice * 100.0, 0)
+                       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
                                      AS BIGINT)) AS BIGINT) AS rev_s
                 FROM orders GROUP BY date_trunc('month', o_orderdate)
             )
@@ -2116,10 +2116,10 @@ register(
             SELECT n_name AS nation,
                    CAST(year(o_orderdate) AS INT) AS o_year,
                    CAST(sum(
-                       CAST(round(l_extendedprice * (1 - l_discount)
-                                  * 10000.0, 0) AS BIGINT)
-                       - CAST(round(0.6 * p_retailprice * l_quantity
-                                    * 1000.0, 0) AS BIGINT) * 10
+                       CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 10000.0 + 0.5) AS BIGINT)
+                       - CAST(floor(0.6 * p_retailprice * l_quantity
+                                    * 1000.0 + 0.5) AS BIGINT) * 10
                    ) AS BIGINT) / 10000.0 AS sum_profit,
                    count(*) AS n_lines
             FROM lineitem
@@ -2203,14 +2203,14 @@ register(
         oracle=f"""
             SELECT CAST(year(o_orderdate) AS INT) AS o_year,
                    CAST(sum(CASE WHEN n2.n_name = '{_Q8_NATION}'
-                       THEN CAST(round(l_extendedprice * (1 - l_discount)
-                                       * 10000.0, 0) AS BIGINT)
+                       THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000.0 + 0.5) AS BIGINT)
                        ELSE 0 END) AS DOUBLE)
-                   / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                         * 10000.0, 0) AS BIGINT))
+                   / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                         * 10000.0 + 0.5) AS BIGINT))
                           AS DOUBLE) AS mkt_share,
-                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                       * 10000.0, 0) AS BIGINT)) AS BIGINT)
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
                      / 10000.0 AS total_revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -2283,8 +2283,8 @@ register(
         oracle=f"""
             WITH rev AS (
                 SELECT l_suppkey,
-                       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                           * 10000.0, 0) AS BIGINT))
+                       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                           * 10000.0 + 0.5) AS BIGINT))
                             AS BIGINT) AS rev_s
                 FROM lineitem
                 WHERE l_shipdate BETWEEN TIMESTAMP '{_Q15_START}'
@@ -2505,8 +2505,8 @@ register(
         oracle=f"""
             WITH per_part AS (
                 SELECT l_partkey,
-                       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                           * 10000.0, 0) AS BIGINT))
+                       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                           * 10000.0 + 0.5) AS BIGINT))
                             AS BIGINT) AS val_s
                 FROM lineitem
                 JOIN supplier ON l_suppkey = s_suppkey

@@ -39,8 +39,26 @@ def avro_available(spark: SparkSession) -> bool:
             "/nonexistent/__avro_probe__"
         )
         return True
-    except Exception as e:  # noqa: BLE001 - classify by message
-        return "Failed to find data source" not in str(e)
+    except Exception as e:  # noqa: BLE001 - classify by error condition
+        # Spark's standard lookup failure is errorClass DATA_SOURCE_NOT_FOUND
+        # ("Failed to find THE data source"); the avro-specific legacy
+        # message omits "the". Match the condition name when exposed, plus
+        # both message variants, so a build that reroutes the avro lookup
+        # through the standard path still classifies correctly.
+        cond = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        if cond is not None:
+            try:
+                if cond() == "DATA_SOURCE_NOT_FOUND":
+                    return False
+            except Exception:  # noqa: BLE001
+                pass
+        msg = str(e)
+        return (
+            "Failed to find data source" not in msg
+            and "Failed to find the data source" not in msg
+        )
 
 
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:

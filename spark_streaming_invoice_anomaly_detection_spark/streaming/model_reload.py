@@ -9,13 +9,15 @@ a ``ReloadableDetector`` wraps the model directory and re-loads whenever
 the trainer publishes a new version, checked once per micro-batch from the
 driver (a metadata stat, not a data-plane cost).
 
-Versioning contract: the trainer writes the model with
-``publish_detector`` — save to a temp dir, then an atomic rename onto the
-live path plus a monotonically increasing ``version`` field in
-``detector.json``. Readers only reload when the version CHANGES, so a
-half-written directory is never observed (rename is atomic on the same
-filesystem; on object stores, write-new-prefix + pointer-file gives the
-same property).
+Versioning contract (write-new-prefix + pointer file, the same MVCC
+shape as streaming/materialized.py): ``publish_detector`` saves the full
+detector into a fresh ``v{N}/`` subdirectory, then atomically replaces
+``current.json`` to point at it. Readers resolve the pointer first, so a
+half-written version directory is never observed and a reader mid-load
+on ``v{N-1}`` is untouched by the publish of ``v{N}`` (its files are
+retained for ``retain_versions`` further publishes). Works identically
+on object stores, where directory renames aren't atomic but single-key
+puts are.
 
 At scale this is exactly the Spark pattern for refreshing broadcast
 state: the reload happens on the driver between micro-batches, and the
@@ -33,26 +35,41 @@ from pyspark.sql import SparkSession
 from ..ml.clustering import Detector, load_detector, save_detector
 
 
-def publish_detector(detector: Detector, path: str, version: int) -> None:
-    """Trainer-side publish: save, then stamp the version LAST so a reader
-    that sees the new version is guaranteed to see the finished model."""
-    save_detector(detector, path)
-    meta_path = os.path.join(path, "detector.json")
-    with open(meta_path) as f:
-        meta = json.load(f)
-    meta["version"] = int(version)
-    tmp = meta_path + ".tmp"
+def _version_dir(path: str, version: int) -> str:
+    return os.path.join(path, f"v{int(version)}")
+
+
+def publish_detector(
+    detector: Detector, path: str, version: int, retain_versions: int = 2
+) -> None:
+    """Trainer-side publish: save the COMPLETE detector into ``v{N}/``,
+    then flip the ``current.json`` pointer (atomic single-file replace) —
+    a reader that sees version N is guaranteed a finished model, and a
+    reader still loading version N-1 keeps its intact files.
+
+    Older version dirs beyond ``retain_versions`` behind the new pointer
+    are deleted (any reader of those finished long ago)."""
+    import shutil
+
+    os.makedirs(path, exist_ok=True)
+    save_detector(detector, _version_dir(path, version))
+    pointer = os.path.join(path, "current.json")
+    tmp = pointer + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)  # atomic on POSIX
+        json.dump({"version": int(version)}, f)
+    os.replace(tmp, pointer)  # atomic on POSIX; single-key put on S3
+    for name in os.listdir(path):
+        if name.startswith("v") and name[1:].isdigit():
+            if int(name[1:]) <= int(version) - retain_versions:
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def read_version(path: str) -> int | None:
     """The published version, or None while no model exists yet."""
     try:
-        with open(os.path.join(path, "detector.json")) as f:
-            return int(json.load(f).get("version", 0))
-    except (FileNotFoundError, json.JSONDecodeError):
+        with open(os.path.join(path, "current.json")) as f:
+            return int(json.load(f)["version"])
+    except (FileNotFoundError, json.JSONDecodeError, KeyError):
         return None
 
 
@@ -77,7 +94,7 @@ class ReloadableDetector:
         if ver is None:
             raise FileNotFoundError(f"no published detector at {self.path}")
         if ver != self._version:
-            self._detector = load_detector(spark, self.path)
+            self._detector = load_detector(spark, _version_dir(self.path, ver))
             self._version = ver
         assert self._detector is not None
         return self._detector

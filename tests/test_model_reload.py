@@ -102,3 +102,16 @@ def test_stream_picks_up_new_threshold_mid_flight(spark, tmp_path):
         assert emitted[-1][1] == 1  # reloaded threshold flags the outlier
     finally:
         q.stop()
+
+
+def test_publish_retains_previous_version_for_inflight_readers(spark, tmp_path):
+    """A publish must never disturb the previous version's files (an
+    in-flight reader may still be loading them); versions beyond the
+    retention window are cleaned up."""
+    path = str(tmp_path / "det")
+    for v in (1, 2, 3):
+        publish_detector(_tiny_detector(spark, threshold=float(v)), path, version=v)
+        if v > 1:  # previous version dir still fully present after publish
+            assert os.path.exists(os.path.join(path, f"v{v-1}", "detector.json"))
+    assert read_version(path) == 3
+    assert not os.path.exists(os.path.join(path, "v1"))  # beyond retain=2
