@@ -335,8 +335,10 @@ def resize_images(
         def _resize(payload):
             if real_decode:
                 w, h, px = _png_px(payload or b"")
-                # nearest-neighbor: sample the source grid at the target's
-                # pixel centers (the resample PIL's NEAREST performs)
+                # nearest-neighbor sampling at CORNERS (floor(y*h/th)) —
+                # note PIL's NEAREST samples at pixel CENTERS
+                # (floor((y+0.5)*h/th)), so swapping PIL in changes values;
+                # re-pin any stats if you do
                 return sum(
                     px[min(y * h // th, h - 1) * w + min(x * w // tw, w - 1)]
                     for y in range(th)

@@ -53,8 +53,32 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "spearman_qty_price",
 )
 
-# Union of query names appearing in CORRECTNESS_r01.json + CORRECTNESS_r02.json.
-_DRIVER_CHECKED: frozenset[str] = frozenset({
+def _driver_checked_names() -> frozenset[str]:
+    """Names with any CORRECTNESS_r*.json row, read from the repo root at
+    import time — self-updating when a new round's file lands, so the
+    rotation never re-prioritizes already-green queries because a
+    hardcoded list went stale. Falls back to the r1+r2 literal when the
+    files aren't alongside the package (e.g. an installed wheel)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                names.update(json.load(f).keys())
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+    return frozenset(names) or _DRIVER_CHECKED_R1R2
+
+
+# Union of query names appearing in CORRECTNESS_r01.json + CORRECTNESS_r02.json
+# (fallback only; the live set is derived from the json files above).
+_DRIVER_CHECKED_R1R2: frozenset[str] = frozenset({
     "approx_quantiles_by_type", "array_agg_funcs", "asof_join_last_click",
     "bisecting_invoice_anomalies", "cancellation_split",
     "centroid_distance_score", "conditional_bucketing", "count_distinct",
@@ -78,6 +102,8 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "union_distinct", "validation_cascade", "video_frame_counts",
     "window_lag_delta", "window_rank_by_value", "window_running_sum",
 })
+
+_DRIVER_CHECKED: frozenset[str] = _driver_checked_names()
 
 
 # Queries measured >10 s under the driver-faithful sf0.01 sim (iterative

@@ -82,7 +82,6 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("avro").load(path)
 
 
-__all__ = ["write_orc", "read_orc", "avro_available", "write_avro", "read_avro"]
 
 
 def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
@@ -163,3 +162,15 @@ def verify_manifest(spark: SparkSession, path: str) -> dict:
         and actual["content_hash"] == expected["content_hash"]
     )
     return {"ok": ok, "expected": expected, "actual": actual}
+
+
+__all__ = [
+    "avro_available",
+    "read_avro",
+    "read_merged_schema",
+    "read_orc",
+    "verify_manifest",
+    "write_avro",
+    "write_orc",
+    "write_with_manifest",
+]

@@ -26,6 +26,28 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
+#: Directory listing patterns (comma-separated globs) shared by the batch
+#: and streaming readers: covers hand-written .csv chunks AND the paced
+#: producer's chunk_NNNNNN.txt files, while excluding stray non-data files
+#: (manifests, logs, editor backups) that would otherwise be parsed as
+#: purchase lines. Override with .option("pattern", ...).
+DEFAULT_FILE_PATTERN = "*.csv,*.txt"
+
+
+def _list_data_files(path: str, pattern: str) -> list[str]:
+    import glob
+    import os
+
+    if not os.path.isdir(path):
+        return [path]
+    out: set[str] = set()
+    for pat in pattern.split(","):
+        pat = pat.strip()
+        if pat:
+            out.update(glob.glob(os.path.join(path, pat)))
+    return sorted(f for f in out if os.path.isfile(f))
+
+
 #: Output schema: the typed purchase line + parse-error column (P1).
 PURCHASE_CSV_SCHEMA = (
     "invoice_no string, quantity int, invoice_date string, "
@@ -37,9 +59,12 @@ PURCHASE_CSV_SCHEMA = (
 class PurchaseCsvDataSource(DataSource):
     """``spark.read.format("purchase_csv").option("path", dir).load()``.
 
-    Options: ``path`` (file or directory of ``*.csv``), ``header``
-    ("true"/"false", default false — the reference's replay files carry no
-    header).
+    Options: ``path`` (file or directory), ``pattern`` (comma-separated
+    globs for directory listing, default ``*.csv,*.txt`` — covers both
+    hand-written chunks and the paced producer's ``chunk_NNNNNN.txt``),
+    ``header`` ("true"/"false", default false — the reference's replay
+    files carry no header; when true, one header per file is dropped by
+    BOTH the batch and streaming readers).
     """
 
     @classmethod
@@ -67,19 +92,16 @@ class PurchaseCsvReader(DataSourceReader):
         if not self.path:
             raise ValueError("purchase_csv: 'path' option is required")
         self.header = str(options.get("header", "false")).lower() == "true"
+        self.pattern = options.get("pattern", DEFAULT_FILE_PATTERN)
 
     def partitions(self):
         # one partition per file: the planning unit a 1000-executor read
         # parallelizes over (a directory of replay chunks fans out)
-        import glob
-        import os
-
-        if os.path.isdir(self.path):
-            files = sorted(glob.glob(os.path.join(self.path, "*.csv")))
-        else:
-            files = [self.path]
+        files = _list_data_files(self.path, self.pattern)
         if not files:
-            raise ValueError(f"purchase_csv: no csv files under {self.path}")
+            raise ValueError(
+                f"purchase_csv: no files matching {self.pattern} under {self.path}"
+            )
         return [_FilePartition(f) for f in files]
 
     def read(self, partition):
@@ -125,8 +147,9 @@ class PurchaseReplayStreamReader(SimpleDataSourceStreamReader):
     monotonically-named atomic chunks.
 
     Offsets are positions in the virtual concatenation of those lines —
-    ``{"line": N, "file": i, "pos": B}`` (file index + byte position make
-    resumption O(batch), the line count is the exactly-once contract) —
+    ``{"line": N, "fname": f, "pos": B}`` (file NAME + byte position make
+    resumption O(batch) and immune to strays that sort earlier; the line
+    count is the exactly-once contract) —
     so the source is REPLAYABLE: ``readBetweenOffsets(start, end)``
     re-yields exactly the lines in ``[start, end)``, which is what lets a
     restarted query re-run an uncommitted micro-batch from the
@@ -157,21 +180,16 @@ class PurchaseReplayStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("purchase_csv: 'path' option is required")
         self.header = str(options.get("header", "false")).lower() == "true"
         self.max_lines = int(options.get("maxLinesPerBatch", 200))
+        self.pattern = options.get("pattern", DEFAULT_FILE_PATTERN)
 
     def initialOffset(self) -> dict:
-        return {"line": 0, "file": 0, "pos": 0}
+        # fname keys the position into the SORTED listing by NAME, not by
+        # index: a stray or late file that sorts before the committed one
+        # cannot shift what the checkpoint points at.
+        return {"line": 0, "fname": None, "pos": 0}
 
     def _files(self) -> list[str]:
-        import glob
-        import os
-
-        if os.path.isdir(self.path):
-            return sorted(
-                f
-                for f in glob.glob(os.path.join(self.path, "*"))
-                if os.path.isfile(f)
-            )
-        return [self.path]
+        return _list_data_files(self.path, self.pattern)
 
     @staticmethod
     def _parse_line(line: str):
@@ -196,11 +214,25 @@ class PurchaseReplayStreamReader(SimpleDataSourceStreamReader):
         O(lines read), not O(lines ever read)."""
         files = self._files()
         rows: list = []
-        f_idx, pos, line_no = start["file"], start["pos"], start["line"]
+        line_no = start["line"]
+        if start.get("fname") is None:
+            f_idx, pos = 0, 0
+        else:
+            try:
+                f_idx = files.index(start["fname"])
+            except ValueError:
+                raise RuntimeError(
+                    f"purchase_csv: checkpointed file {start['fname']!r} is "
+                    f"no longer present under {self.path} (source must be "
+                    "append-only)"
+                ) from None
+            pos = start["pos"]
         while f_idx < len(files) and (limit is None or len(rows) < limit):
             with open(files[f_idx], "r", encoding="utf-8", newline="") as f:
                 f.seek(pos)
-                if self.header and pos == 0 and f_idx == 0:
+                if self.header and pos == 0:
+                    # EVERY file's header is skipped (parity with the batch
+                    # reader, which drops one header per partition file)
                     first = f.readline()
                     if not first.endswith("\n"):
                         break  # header itself incomplete; wait
@@ -224,7 +256,8 @@ class PurchaseReplayStreamReader(SimpleDataSourceStreamReader):
                     f_idx, pos = f_idx + 1, 0
                 else:
                     break
-        return rows, {"line": line_no, "file": f_idx, "pos": pos}
+        fname = files[f_idx] if f_idx < len(files) else start.get("fname")
+        return rows, {"line": line_no, "fname": fname, "pos": pos}
 
     def read(self, start: dict):
         rows, end = self._read_span(start, self.max_lines)

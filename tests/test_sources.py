@@ -578,7 +578,11 @@ class TestPurchaseReplayStreamTail:
         d.mkdir()
         mk = lambda i: f"20{i:04d},SKU,D,{i},12/1/2010 8:00,1.0,C{i},UK\n"
         (d / "chunk-000001.csv").write_text("".join(mk(i) for i in range(4)))
-        (d / "chunk-000002.csv").write_text("".join(mk(i) for i in range(4, 6)))
+        (d / "chunk-000002.txt").write_text("".join(mk(i) for i in range(4, 6)))
+        # stray non-data files must be ignored AND must not shift offsets
+        # even though "_manifest.json" sorts before every chunk
+        (d / "_manifest.json").write_text('{"not": "data"}')
+        (d / "notes.log").write_text("do not ingest\n")
 
         out: list = []
         q = (
