@@ -207,3 +207,73 @@ class TestClusterConf:
 
         c = cluster_conf(executors=2, cores_per_executor=2)
         assert int(c["spark.sql.shuffle.partitions"]) == 64  # floor
+
+
+class TestEmptySketchesAndCuration:
+    def test_hll_rollup_empty(self, spark):
+        from spark_streaming_invoice_anomaly_detection_spark.operators import (
+            sketches as sk,
+        )
+
+        empty = spark.createDataFrame(
+            [], "event_type string, day date, user_id long"
+        )
+        daily = sk.distinct_sketches(empty, ["event_type", "day"], "user_id")
+        assert sk.rollup_distinct(daily, ["event_type"]).count() == 0
+
+    def test_cms_summary_empty_group(self, spark):
+        """An all-NULL value group still yields a parseable sketch whose
+        total_count is 0 (count_min_sketch skips nulls)."""
+        from spark_streaming_invoice_anomaly_detection_spark.operators import (
+            sketches as sk,
+        )
+
+        df = spark.createDataFrame(
+            [("a", None), ("a", None)], "g string, v long"
+        )
+        row = df.groupBy("g").agg(
+            sk.cms_agg("v", 0.1, 0.9, 1).alias("s")
+        ).collect()[0]
+        assert sk.parse_cms(bytes(row["s"])).total_count == 0
+
+    def test_cms_summary_integer_group_column(self, spark, sf_dir):
+        """Group columns keep their real types (regression: schema was
+        hardcoded string and crashed Arrow on int keys)."""
+        from spark_streaming_invoice_anomaly_detection_spark.operators import (
+            sketches as sk,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+
+        ev = load_table(spark, "events", sf_dir).limit(200)
+        out = sk.cms_summary(ev, ["user_id"], "event_type", 0.1, 0.9, 3)
+        assert dict(out.dtypes)["user_id"] == "bigint"
+        assert out.count() > 0
+
+    def test_corpus_shuffle_empty_documents(self, spark, tmp_path):
+        """The two-level rank path flows through an empty corpus."""
+        import os
+
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            q_corpus_shuffle,
+            q_token_budget_sample,
+        )
+
+        d = str(tmp_path / "sf_empty")
+        os.makedirs(d)
+        spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        assert q_corpus_shuffle(spark, d).count() == 0
+        assert q_token_budget_sample(spark, d).count() == 0
+
+    def test_compact_empty_directory_of_files(self, spark, tmp_path):
+        from spark_streaming_invoice_anomaly_detection_spark.operators import layout
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame([], "a long").repartition(3).write.parquet(src)
+        dst = str(tmp_path / "dst")
+        n = layout.compact_parquet(spark, src, dst, target_mb=128)
+        assert n == 1
+        assert spark.read.parquet(dst).count() == 0
