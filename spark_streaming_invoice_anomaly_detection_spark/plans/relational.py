@@ -2452,20 +2452,28 @@ register(
 # ---------------------------------------------------------------------------
 
 _Q11_NATION = "NATION_3"
-_Q11_FRACTION_DEN = 1000  # part qualifies if value > total/1000
+#: A part qualifies if its value exceeds MULT x the mean part value. TPC-H's
+#: own Q11 scales its fraction by 1/SF for exactly this reason: any FIXED
+#: fraction of the total goes vacuously unsatisfiable as the part count
+#: grows (caught by the sf0.1 oracle sweep — total/1000 with >1000
+#: near-uniform parts selects nothing). Mean-relative thresholds are
+#: scale-free.
+_Q11_MEAN_MULT = 2
 
 
 def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part revenue from one nation's suppliers,
-    keeping parts whose value exceeds a fixed fraction of the nation
-    total — a grouped agg filtered against a scalar subquery.
+    keeping parts whose value exceeds twice the MEAN part value — a
+    grouped agg filtered against a scalar-subquery threshold that stays
+    meaningful at every scale factor (see _Q11_MEAN_MULT).
 
     Both the per-part values and the grand total aggregate the 4-decimal
-    revenue grid in scaled int64; the grand total is a 1-row broadcast and
-    the HAVING compares ``value * DEN > total`` in decimal(38,0) so the
-    threshold is exact at any scale (no double rounding at the boundary,
-    no int64 overflow when value*1000 exceeds 2^63 at ~100 TB volumes).
-    The nation's suppliers broadcast; one shuffle on l_partkey.
+    revenue grid in scaled int64; the (total, count) pair is a 1-row
+    broadcast and the HAVING compares ``value * n_parts > MULT * total``
+    in decimal(38,0) so the threshold is exact at any scale (no double
+    rounding at the boundary, no int64 overflow when the product exceeds
+    2^63 at ~100 TB volumes). The nation's suppliers broadcast; one
+    shuffle on l_partkey.
     """
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
@@ -2481,12 +2489,15 @@ def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(rev_s).alias("val_s"))
     )
-    total = per_part.agg(F.sum("val_s").alias("total_s"))
+    total = per_part.agg(
+        F.sum("val_s").alias("total_s"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(
-            F.col("val_s").cast("decimal(38,0)") * _Q11_FRACTION_DEN
-            > F.col("total_s").cast("decimal(38,0)")
+            F.col("val_s").cast("decimal(38,0)")
+            * F.col("n_parts").cast("decimal(38,0)")
+            > F.lit(_Q11_MEAN_MULT) * F.col("total_s").cast("decimal(38,0)")
         )
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -2499,8 +2510,8 @@ def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     QuerySpec(
         name="important_part_value",
-        description="TPC-H Q11 shape: parts above a fixed fraction of "
-        "national value (scalar-subquery HAVING, exact int64 threshold)",
+        description="TPC-H Q11 shape: parts above 2x the mean part value "
+        "(scale-free scalar-subquery HAVING, exact int64 threshold)",
         spark=q_important_part_value,
         oracle=f"""
             WITH per_part AS (
@@ -2516,8 +2527,10 @@ register(
             )
             SELECT l_partkey AS p_partkey, val_s / 10000.0 AS part_value
             FROM per_part
-            WHERE CAST(val_s AS HUGEINT) * {_Q11_FRACTION_DEN}
-                  > (SELECT CAST(sum(val_s) AS HUGEINT) FROM per_part)
+            WHERE CAST(val_s AS HUGEINT)
+                      * (SELECT count(*) FROM per_part)
+                  > {_Q11_MEAN_MULT}
+                      * (SELECT CAST(sum(val_s) AS HUGEINT) FROM per_part)
             ORDER BY part_value DESC, p_partkey
         """,
     )
