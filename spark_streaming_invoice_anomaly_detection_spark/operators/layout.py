@@ -220,6 +220,56 @@ def write_zordered(
 
 
 # ---------------------------------------------------------------------------
+# Runtime Bloom-filter semi-join reduction
+# ---------------------------------------------------------------------------
+
+# The conf levers that govern Catalyst's injected Bloom filter (a
+# `bloom_filter_agg` built on the selective build side and a
+# `might_contain(...)` predicate pushed into the large side's scan-filter).
+# Injection is on by default but gated by size thresholds tuned for real
+# clusters: the build side must be under creationSideThreshold (default
+# 10 MB) and the probe side's scan over applicationSideScanSizeThreshold
+# (default 10 GB). At 100 TB a lineitem ⋈ σ(orders) join crosses both
+# gates naturally; at test SF nothing does, so plan tests lower the
+# application-side gate to 0 to pin the injected-filter shape.
+RUNTIME_BLOOM_TEST_CONFS: dict[str, str] = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # let any build side qualify at test scale
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # probe side is tiny at test SF; drop the 10 GB gate so the filter
+    # actually injects and the plan assertion is meaningful
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # bloom reduction only applies to shuffle joins — a broadcast join
+    # already prunes at the probe; force the at-scale join strategy
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_reduced_join(
+    large: DataFrame,
+    build: DataFrame,
+    large_key: str,
+    build_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Fact ⋈ selective-subset join shaped for runtime Bloom semi-join
+    reduction.
+
+    Written declaratively (plain equi-join, no hints) so Catalyst is free
+    to inject `might_contain(bloom_filter_agg(build_key))` into the fact
+    scan when the size gates pass: the filter drops non-matching fact rows
+    BEFORE the shuffle, which at 100 TB is the difference between shuffling
+    the whole fact table and shuffling only the ~selectivity fraction that
+    can join. Semantically identity — the join result is row-identical
+    with or without the injected filter (false positives are re-checked by
+    the join itself), which is what the DuckDB oracle verifies.
+    """
+    return large.join(
+        build, large[large_key] == build[build_key], how
+    )
+
+
+# ---------------------------------------------------------------------------
 # Catalog statistics (cost-based optimizer feed)
 # ---------------------------------------------------------------------------
 

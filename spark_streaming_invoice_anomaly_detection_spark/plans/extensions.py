@@ -3185,3 +3185,100 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token-coverage of the frequency-ranked vocabulary,
+    sampled at power-of-two ranks — the curve that sizes a tokenizer
+    vocab ("top-32k words cover 97% of the corpus").
+
+    Scale shape: the corpus-sized work is one explode + hash agg (token
+    counts, map-side combined). The ranking window then runs over the
+    VOCAB table only — bounded by distinct-token count, orders of
+    magnitude smaller than the corpus at any SF — and the log-spaced
+    ``rank & (rank-1) = 0`` filter keeps the result ≤ ~40 rows no matter
+    how large the vocabulary grows. Coverage is int64 token counts
+    divided in one fixed-order double op, bit-identical across engines.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = counts.select(
+        "token",
+        "n",
+        F.row_number().over(order).alias("vocab_size"),
+        F.sum("n")
+        .over(order.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_tokens"),
+        F.sum("n")
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total_tokens"),
+    )
+    return ranked.filter(
+        F.expr("(vocab_size & (vocab_size - 1)) = 0")
+    ).select(
+        "vocab_size",
+        F.col("token").alias("boundary_token"),
+        "cum_tokens",
+        "total_tokens",
+        (
+            F.col("cum_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("coverage"),
+    )
+
+
+register(
+    QuerySpec(
+        name="vocab_coverage",
+        description="frequency-ranked vocabulary coverage curve sampled at "
+        "power-of-two vocab sizes (tokenizer sizing)",
+        spark=q_vocab_coverage,
+        oracle=r"""
+            WITH counts AS (
+                SELECT token, count(*) AS n FROM (
+                    SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+                           AS token
+                    FROM documents
+                )
+                WHERE token <> ''
+                GROUP BY token
+            ),
+            ranked AS (
+                SELECT token,
+                       n,
+                       CAST(row_number() OVER w AS INT) AS vocab_size,
+                       CAST(sum(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                         AS cum_tokens,
+                       CAST(sum(n) OVER () AS BIGINT) AS total_tokens
+                FROM counts
+                WINDOW w AS (ORDER BY n DESC, token ASC)
+            )
+            SELECT vocab_size,
+                   token AS boundary_token,
+                   cum_tokens,
+                   total_tokens,
+                   CAST(cum_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+                     AS coverage
+            FROM ranked
+            WHERE (vocab_size & (vocab_size - 1)) = 0
+        """,
+    )
+)

@@ -844,6 +844,57 @@ register(
 )
 
 
+def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order revenue by return flag, shaped for runtime Bloom
+    semi-join reduction (operators/layout.py:bloom_reduced_join).
+
+    The build side (orders filtered to 1-URGENT, ~20% of orders) is
+    selective enough that Catalyst's injected Bloom filter drops most
+    lineitem rows before the join shuffle once the at-scale size gates
+    pass (probe scan > 10 GB). The declarative join means Catalyst
+    broadcasts at tiny SF and switches to shuffle+bloom at 100 TB — both
+    plans produce the identical rows the oracle checks; the injected
+    `might_contain` shape itself is pinned by
+    tests/test_layout.py::TestRuntimeBloomFilter.
+    """
+    from ..operators.layout import bloom_reduced_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        bloom_reduced_join(li, o, "l_orderkey", "o_orderkey")
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="bloom_pruned_revenue",
+        description="urgent-order revenue per return flag; fact ⋈ selective "
+        "subset shaped for Catalyst's runtime Bloom semi-join reduction",
+        spark=q_bloom_pruned_revenue,
+        oracle=f"""
+            SELECT l.l_returnflag AS returnflag,
+                   {exact_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+            GROUP BY l.l_returnflag
+        """,
+    )
+)
+
+
 def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew census of lineitem.l_suppkey (operators/layout.py):
     the pre-flight check that decides between a plain, salted, or

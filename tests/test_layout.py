@@ -144,6 +144,44 @@ class TestSaltedJoin:
         assert n_groups == 8
 
 
+class TestRuntimeBloomFilter:
+    def test_injected_filter_shape_and_identity(self, spark, sf_dir):
+        """With the at-scale size gates lowered, Catalyst injects a
+        `might_contain(bloom_filter_agg(build key))` predicate into the
+        fact side of the registered bloom_pruned_revenue query — the
+        semi-join reduction that drops non-joining fact rows before the
+        shuffle at 100 TB — and the result stays row-identical to the
+        plain broadcast-join plan."""
+        from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
+            REGISTRY,
+            queries,
+        )
+
+        queries()
+        builder = REGISTRY["bloom_pruned_revenue"].spark
+        baseline = sorted(map(tuple, builder(spark, sf_dir).collect()))
+
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in layout.RUNTIME_BLOOM_TEST_CONFS
+        }
+        try:
+            for k, v in layout.RUNTIME_BLOOM_TEST_CONFS.items():
+                spark.conf.set(k, v)
+            df = builder(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in plan
+            assert "bloom_filter_agg" in plan
+            got = sorted(map(tuple, df.collect()))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        assert got == baseline
+
+
 class TestZOrder:
     def test_two_dimensional_file_skipping(self, spark, sf_dir, tmp_path):
         """Z-order layout clusters BOTH columns at once: a 10%-range
