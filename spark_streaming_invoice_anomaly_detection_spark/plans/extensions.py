@@ -3282,3 +3282,107 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum quota sampling: per-(source, difficulty-quartile) strata
+# ---------------------------------------------------------------------------
+
+_CURR_QUOTA = 25  # docs kept per (source, difficulty-quartile) stratum
+
+
+def q_curriculum_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified curriculum sampling census: bucket each source's docs
+    into length quartiles (difficulty proxy) and keep a fixed quota per
+    stratum in deterministic hash order — the mixture-assembly step that
+    gives a training run equal mass from every (source, difficulty) cell.
+
+    Scale shape: quartile cut points come from the mergeable GK sketch
+    (one map-side-combined agg; exact regime while a source holds <=
+    accuracy rows, the convention licensed by approx_quantiles_by_type)
+    and broadcast back, so the corpus is never sorted globally. The
+    within-stratum rank orders by a multiplicative hash of doc_id —
+    reproducible across engines and runs, unlike rand() — and the final
+    census is one hash agg. No corpus-sized shuffle beyond the stratum
+    window.
+    """
+    from .relational import _GK_ACCURACY
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = F.percentile_approx("n_chars", [0.25, 0.5, 0.75], _GK_ACCURACY)
+    cuts = docs.groupBy("source").agg(
+        F.element_at(q, 1).alias("c1"),
+        F.element_at(q, 2).alias("c2"),
+        F.element_at(q, 3).alias("c3"),
+    )
+    difficulty = (
+        F.when(F.col("n_chars") <= F.col("c1"), F.lit(1))
+        .when(F.col("n_chars") <= F.col("c2"), F.lit(2))
+        .when(F.col("n_chars") <= F.col("c3"), F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    u = (F.col("doc_id") * F.lit(_MIX)) % F.lit(_U_DENOM)
+    ranked = (
+        docs.join(F.broadcast(cuts), "source")
+        .select("source", "doc_id", "n_chars", difficulty.alias("difficulty"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source", "difficulty").orderBy(
+                    u.asc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+    )
+    kept = F.col("rn") <= F.lit(_CURR_QUOTA)
+    return ranked.groupBy("source", "difficulty").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(kept).alias("n_sampled"),
+        F.sum(F.when(kept, F.col("n_chars"))).alias("chars_sampled"),
+    )
+
+
+register(
+    QuerySpec(
+        name="curriculum_quota_sample",
+        description="fixed quota per (source, length-quartile) stratum in "
+        "deterministic hash order — curriculum mixture census",
+        spark=q_curriculum_quota_sample,
+        oracle=f"""
+            WITH cuts AS (
+                SELECT source,
+                       quantile_disc(n_chars, 0.25) AS c1,
+                       quantile_disc(n_chars, 0.5)  AS c2,
+                       quantile_disc(n_chars, 0.75) AS c3
+                FROM documents GROUP BY source
+            ),
+            ranked AS (
+                SELECT d.source,
+                       d.doc_id,
+                       d.n_chars,
+                       CASE WHEN d.n_chars <= c.c1 THEN 1
+                            WHEN d.n_chars <= c.c2 THEN 2
+                            WHEN d.n_chars <= c.c3 THEN 3
+                            ELSE 4 END AS difficulty,
+                       row_number() OVER (
+                           PARTITION BY d.source,
+                                        CASE WHEN d.n_chars <= c.c1 THEN 1
+                                             WHEN d.n_chars <= c.c2 THEN 2
+                                             WHEN d.n_chars <= c.c3 THEN 3
+                                             ELSE 4 END
+                           ORDER BY (d.doc_id * {_MIX}) % {_U_DENOM},
+                                    d.doc_id
+                       ) AS rn
+                FROM documents d JOIN cuts c USING (source)
+            )
+            SELECT source,
+                   difficulty,
+                   count(*) AS n_docs,
+                   count(*) FILTER (WHERE rn <= {_CURR_QUOTA}) AS n_sampled,
+                   CAST(sum(n_chars) FILTER (WHERE rn <= {_CURR_QUOTA})
+                        AS BIGINT) AS chars_sampled
+            FROM ranked
+            GROUP BY source, difficulty
+        """,
+    )
+)

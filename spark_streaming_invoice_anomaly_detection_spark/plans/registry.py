@@ -45,6 +45,9 @@ def register(spec: QuerySpec) -> QuerySpec:
 # changed this round (need a fresh row), then queries never sampled in any
 # CORRECTNESS file (63 after r2), then the already-green ones.
 _FIXED_THIS_ROUND: tuple[str, ...] = (
+    "bloom_pruned_revenue",
+    "vocab_coverage",
+    "curriculum_quota_sample",
     "important_part_value",
     "approx_quantiles_by_type",
     "nation_market_share",
