@@ -250,23 +250,23 @@ def bloom_reduced_join(
     build: DataFrame,
     large_key: str,
     build_key: str,
-    how: str = "inner",
 ) -> DataFrame:
-    """Fact ⋈ selective-subset join shaped for runtime Bloom semi-join
-    reduction.
+    """Fact ⋈ selective-subset INNER join shaped for runtime Bloom
+    semi-join reduction.
 
     Written declaratively (plain equi-join, no hints) so Catalyst is free
     to inject `might_contain(bloom_filter_agg(build_key))` into the fact
     scan when the size gates pass: the filter drops non-matching fact rows
     BEFORE the shuffle, which at 100 TB is the difference between shuffling
     the whole fact table and shuffling only the ~selectivity fraction that
-    can join. Semantically identity — the join result is row-identical
-    with or without the injected filter (false positives are re-checked by
-    the join itself), which is what the DuckDB oracle verifies.
+    can join. Inner-only on purpose: Bloom injection does not apply to the
+    preserved side of outer joins, so a `how` knob would silently defeat
+    the operator's point. Semantically identity — the join result is
+    row-identical with or without the injected filter (false positives are
+    re-checked by the join itself), which is what the DuckDB oracle
+    verifies.
     """
-    return large.join(
-        build, large[large_key] == build[build_key], how
-    )
+    return large.join(build, large[large_key] == build[build_key])
 
 
 # ---------------------------------------------------------------------------

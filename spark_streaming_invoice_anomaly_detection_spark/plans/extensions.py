@@ -3288,7 +3288,13 @@ register(
 # Curriculum quota sampling: per-(source, difficulty-quartile) strata
 # ---------------------------------------------------------------------------
 
-_CURR_QUOTA = 25  # docs kept per (source, difficulty-quartile) stratum
+# Docs kept per (source, difficulty-quartile) stratum. 3 so the cut BINDS
+# at every shipped SF (smallest stratum is ~6 docs at sf0.001): a quota at
+# or above the stratum size would keep every row and leave the hash-rank
+# ordering dead code under the default oracle gate (the vacuous-validation
+# class r2's ADVICE flagged); tests/test_extensions.py pins that at least
+# one stratum drops rows.
+_CURR_QUOTA = 3
 
 
 def q_curriculum_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

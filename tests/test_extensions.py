@@ -449,3 +449,27 @@ class TestMultimodalCodecRoundtrip:
             for r in decode_assets(assets, real_decode=True).collect()
         }
         assert got == want_feat
+
+
+class TestCurriculumQuotaSample:
+    def test_quota_binds_at_default_sf(self, spark, sf_dir):
+        """The stratum cut must actually drop rows at the DEFAULT test SF —
+        otherwise the hash-rank ordering is dead code and the oracle gate
+        validates nothing (the vacuous-validation class r2's ADVICE
+        flagged for dead filters)."""
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            _CURR_QUOTA,
+            q_curriculum_quota_sample,
+        )
+
+        rows = q_curriculum_quota_sample(spark, sf_dir).collect()
+        assert rows
+        # every stratum obeys the quota...
+        assert all(r.n_sampled <= _CURR_QUOTA for r in rows)
+        # ...and at least one stratum is larger than the quota, so the
+        # rank cut (and the cross-engine hash ordering) really fired
+        assert any(r.n_sampled < r.n_docs for r in rows)
+        # sampled char mass is a strict subset of the stratum's mass
+        assert all(
+            r.chars_sampled is not None and r.chars_sampled > 0 for r in rows
+        )
