@@ -3392,3 +3392,149 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# MMR-diversified retrieval: greedy rerank of the brute-force top-m pool
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_K = 5
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine matching operators/dedup.py:cosine bit-for-bit
+    (list_dot_product proved bit-identical to the Spark left-fold over
+    12k pairs; see module docstring)."""
+    return (
+        f"(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank: from the exact top-25 cosine
+    pool, greedily keep 5 results balancing relevance against redundancy
+    (score = λ·rel − (1−λ)·max similarity to anything already kept) — the
+    diversity-selection step a retrieval or hard-negative pipeline runs
+    after ANN candidate generation.
+
+    Scale shape: the corpus-sized work is exactly the brute-force top-m
+    scan (TakeOrdered, no shuffle of the full set); the greedy loop runs
+    k−1 single-row argmax jobs over the CACHED 25-row pool, each step
+    inlining the winner's embedding as literals (the repo's accepted
+    1-row tiny-scalar collect idiom — bounded by k·m at ANY corpus size,
+    never by the data). Scores are fixed-order IEEE expressions on
+    bit-identical cosines, so the oracle (same greedy unrolled as k CTE
+    stages) reproduces every pick exactly.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    cand = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            S.cosine_to_query("embedding", QUERY_VEC).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_TOPK)
+        .persist()
+    )
+    lam, div = F.lit(_MMR_LAMBDA), F.lit(1.0 - _MMR_LAMBDA)
+
+    from ..operators.dedup import cosine
+
+    picked: list[tuple[int, list[float]]] = []  # (vec_id, embedding)
+    for _step in range(_MMR_K):
+        rem = cand
+        if picked:
+            rem = rem.filter(
+                ~F.col("vec_id").isin([vid for vid, _ in picked])
+            )
+            max_sim = F.greatest(
+                *[
+                    cosine(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                    )
+                    for _, vec in picked
+                ]
+            ) if len(picked) > 1 else cosine(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in picked[0][1]]),
+            )
+            rem = rem.withColumn("score", lam * F.col("rel") - div * max_sim)
+        else:
+            rem = rem.withColumn("score", F.col("rel"))
+        row = rem.orderBy(F.desc("score"), F.asc("vec_id")).first()
+        picked.append((row.vec_id, list(row.embedding)))
+
+    order = {vid: i + 1 for i, (vid, _) in enumerate(picked)}
+    rank = F.coalesce(
+        *[
+            F.when(F.col("vec_id") == vid, F.lit(r))
+            for vid, r in order.items()
+        ]
+    )
+    return (
+        cand.filter(F.col("vec_id").isin(list(order)))
+        .select(rank.alias("mmr_rank"), "vec_id", "rel")
+    )
+
+
+def _mmr_oracle() -> str:
+    lam, div = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    cos = _cos_sql("c.embedding", "s.embedding")
+    parts = [
+        f"""cand AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+                   {_cos_sql('CAST(embedding AS DOUBLE[])', _QUERY_SQL)} AS rel
+            FROM embeddings
+            ORDER BY rel DESC, vec_id
+            LIMIT {_TOPK}
+        )""",
+        """sel1 AS (
+            SELECT vec_id, 1 AS mmr_rank FROM cand
+            ORDER BY rel DESC, vec_id LIMIT 1
+        )""",
+    ]
+    prev = "sel1"
+    for i in range(2, _MMR_K + 1):
+        parts.append(
+            f"""pick{i} AS (
+                SELECT c.vec_id, {i} AS mmr_rank
+                FROM cand c
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+                ORDER BY {lam!r} * c.rel - {div!r} * (
+                    SELECT max({cos}) FROM cand s
+                    WHERE s.vec_id IN (SELECT vec_id FROM {prev})
+                ) DESC, c.vec_id
+                LIMIT 1
+            )""",
+        )
+        parts.append(
+            f"""sel{i} AS (
+                SELECT * FROM {prev}
+                UNION ALL SELECT * FROM pick{i}
+            )""",
+        )
+        prev = f"sel{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT s.mmr_rank, s.vec_id, c.rel
+        FROM {prev} s JOIN cand c USING (vec_id)
+        """
+    )
+
+
+register(
+    QuerySpec(
+        name="mmr_diversified_topk",
+        description="maximal-marginal-relevance top-5 from the exact "
+        "cosine top-25 pool (greedy λ=0.7 rerank, fully oracled)",
+        spark=q_mmr_diversified_topk,
+        oracle=_mmr_oracle(),
+    )
+)

@@ -48,6 +48,8 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",
+    "mad_outlier_census",
+    "mmr_diversified_topk",
     "important_part_value",
     "approx_quantiles_by_type",
     "nation_market_share",

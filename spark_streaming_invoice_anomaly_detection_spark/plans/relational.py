@@ -1152,6 +1152,74 @@ register(
 )
 
 
+def q_mad_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier census: median / MAD (median absolute
+    deviation) and the count of values beyond 3 MADs — the
+    outlier-detection rule that, unlike mean ± k·stddev, a few extreme
+    values cannot drag (the robust-statistics twin of the reference's
+    distance-threshold anomaly rule, InvoicePipeline.scala:334-339).
+
+    Two passes, both mergeable: each median comes from the GK sketch
+    (exact regime per _GK_ACCURACY, the convention licensed by
+    approx_quantiles_by_type), broadcast back as a tiny per-type map.
+    The deviation column is one IEEE subtract/abs on identical doubles —
+    bit-identical across engines — so the final census carries a full
+    hash oracle.
+    """
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, _GK_ACCURACY).alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile_approx("dev", 0.5, _GK_ACCURACY).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count_if(F.col("dev") > 3 * F.col("mad")).alias("n_outliers"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="mad_outlier_census",
+        description="median / MAD robust outlier census per event type "
+        "(two mergeable GK passes, 3-MAD rule)",
+        spark=q_mad_outlier_census,
+        oracle="""
+            WITH med AS (
+                SELECT event_type, quantile_disc(value, 0.5) AS med
+                FROM events GROUP BY event_type
+            ),
+            dev AS (
+                SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+                FROM events e JOIN med m USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type, quantile_disc(dev, 0.5) AS mad
+                FROM dev GROUP BY event_type
+            )
+            SELECT d.event_type,
+                   count(*) AS n,
+                   min(d.med) AS med,
+                   min(a.mad) AS mad,
+                   count(*) FILTER (WHERE d.dev > 3 * a.mad) AS n_outliers
+            FROM dev d JOIN mad a USING (event_type)
+            GROUP BY d.event_type
+        """,
+    )
+)
+
+
 def q_regex_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex capture groups: split o_orderpriority '<digit>-<WORD>' into
     typed parts, plus a count of vowels per priority word. Group indexing

@@ -473,3 +473,32 @@ class TestCurriculumQuotaSample:
         assert all(
             r.chars_sampled is not None and r.chars_sampled > 0 for r in rows
         )
+
+
+class TestMMRDiversifiedTopk:
+    def test_diversity_term_changes_the_selection(self, spark, sf_dir):
+        """MMR must not degenerate to plain relevance top-k at the default
+        SF — if the diversity penalty never flips a pick, the greedy loop
+        is dead code under the oracle gate."""
+        from spark_streaming_invoice_anomaly_detection_spark.operators.similarity import (
+            brute_force_topk,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            _MMR_K,
+            QUERY_VEC,
+            q_mmr_diversified_topk,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+
+        mmr = q_mmr_diversified_topk(spark, sf_dir).collect()
+        assert len(mmr) == _MMR_K
+        assert sorted(r.mmr_rank for r in mmr) == list(range(1, _MMR_K + 1))
+        plain = brute_force_topk(
+            load_table(spark, "embeddings", sf_dir), QUERY_VEC, k=_MMR_K
+        ).collect()
+        assert {r.vec_id for r in mmr} != {r.vec_id for r in plain}
+        # rank 1 is pure relevance: both methods agree on the seed
+        seed = next(r.vec_id for r in mmr if r.mmr_rank == 1)
+        assert seed == plain[0].vec_id
