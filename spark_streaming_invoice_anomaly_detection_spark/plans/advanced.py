@@ -1509,3 +1509,112 @@ register(
         """,
     )
 )
+
+
+def q_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per event type
+    between the first and second time half: KS = max_x |F1(x) - F2(x)| —
+    the binless companion to value_drift_tv (TV sees only 20-bin mass
+    moves; KS catches any CDF separation, however the values shift).
+
+    Same exactness discipline as the TV query: the ECDF gap is computed
+    as |cum1*n2 - cum2*n1| in decimal(38,0) (exact integer cross-
+    products, ~1e12-row headroom per half), the max is order-independent,
+    and only the final KS division is a fixed-order double op. The
+    running sums order by DISTINCT value within each type — the same
+    distinct-value compression spearman_qty_price uses — so the per-type
+    sort is bounded by value cardinality, not row count.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t_lo"),
+        F.max(F.unix_micros("ts")).alias("t_hi"),
+    )
+    halves = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        (F.unix_micros("ts") >= (F.col("t_lo") + F.col("t_hi")) / F.lit(2))
+        .cast("int")
+        .alias("half"),
+    )
+    per_val = halves.groupBy("event_type", "value").agg(
+        F.count_if(F.col("half") == 0).alias("c1"),
+        F.count_if(F.col("half") == 1).alias("c2"),
+    )
+    totals = per_val.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = "decimal(38,0)"
+    gaps = (
+        per_val.withColumn("cum1", F.sum("c1").over(w))
+        .withColumn("cum2", F.sum("c2").over(w))
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            F.abs(
+                F.col("cum1").cast(dec) * F.col("n2").cast(dec)
+                - F.col("cum2").cast(dec) * F.col("n1").cast(dec)
+            ).alias("gap"),
+        )
+    )
+    return gaps.groupBy("event_type").agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        (
+            F.max("gap").cast("double")
+            / (F.first("n1").cast("double") * F.first("n2").cast("double"))
+        ).alias("ks_stat"),
+    )
+
+
+register(
+    QuerySpec(
+        name="ks_drift_by_type",
+        description="exact two-sample Kolmogorov-Smirnov drift per event "
+        "type between time halves (integer ECDF cross-products)",
+        spark=q_ks_drift_by_type,
+        oracle="""
+            WITH bounds AS (
+                SELECT min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi
+                FROM events
+            ), halves AS (
+                SELECT event_type, value,
+                       CAST(epoch_us(ts) >= (t_lo + t_hi) / 2 AS INT) AS half
+                FROM events, bounds
+            ), per_val AS (
+                SELECT event_type, value,
+                       count(*) FILTER (WHERE half = 0) AS c1,
+                       count(*) FILTER (WHERE half = 1) AS c2
+                FROM halves
+                GROUP BY event_type, value
+            ), totals AS (
+                SELECT event_type,
+                       CAST(sum(c1) AS BIGINT) AS n1,
+                       CAST(sum(c2) AS BIGINT) AS n2
+                FROM per_val
+                GROUP BY event_type
+            ), gaps AS (
+                SELECT p.event_type, t.n1, t.n2,
+                       abs(CAST(sum(p.c1) OVER w AS HUGEINT) * t.n2
+                           - CAST(sum(p.c2) OVER w AS HUGEINT) * t.n1)
+                         AS gap
+                FROM per_val p JOIN totals t ON p.event_type = t.event_type
+                WINDOW w AS (PARTITION BY p.event_type ORDER BY p.value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+            )
+            SELECT event_type, n1, n2,
+                   CAST(max(gap) AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat
+            FROM gaps
+            GROUP BY event_type, n1, n2
+        """,
+    )
+)

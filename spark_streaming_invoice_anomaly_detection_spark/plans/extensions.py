@@ -3538,3 +3538,111 @@ register(
         oracle=_mmr_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Triangle census over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def q_neardup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count + clustering coefficient of the MinHash
+    near-dup graph — the structural summary that distinguishes pairwise
+    duplication (components of size 2, no triangles) from dense template
+    families (cliques), which decide whether keep-one-per-component or
+    keep-one-per-clique is the right dedup policy.
+
+    Scale shape: the corpus-sized work is the (memoized) banded-LSH pair
+    generation; everything here runs on the EDGE LIST, orders of
+    magnitude smaller. Triangles come from the canonical u<v<w two-hop
+    join (each triangle counted once), wedges from per-node degrees —
+    all exact int64 — and the closure ratio is one fixed-order double
+    division.
+    """
+    pairs = _near_dup_pairs(spark, sf_dir)
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("u"),
+            F.greatest("id_a", "id_b").alias("v"),
+        )
+        .distinct()
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    wedges = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges")
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.v") == F.col("bc.u"))
+        .join(
+            ac,
+            (F.col("ac.u") == F.col("ab.u"))
+            & (F.col("ac.v") == F.col("bc.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="neardup_triangle_census",
+        description="triangle count + global clustering coefficient of the "
+        "near-dup graph (canonical u<v<w two-hop join on the edge list)",
+        spark=q_neardup_triangle_census,
+        oracle=f"""
+            WITH pairs AS MATERIALIZED ({_MINHASH_ORACLE}),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(id_a, id_b) AS u,
+                                greatest(id_a, id_b) AS v
+                FROM pairs
+            ),
+            deg AS MATERIALIZED (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT u AS node FROM e
+                    UNION ALL
+                    SELECT v AS node FROM e
+                ) GROUP BY node
+            ),
+            -- scalar CTEs: each heavy aggregate evaluated exactly once
+            tri AS (
+                SELECT count(*) AS n_triangles
+                FROM e ab
+                JOIN e bc ON ab.v = bc.u
+                JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+            ),
+            wedge AS (
+                SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+                FROM deg
+            )
+            SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   n_wedges,
+                   n_triangles,
+                   CASE WHEN n_wedges > 0
+                        THEN 3.0 * n_triangles / n_wedges
+                        END AS clustering_coeff
+            FROM tri, wedge
+        """,
+    )
+)

@@ -50,6 +50,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "curriculum_quota_sample",
     "mad_outlier_census",
     "mmr_diversified_topk",
+    "ks_drift_by_type",
     "important_part_value",
     "approx_quantiles_by_type",
     "nation_market_share",
@@ -119,7 +120,7 @@ _DRIVER_CHECKED: frozenset[str] = _driver_checked_names()
 _COSTLY: frozenset[str] = frozenset({
     "neardup_components", "neardup_keep_best", "pagerank_neardup_graph",
     "kmeans_invoice_anomalies", "bisecting_invoice_anomalies",
-    "contamination_closure",
+    "contamination_closure", "neardup_triangle_census",
 })
 
 
