@@ -1525,7 +1525,15 @@ def q_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-value compression spearman_qty_price uses — so the per-type
     sort is bounded by value cardinality, not row count.
     """
-    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    # value IS NOT NULL on BOTH engines: the running sums order by value,
+    # and Spark sorts NULLs first while DuckDB defaults to NULLS LAST —
+    # a silent cross-engine ECDF shift if nulls ever appear. An ECDF is
+    # only defined over observed values anyway.
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "ts", "value")
+        .filter(F.col("value").isNotNull())
+    )
     bounds = ev.agg(
         F.min(F.unix_micros("ts")).alias("t_lo"),
         F.max(F.unix_micros("ts")).alias("t_hi"),
@@ -1564,12 +1572,15 @@ def q_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap"),
         )
     )
+    # null ks_stat when a type is entirely in one half (n1*n2 = 0): under
+    # ANSI mode the unguarded double division would abort the whole query
     return gaps.groupBy("event_type").agg(
         F.first("n1").alias("n1"),
         F.first("n2").alias("n2"),
-        (
+        F.when(
+            (F.first("n1") > 0) & (F.first("n2") > 0),
             F.max("gap").cast("double")
-            / (F.first("n1").cast("double") * F.first("n2").cast("double"))
+            / (F.first("n1").cast("double") * F.first("n2").cast("double")),
         ).alias("ks_stat"),
     )
 
@@ -1583,11 +1594,12 @@ register(
         oracle="""
             WITH bounds AS (
                 SELECT min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi
-                FROM events
+                FROM events WHERE value IS NOT NULL
             ), halves AS (
                 SELECT event_type, value,
                        CAST(epoch_us(ts) >= (t_lo + t_hi) / 2 AS INT) AS half
                 FROM events, bounds
+                WHERE value IS NOT NULL
             ), per_val AS (
                 SELECT event_type, value,
                        count(*) FILTER (WHERE half = 0) AS c1,
@@ -1611,8 +1623,10 @@ register(
                              AND CURRENT ROW)
             )
             SELECT event_type, n1, n2,
-                   CAST(max(gap) AS DOUBLE)
-                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat
+                   CASE WHEN n1 > 0 AND n2 > 0
+                        THEN CAST(max(gap) AS DOUBLE)
+                             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                        END AS ks_stat
             FROM gaps
             GROUP BY event_type, n1, n2
         """,

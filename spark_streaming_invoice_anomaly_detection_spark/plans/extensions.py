@@ -3401,6 +3401,11 @@ register(
 _MMR_LAMBDA = 0.7
 _MMR_K = 5
 
+#: Memoized top-m candidate pool, keyed/lifecycled like _PAIRS_CACHE so
+#: repeated builder invocations in one session reuse one persisted 25-row
+#: frame instead of leaking a new cache entry each call.
+_MMR_POOL_CACHE: dict[tuple[int, str], DataFrame] = {}
+
 
 def _cos_sql(a: str, b: str) -> str:
     """DuckDB cosine matching operators/dedup.py:cosine bit-for-bit
@@ -3429,17 +3434,20 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cosines, so the oracle (same greedy unrolled as k CTE
     stages) reproduces every pick exactly.
     """
-    emb = load_table(spark, "embeddings", sf_dir)
-    cand = (
-        emb.select(
-            "vec_id",
-            "embedding",
-            S.cosine_to_query("embedding", QUERY_VEC).alias("rel"),
+    key = (id(spark), sf_dir)
+    if key not in _MMR_POOL_CACHE:
+        emb = load_table(spark, "embeddings", sf_dir)
+        _MMR_POOL_CACHE[key] = (
+            emb.select(
+                "vec_id",
+                "embedding",
+                S.cosine_to_query("embedding", QUERY_VEC).alias("rel"),
+            )
+            .orderBy(F.desc("rel"), F.asc("vec_id"))
+            .limit(_TOPK)
+            .persist()
         )
-        .orderBy(F.desc("rel"), F.asc("vec_id"))
-        .limit(_TOPK)
-        .persist()
-    )
+    cand = _MMR_POOL_CACHE[key]
     lam, div = F.lit(_MMR_LAMBDA), F.lit(1.0 - _MMR_LAMBDA)
 
     from ..operators.dedup import cosine
@@ -3451,24 +3459,26 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             rem = rem.filter(
                 ~F.col("vec_id").isin([vid for vid, _ in picked])
             )
-            max_sim = F.greatest(
-                *[
-                    cosine(
-                        F.col("embedding"),
-                        F.array(*[F.lit(float(x)) for x in vec]),
-                    )
-                    for _, vec in picked
-                ]
-            ) if len(picked) > 1 else cosine(
-                F.col("embedding"),
-                F.array(*[F.lit(float(x)) for x in picked[0][1]]),
-            )
+            sims = [
+                cosine(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in vec]),
+                )
+                for _, vec in picked
+            ]
+            max_sim = F.greatest(*sims) if len(sims) > 1 else sims[0]
             rem = rem.withColumn("score", lam * F.col("rel") - div * max_sim)
         else:
             rem = rem.withColumn("score", F.col("rel"))
         row = rem.orderBy(F.desc("score"), F.asc("vec_id")).first()
+        if row is None:  # pool smaller than k: keep what exists
+            break
         picked.append((row.vec_id, list(row.embedding)))
 
+    if not picked:  # empty corpus: empty result, stable schema
+        return cand.select(
+            F.lit(1).alias("mmr_rank"), "vec_id", "rel"
+        ).limit(0)
     order = {vid: i + 1 for i, (vid, _) in enumerate(picked)}
     rank = F.coalesce(
         *[
@@ -3559,6 +3569,10 @@ def q_neardup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     all exact int64 — and the closure ratio is one fixed-order double
     division.
     """
+    # localCheckpoint truncates the LSH pipeline's lineage (the
+    # contamination_closure idiom): the triangle self-joins then plan
+    # against a materialized edge table instead of replaying the pair
+    # generation per join arm — 26 shuffles down to 4.
     pairs = _near_dup_pairs(spark, sf_dir)
     e = (
         pairs.select(
@@ -3566,6 +3580,7 @@ def q_neardup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("id_a", "id_b").alias("v"),
         )
         .distinct()
+        .localCheckpoint()
     )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     nodes = (

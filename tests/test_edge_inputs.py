@@ -277,3 +277,56 @@ class TestEmptySketchesAndCuration:
         n = layout.compact_parquet(spark, src, dst, target_mb=128)
         assert n == 1
         assert spark.read.parquet(dst).count() == 0
+
+
+def test_mmr_pool_smaller_than_k(spark, tmp_path):
+    """A corpus smaller than the MMR k must yield that many ranked rows,
+    not crash on an exhausted pool (rem.first() returning None)."""
+    from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+        _MMR_K,
+        q_mmr_diversified_topk,
+    )
+
+    path = str(tmp_path / "sf_tiny")
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tiny = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 - 2) for j in range(64)]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    tiny.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    out = q_mmr_diversified_topk(spark, path).collect()
+    assert len(out) == 3 < _MMR_K
+    assert sorted(r.mmr_rank for r in out) == [1, 2, 3]
+
+
+def test_ks_drift_single_half_type_is_null_not_error(spark, tmp_path):
+    """An event type living entirely in one time half has no defined KS
+    statistic: expect a NULL row, not an ANSI divide-by-zero abort."""
+    import datetime as dt
+    import os
+
+    from spark_streaming_invoice_anomaly_detection_spark.plans.advanced import (
+        q_ks_drift_by_type,
+    )
+
+    path = str(tmp_path / "sf_ks")
+    os.makedirs(path, exist_ok=True)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # 'early' only exists in the first half; 'both' spans the range
+        (1, t0, 7, "early", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 8, "early", 2.0, "{}"),
+        (3, t0, 9, "both", 1.0, "{}"),
+        (4, t0 + dt.timedelta(days=9), 9, "both", 5.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    got = {r.event_type: r for r in q_ks_drift_by_type(spark, path).collect()}
+    assert got["early"].ks_stat is None
+    assert got["early"].n2 == 0
+    assert got["both"].ks_stat == 1.0  # disjoint halves: maximal drift
