@@ -3661,3 +3661,101 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality calibration map (quantile normalization table)
+# ---------------------------------------------------------------------------
+
+#: i/10 (correctly-rounded doubles) — the SAME literals are emitted into the
+#: oracle SQL; never derive them as decile*0.1 on one side only (3*0.1 !=
+#: 0.3 in IEEE, which can flip the picked order statistic at a boundary).
+_CAL_DECILES = [i / 10 for i in range(1, 10)]
+
+
+def q_quality_calibration_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization table for per-source quality scores: the
+    decile grid of each source's score distribution next to the global
+    grid, with the shift between them. A single global quality threshold
+    systematically over-prunes sources whose scorer runs low; this map is
+    the correction a curation pipeline applies before thresholding
+    (read: calibrate, THEN cut).
+
+    Exactness/scale: scores are the deterministic ratio heuristic
+    (operators/text.py:quality_score, oracle-bit-exact); every decile is
+    a mergeable GK sketch order statistic — the exact-regime equality
+    with DuckDB's quantile_disc is probe-verified at all nine decile
+    positions over 96 size/tie cases, extending the quartile licensing
+    of approx_quantiles_by_type. Two map-side-combined aggs (per-source
+    + global), one broadcast join on the 9-row grid; the corpus is
+    never sorted.
+    """
+    from .relational import _GK_ACCURACY
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", X.quality_score(F.col("text")).alias("q")
+    )
+    deciles = F.percentile_approx("q", _CAL_DECILES, _GK_ACCURACY)
+    per_source = (
+        docs.groupBy("source")
+        .agg(deciles.alias("ds"))
+        .select(
+            "source",
+            F.posexplode("ds").alias("idx", "source_score"),
+        )
+    )
+    global_grid = (
+        docs.agg(deciles.alias("ds"))
+        .select(F.posexplode("ds").alias("idx", "global_score"))
+    )
+    return (
+        per_source.join(F.broadcast(global_grid), "idx")
+        .select(
+            "source",
+            (F.col("idx") + 1).alias("decile"),
+            "source_score",
+            "global_score",
+            (F.col("global_score") - F.col("source_score")).alias(
+                "calibration_shift"
+            ),
+        )
+    )
+
+
+_CAL_LIST_SQL = "[" + ", ".join(repr(d) for d in _CAL_DECILES) + "]"
+
+register(
+    QuerySpec(
+        name="quality_calibration_map",
+        description="per-source vs global quality-score decile grid with "
+        "calibration shift (quantile normalization table)",
+        spark=q_quality_calibration_map,
+        oracle=f"""
+            WITH scored AS MATERIALIZED (
+                SELECT source, ({_QUALITY_SQL}) AS q FROM documents
+            ),
+            src_agg AS (
+                SELECT source, quantile_disc(q, {_CAL_LIST_SQL}) AS ds
+                FROM scored GROUP BY source
+            ),
+            per_source AS (
+                SELECT source,
+                       generate_subscripts(ds, 1) AS decile,
+                       unnest(ds) AS source_score
+                FROM src_agg
+            ),
+            glob_agg AS (
+                SELECT quantile_disc(q, {_CAL_LIST_SQL}) AS ds FROM scored
+            ),
+            global_grid AS (
+                SELECT generate_subscripts(ds, 1) AS decile,
+                       unnest(ds) AS global_score
+                FROM glob_agg
+            )
+            SELECT p.source, CAST(p.decile AS INT) AS decile,
+                   p.source_score, g.global_score,
+                   g.global_score - p.source_score AS calibration_shift
+            FROM per_source p JOIN global_grid g USING (decile)
+        """,
+    )
+)

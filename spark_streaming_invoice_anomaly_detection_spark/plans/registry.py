@@ -51,6 +51,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "mad_outlier_census",
     "mmr_diversified_topk",
     "ks_drift_by_type",
+    "quality_calibration_map",
     "important_part_value",
     "approx_quantiles_by_type",
     "nation_market_share",
