@@ -3672,6 +3672,13 @@ register(
 #: 0.3 in IEEE, which can flip the picked order statistic at a boundary).
 _CAL_DECILES = [i / 10 for i in range(1, 10)]
 
+#: The calibration map includes a GLOBAL sketch whose group is the whole
+#: corpus, so the exact-regime bound must cover corpus size, not per-group
+#: size — 20x the headroom of relational._GK_ACCURACY's per-type groups.
+#: Exact to 1M documents (sf ~20 at current generator rates); past that
+#: the sketch compresses and the oracle would need a rows-only fallback.
+_CAL_ACCURACY = 1_000_000
+
 
 def q_quality_calibration_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-normalization table for per-source quality scores: the
@@ -3686,27 +3693,31 @@ def q_quality_calibration_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     a mergeable GK sketch order statistic — the exact-regime equality
     with DuckDB's quantile_disc is probe-verified at all nine decile
     positions over 96 size/tie cases, extending the quartile licensing
-    of approx_quantiles_by_type. Two map-side-combined aggs (per-source
-    + global), one broadcast join on the 9-row grid; the corpus is
-    never sorted.
+    of approx_quantiles_by_type, and pinned as a regression test
+    (tests/test_properties.py). ONE map-side-combined rollup pass builds
+    the per-source and global grids together, then a broadcast join on
+    the 9-row grid; the corpus is never sorted.
     """
-    from .relational import _GK_ACCURACY
-
     docs = load_table(spark, "documents", sf_dir).select(
         "source", X.quality_score(F.col("text")).alias("q")
     )
-    deciles = F.percentile_approx("q", _CAL_DECILES, _GK_ACCURACY)
-    per_source = (
-        docs.groupBy("source")
-        .agg(deciles.alias("ds"))
-        .select(
-            "source",
-            F.posexplode("ds").alias("idx", "source_score"),
-        )
+    deciles = F.percentile_approx("q", _CAL_DECILES, _CAL_ACCURACY)
+    # ONE corpus scan for both grids: rollup('source') emits every
+    # per-source group AND the grand total from the same pass (grouping()
+    # tells them apart — also distinguishing a literal NULL source), and
+    # localCheckpoint materializes the ~|sources|+1 row result so the two
+    # downstream references don't re-run the scoring scan — the Spark twin
+    # of the oracle's AS MATERIALIZED scored CTE.
+    grids = (
+        docs.rollup("source")
+        .agg(deciles.alias("ds"), F.grouping("source").alias("is_total"))
+        .localCheckpoint()
     )
-    global_grid = (
-        docs.agg(deciles.alias("ds"))
-        .select(F.posexplode("ds").alias("idx", "global_score"))
+    per_source = grids.filter(F.col("is_total") == 0).select(
+        "source", F.posexplode("ds").alias("idx", "source_score")
+    )
+    global_grid = grids.filter(F.col("is_total") == 1).select(
+        F.posexplode("ds").alias("idx", "global_score")
     )
     return (
         per_source.join(F.broadcast(global_grid), "idx")

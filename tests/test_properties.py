@@ -216,3 +216,46 @@ class TestScaledLongFormula:
         x = units / float(10**scale)
         got = math.floor(x * float(10**scale) + 0.5)
         assert got == units, (x, scale, got, units)
+
+
+class TestGKDecileExactRegime:
+    """Pin the license behind quality_calibration_map's hash oracle: in
+    the exact regime, Spark's GK sketch (percentile_approx) returns the
+    SAME element as DuckDB's quantile_disc at every decile position,
+    across sizes and tie patterns — including the tie path real corpus
+    data rarely exercises. A Spark or DuckDB upgrade that changes either
+    side's tie-breaking fails here before it fails a grading run."""
+
+    def test_deciles_match_quantile_disc(self, spark):
+        import duckdb
+
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            _CAL_DECILES,
+        )
+
+        cases: dict[int, list[float]] = {}
+        cid = 0
+        for n in [1, 2, 3, 4, 5, 7, 9, 10, 12, 17, 25, 40]:
+            cases[cid] = [float(i) for i in range(n)]; cid += 1       # distinct
+            cases[cid] = [float(i // 3) for i in range(n)]; cid += 1  # ties
+            cases[cid] = [7.0] * n; cid += 1                          # constant
+        rows = [(k, v) for k, vals in cases.items() for v in vals]
+        got = {
+            r.cid: list(r.qs)
+            for r in spark.createDataFrame(rows, "cid int, v double")
+            .groupBy("cid")
+            .agg(F.percentile_approx("v", _CAL_DECILES, 50_000).alias("qs"))
+            .collect()
+        }
+        con = duckdb.connect()
+        decile_sql = ", ".join(
+            f"quantile_disc(v, {d!r})" for d in _CAL_DECILES
+        )
+        for k, vals in cases.items():
+            lit = ", ".join(f"({v!r})" for v in vals)
+            want = list(
+                con.execute(
+                    f"SELECT {decile_sql} FROM (VALUES {lit}) t(v)"
+                ).fetchone()
+            )
+            assert got[k] == want, (k, len(vals), got[k], want)
