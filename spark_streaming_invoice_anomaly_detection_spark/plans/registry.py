@@ -52,6 +52,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "mmr_diversified_topk",
     "ks_drift_by_type",
     "quality_calibration_map",
+    "benford_first_digit",
     "important_part_value",
     "approx_quantiles_by_type",
     "nation_market_share",

@@ -2803,3 +2803,86 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit census (fraud screening over invoice totals)
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) precomputed ONCE in Python and emitted as the identical
+#: double literal into both engines — no runtime log(), which is not
+#: correctly-rounded IEEE and differs across libm builds (the same reason
+#: value_drift_tv avoids KL and doc_surprisal_bits uses bit-length log2).
+import math as _math
+
+_BENFORD_P = [_math.log10(1 + 1 / d) for d in range(1, 10)]
+
+
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit census of order totals against Benford's
+    law — the classic screen for fabricated invoice amounts (fraud sits
+    next to this engine's anomaly-detection heart,
+    InvoicePipeline.scala:334-339: both flag 'numbers people made up').
+
+    Digit extraction is string-of-int64 (totals are >= 1), never
+    float formatting — double-to-string rendering differs between
+    engines, bigint-to-string does not. One hash agg over 9 groups with
+    map-side combine; expected frequencies are shared build-time
+    literals, and the deviation is one fixed-order IEEE subtract.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    p = F.element_at(
+        F.array(*[F.lit(x) for x in _BENFORD_P]), F.col("digit")
+    )
+    frac = F.col("n_obs").cast("double") / F.col("n_total").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            frac.alias("frac_obs"),
+            p.alias("benford_p"),
+            (frac - p).alias("deviation"),
+        )
+    )
+
+
+_BENFORD_LIST_SQL = "[" + ", ".join(repr(x) for x in _BENFORD_P) + "]"
+
+register(
+    QuerySpec(
+        name="benford_first_digit",
+        description="first-digit distribution of order totals vs Benford's "
+        "law (fraud screen; shared build-time log literals)",
+        spark=q_benford_first_digit,
+        oracle=f"""
+            WITH counts AS (
+                SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
+                                AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                         AS digit,
+                       count(*) AS n_obs
+                FROM orders
+                WHERE o_totalprice >= 1
+                GROUP BY 1
+            ),
+            total AS (
+                SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM counts
+            )
+            SELECT digit,
+                   n_obs,
+                   CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
+                     AS frac_obs,
+                   ({_BENFORD_LIST_SQL})[digit] AS benford_p,
+                   CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
+                   - ({_BENFORD_LIST_SQL})[digit] AS deviation
+            FROM counts, total
+        """,
+    )
+)
