@@ -47,6 +47,9 @@ def main() -> None:
         "top_returning_customers",  # Q10 shape, fact-fact + top-20
         "minhash_lsh_neardups",     # banded-LSH dedup (shuffle-heavy)
         "arrow_text_stats",         # mapInArrow Python-boundary path
+        # round-3 surface:
+        "bloom_pruned_revenue",     # runtime-filter-shaped fact join
+        "quality_calibration_map",  # quality scoring + rollup GK grids
     ]
     headline = [q for q in headline if q in REGISTRY]
 
