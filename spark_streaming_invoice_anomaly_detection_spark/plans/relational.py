@@ -13,6 +13,8 @@ Plan-shape notes (verified via .explain, see tests/test_plans.py):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2813,9 +2815,7 @@ register(
 #: double literal into both engines — no runtime log(), which is not
 #: correctly-rounded IEEE and differs across libm builds (the same reason
 #: value_drift_tv avoids KL and doc_surprisal_bits uses bit-length log2).
-import math as _math
-
-_BENFORD_P = [_math.log10(1 + 1 / d) for d in range(1, 10)]
+_BENFORD_P = [math.log10(1 + 1 / d) for d in range(1, 10)]
 
 
 def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2837,20 +2837,24 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = o.groupBy(digit.alias("digit")).agg(
         F.count(F.lit(1)).alias("n_obs")
     )
-    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    # total as an unpartitioned window over the (<= 9-row) aggregate, not
+    # a second aggregation of the scan: one pass over orders, zero extra
+    # shuffles (the single "partition" is the tiny post-agg result)
+    total = F.sum("n_obs").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
     p = F.element_at(
         F.array(*[F.lit(x) for x in _BENFORD_P]), F.col("digit")
     )
-    frac = F.col("n_obs").cast("double") / F.col("n_total").cast("double")
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .select(
-            "digit",
-            "n_obs",
-            frac.alias("frac_obs"),
-            p.alias("benford_p"),
-            (frac - p).alias("deviation"),
-        )
+    frac = F.col("n_obs").cast("double") / total.cast("double")
+    return counts.select(
+        "digit",
+        "n_obs",
+        frac.alias("frac_obs"),
+        p.alias("benford_p"),
+        (frac - p).alias("deviation"),
     )
 
 
