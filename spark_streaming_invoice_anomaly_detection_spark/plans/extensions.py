@@ -3770,3 +3770,73 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF index health: cell-occupancy census
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy census of the IVF coarse cells — the index-health check
+    behind similarity_topk_ivf: a cell far above load factor 1 dominates
+    every probe that touches it (and, in the cell-partitioned deployment
+    layout, is the oversized partition), the signal to re-train or split
+    the coarse quantizer. One scan, one 8-group hash agg; the totals ride
+    an unpartitioned window over the 8-row aggregate.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    counts = (
+        emb.select(
+            S.ivf_cell("embedding", _IVF_CENTROIDS).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    total = F.sum("n_vectors").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return counts.select(
+        "cell",
+        "n_vectors",
+        (F.col("n_vectors").cast("double") / total.cast("double")).alias(
+            "frac"
+        ),
+        (
+            (F.col("n_vectors") * F.lit(_IVF_CELLS)).cast("double")
+            / total.cast("double")
+        ).alias("load_factor"),
+    )
+
+
+register(
+    QuerySpec(
+        name="ivf_cell_occupancy",
+        description="IVF coarse-cell occupancy census (load factor per "
+        "cell — ANN index health / partition-size check)",
+        spark=q_ivf_cell_occupancy,
+        oracle=f"""
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                FROM embeddings
+            ),
+            dists AS (SELECT vec_id, embedding, {_IVF_DIST_COLS} FROM base),
+            cells AS (
+                SELECT vec_id, {_IVF_CELL_CASE} AS cell
+                FROM (SELECT *, {_IVF_LEAST} AS m FROM dists)
+            ),
+            counts AS (
+                SELECT cell, count(*) AS n_vectors FROM cells GROUP BY cell
+            ),
+            tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS t FROM counts)
+            SELECT cell,
+                   n_vectors,
+                   CAST(n_vectors AS DOUBLE) / CAST(t AS DOUBLE) AS frac,
+                   CAST(n_vectors * {_IVF_CELLS} AS DOUBLE)
+                   / CAST(t AS DOUBLE) AS load_factor
+            FROM counts, tot
+        """,
+    )
+)

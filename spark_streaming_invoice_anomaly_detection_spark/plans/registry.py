@@ -53,6 +53,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "ks_drift_by_type",
     "quality_calibration_map",
     "benford_first_digit",
+    "ivf_cell_occupancy",
     "important_part_value",
     "approx_quantiles_by_type",
     "nation_market_share",
