@@ -401,3 +401,94 @@ def embedding_near_dups(
         .filter(cosine(F.col("v_a"), F.col("v_b")) >= F.lit(threshold))
         .select("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster-then-prune census
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_census(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    sub_planes: int = 0,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup census (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-quantize every embedding to its nearest
+    centroid cell, and inside each cell drop any vector whose cosine to a
+    LOWER-id cell-mate reaches ``threshold`` — the surviving lowest id is
+    the deterministic cluster representative. Returns the per-cell census
+    (n_vectors / n_dropped / n_kept / dup_frac), the number a curation
+    pipeline acts on when deciding how hard to prune a corpus.
+
+    Cells are assigned by ARGMAX COSINE to the fixed centroids (spherical
+    k-means assignment, similarity.ivf_cell_cosine), not argmin L2: the
+    operator's duplicate predicate is angular, so its coarse quantizer
+    must be scale-invariant too — an L2 assignment splits a vector and
+    its scaled copy across cells near cell boundaries and silently loses
+    exactly the pairs the operator exists to find.
+
+    Plan shape — deliberately NOT a self-join: members are collected per
+    (cell, sub-bucket) block and the pairwise exists-check runs as array
+    higher-order functions inside the block row, so the whole operator is
+    two shuffles (block agg, cell re-agg) instead of the four-plus of the
+    join + distinct + two-agg formulation. Blocks are bounded by
+    construction: SemDeDup sizes n_cells ~ N / target_cluster_size (the
+    paper uses ~100k clusters), and ``sub_planes`` RP-LSH sign bits split
+    cells further at scale — a sign hyperplane can never separate
+    same-direction near-dups, so sub-blocking costs recall only at the
+    decision boundary, exactly like embedding_near_dups' bucketing.
+    """
+    from .similarity import ivf_cell_cosine, rp_lsh_signature
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = (
+        rp_lsh_signature(F.col(vec_col), sub_planes, dim)
+        if sub_planes > 0
+        else F.lit(0)
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        ivf_cell_cosine(F.col(vec_col), centroids).alias("cell"),
+        bucket.alias("bucket"),
+    )
+    blocks = base.groupBy("cell", "bucket").agg(
+        F.collect_list(F.struct(F.col("_id"), F.col("_v"))).alias("members")
+    )
+    dominated = F.size(
+        F.filter(
+            F.col("members"),
+            lambda m: F.exists(
+                F.col("members"),
+                lambda o: (o["_id"] < m["_id"])
+                & (cosine(m["_v"], o["_v"]) >= F.lit(threshold)),
+            ),
+        )
+    )
+    per_block = blocks.select(
+        "cell",
+        F.size("members").alias("nv"),
+        dominated.alias("nd"),
+    )
+    return (
+        per_block.groupBy("cell")
+        .agg(
+            F.sum("nv").alias("n_vectors"),
+            F.sum("nd").alias("n_dropped"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            "n_dropped",
+            (F.col("n_vectors") - F.col("n_dropped")).alias("n_kept"),
+            (
+                F.col("n_dropped").cast("double")
+                / F.col("n_vectors").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

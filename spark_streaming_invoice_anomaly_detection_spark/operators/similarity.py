@@ -162,6 +162,40 @@ def ivf_cell(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     return cell
 
 
+def inv_norm_py(c: list[float]) -> float:
+    """1/|c| with the same fold order as dot_py — emitted as a literal on
+    both engines so the spherical scores use identical arithmetic."""
+    import math
+
+    return 1.0 / math.sqrt(dot_py(c, c))
+
+
+def ivf_cell_cosine(
+    vec_col: Column | str, centroids: list[list[float]]
+) -> Column:
+    """Spherical (argmax-cosine) cell id, ties -> lowest id.
+
+    The assignment a cosine-metric operator (SemDeDup, angular ANN) needs:
+    cos(v, c) = dot(v, c) / (|v| |c|), and |v| is the same for every
+    cell, so the argmax reduces to ``dot(v, c) * (1/|c|)`` with 1/|c| a
+    Python-precomputed literal. Unlike the L2 argmin, this assignment is
+    scale-invariant: copies of a vector (any positive scale) always land
+    in the same cell, so direction-preserving near-dups are never split
+    across cells. A zero vector scores 0.0 against every centroid and
+    falls to cell 0 by the tie rule (both engines).
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vd = F.transform(v, lambda x: x.cast("double"))
+    scores = [
+        _dot_const(vd, c) * F.lit(inv_norm_py(c)) for c in centroids
+    ]
+    m = F.greatest(*scores)
+    cell = F.when(scores[0] == m, 0)
+    for i in range(1, len(scores)):
+        cell = cell.when(scores[i] == m, i)
+    return cell
+
+
 def ivf_probe_cells(
     query: list[float], centroids: list[list[float]], n_probe: int
 ) -> list[int]:

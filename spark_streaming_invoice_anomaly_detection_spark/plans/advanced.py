@@ -1632,3 +1632,265 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detector: cumulative-sum change detection over daily volumes
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM change detector over daily event volume per type:
+    S_d = max(0, S_{d-1} + (x_d - mean)), alarm when the cumulative excess
+    passes 10% of the mean daily volume — the sequential-analysis companion to the
+    two-sample drift pair (value_drift_tv / ks_drift_by_type), which only
+    compare fixed halves; CUSUM localizes WHEN the level shift happened.
+
+    Exactness: the recursion is non-linear (the max-with-zero clamp), so
+    it is rewritten as the max-drawup identity
+    ``S_d = P_d - min(0, min_{j<=d} P_j)`` over the prefix sums P of the
+    residuals — two window passes, no recursion. Residuals are scaled to
+    kill the mean's division: y_d = n*x_d - T (x in int64 micros via the
+    engine's floor(x+0.5) scaling, products in decimal(38,0) — exact and
+    mergeable far past int64's ~1e6-day horizon, same headroom discipline
+    as ks_drift_by_type). Only the final excess is one fixed-order double
+    division; the alarm compare (excess > (T/n)/10,
+    cleared of both divisions as 10*S > T) stays in exact integers on
+    both engines.
+
+    Shape: one hash agg on (event_type, day), then all three windows run
+    on the same event_type partitioning — two exchanges total; the per-
+    type series length is bounded by calendar days, never row count.
+    """
+    dec = "decimal(38,0)"
+    from ..functions.exactmath import scaled_long
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(scaled_long("value", 6)).alias("xm"))
+    )
+    wt = Window.partitionBy("event_type")
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scoped = daily.select(
+        "event_type",
+        "day",
+        "xm",
+        F.count(F.lit(1)).over(wt).alias("n_days"),
+        F.sum("xm").over(wt).alias("total"),
+    )
+    prefix = scoped.select(
+        "event_type",
+        "day",
+        "n_days",
+        "total",
+        F.sum(
+            F.col("xm").cast(dec) * F.col("n_days").cast(dec)
+            - F.col("total").cast(dec)
+        )
+        .over(wd)
+        .alias("p"),
+    )
+    drawup = prefix.select(
+        "event_type",
+        "day",
+        "n_days",
+        "total",
+        (
+            F.col("p")
+            - F.least(F.min("p").over(wd), F.lit(0).cast(dec))
+        ).alias("s"),
+    )
+    return drawup.select(
+        "event_type",
+        "day",
+        (
+            F.col("s").cast("double")
+            / (F.col("n_days").cast("double") * F.lit(1000000.0))
+        ).alias("cusum_excess"),
+        (
+            F.col("s") * F.lit(10) > F.col("total").cast(dec)
+        ).alias("alarm"),
+    )
+
+
+register(
+    QuerySpec(
+        name="cusum_daily_drift",
+        description="Page's CUSUM level-shift detector over daily event "
+        "volume per type (exact integer max-drawup form, alarm at 10% of "
+        "mean daily volume)",
+        spark=q_cusum_daily_drift,
+        oracle="""
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(sum(CAST(floor(value * 1000000.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS xm
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type, CAST(ts AS DATE)
+            ), scoped AS (
+                SELECT *,
+                       count(*) OVER wt AS n_days,
+                       CAST(sum(xm) OVER wt AS BIGINT) AS total
+                FROM daily
+                WINDOW wt AS (PARTITION BY event_type)
+            ), prefix AS (
+                SELECT *,
+                       sum(CAST(xm AS HUGEINT) * n_days - total) OVER wd AS p
+                FROM scoped
+                WINDOW wd AS (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+            ), drawup AS (
+                SELECT *, p - least(min(p) OVER wd, 0) AS s
+                FROM prefix
+                WINDOW wd AS (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+            )
+            SELECT event_type, day,
+                   CAST(s AS DOUBLE)
+                   / (CAST(n_days AS DOUBLE) * 1000000.0) AS cusum_excess,
+                   (s * 10 > CAST(total AS HUGEINT)) AS alarm
+            FROM drawup
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# OLS trend per event type: fixed-order fold moments, exact daily inputs
+# ---------------------------------------------------------------------------
+
+
+def q_daily_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of daily volume over time:
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) with x = epoch day number
+    and y = exact daily volume in int64 micros — the regression companion
+    to cusum_daily_drift (CUSUM says WHEN the level shifted; the slope
+    says how fast the level is moving, plus r^2 for how linear it is).
+
+    Determinism: built-in regr_slope/corr aggregate doubles in partition
+    order — not hash-oracle-able. Exact decimal(38,0) moments don't work
+    either, for a subtler reason: Syy reaches ~1e25 and DuckDB's
+    >2^64 integer->double cast is NOT correctly rounded (verified: 1-ulp
+    off on ~1% of 65..120-bit values, e.g. 267624684374100000000), so the
+    exact moment hashes diverge at the final cast. Instead the day-sorted
+    daily series is collected per type (bounded by CALENDAR DAYS, never
+    row count) and every moment is a left-to-right double fold over it —
+    each element an exact int64->double conversion (< 2^53), every
+    product/sum IEEE ops in an identical fixed order on both engines.
+    One daily hash agg + one per-type array agg: two exchanges.
+    """
+    from ..functions.exactmath import scaled_long
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(scaled_long("value", 6)).alias("ym"))
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("1970-01-01"))
+            .cast("double")
+            .alias("x"),
+            F.col("ym").cast("double").alias("y"),
+        )
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("x", "y"))).alias("a")
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.col("a"), F.lit(0.0), lambda acc, s: acc + term(s)
+        )
+
+    n = F.size("a").cast("double")
+    sx = fold(lambda s: s["x"])
+    sy = fold(lambda s: s["y"])
+    sxy = fold(lambda s: s["x"] * s["y"])
+    sxx = fold(lambda s: s["x"] * s["x"])
+    syy = fold(lambda s: s["y"] * s["y"])
+    moments = arr.select(
+        "event_type",
+        F.size("a").cast("long").alias("n_days"),
+        n.alias("n"),
+        sx.alias("sx"),
+        sy.alias("sy"),
+        sxy.alias("sxy"),
+        sxx.alias("sxx"),
+        syy.alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return moments.select(
+        "event_type",
+        "n_days",
+        ((F.col("sy") / F.col("n")) / F.lit(1000000.0)).alias("mean_daily"),
+        F.when(den_x > 0, (num / den_x) / F.lit(1000000.0)).alias(
+            "slope_per_day"
+        ),
+        F.when((den_x > 0) & (den_y > 0), (num * num) / (den_x * den_y)).alias(
+            "r2"
+        ),
+    )
+
+
+register(
+    QuerySpec(
+        name="daily_trend_slope",
+        description="per-event-type OLS trend of daily volume (exact "
+        "int64 daily sums, fixed-order double fold moments, r^2)",
+        spark=q_daily_trend_slope,
+        oracle="""
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                         AS x,
+                       CAST(sum(CAST(floor(value * 1000000.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS y
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type, CAST(ts AS DATE)
+            ), arr AS (
+                SELECT event_type,
+                       list(struct_pack(x := CAST(x AS DOUBLE),
+                                        y := CAST(y AS DOUBLE))
+                            ORDER BY x) AS a
+                FROM daily GROUP BY event_type
+            ), moments AS (
+                SELECT event_type,
+                       CAST(len(a) AS BIGINT) AS n_days,
+                       CAST(len(a) AS DOUBLE) AS n,
+                       list_reduce(list_transform(a, s -> s.x),
+                                   (p, q) -> p + q) AS sx,
+                       list_reduce(list_transform(a, s -> s.y),
+                                   (p, q) -> p + q) AS sy,
+                       list_reduce(list_transform(a, s -> s.x * s.y),
+                                   (p, q) -> p + q) AS sxy,
+                       list_reduce(list_transform(a, s -> s.x * s.x),
+                                   (p, q) -> p + q) AS sxx,
+                       list_reduce(list_transform(a, s -> s.y * s.y),
+                                   (p, q) -> p + q) AS syy
+                FROM arr
+            )
+            SELECT event_type, n_days,
+                   (sy / n) / 1000000.0 AS mean_daily,
+                   CASE WHEN (n * sxx - sx * sx) > 0 THEN
+                     ((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 1000000.0
+                   END AS slope_per_day,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                         AND (n * syy - sy * sy) > 0 THEN
+                     ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                   END AS r2
+            FROM moments
+        """,
+    )
+)

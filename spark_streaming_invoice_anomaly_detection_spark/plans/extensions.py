@@ -3840,3 +3840,95 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster-then-prune census over the augmented
+# embeddings (planted same-direction copies), cell x 2-plane sub-buckets.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_THRESHOLD = 0.9
+_SEMDEDUP_PLANES = 2
+
+
+def q_semantic_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IVF-cell prune census of D.semantic_dedup_census over embeddings
+    + planted scaled copies (cosine exactly ~1 to their originals): how
+    much of each semantic cluster a SemDeDup pass would drop. The planted
+    copies guarantee the domination rule actually fires (a random 64-dim
+    pair essentially never reaches cosine 0.9), so the census is
+    non-degenerate at every SF — pinned by a pytest row-sum assertion.
+    """
+    return D.semantic_dedup_census(
+        _augmented_embeddings(spark, sf_dir),
+        _IVF_CENTROIDS,
+        threshold=_SEMDEDUP_THRESHOLD,
+        sub_planes=_SEMDEDUP_PLANES,
+        dim=64,
+    )
+
+
+_SEMDEDUP_SIG_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(embedding, "
+    f"[{', '.join(repr(x) for x in _EMB_PLANE_VALS[p])}]) >= 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p in range(_SEMDEDUP_PLANES)
+)
+
+#: Spherical assignment twin of similarity.ivf_cell_cosine: score_i =
+#: dot(v, c_i) * (1/|c_i|) with the inverse norm a shared Python literal.
+_SEM_SCORE_COLS = ", ".join(
+    f"(list_dot_product(embedding, {_ivf_centroid_sql(c)})"
+    f" * {S.inv_norm_py(c)!r}) AS sc{i}"
+    for i, c in enumerate(_IVF_CENTROIDS)
+)
+_SEM_GREATEST = (
+    "greatest(" + ", ".join(f"sc{i}" for i in range(_IVF_CELLS)) + ")"
+)
+_SEM_CELL_CASE = (
+    "CASE "
+    + " ".join(f"WHEN sc{i} = g THEN {i}" for i in range(_IVF_CELLS))
+    + " END"
+)
+
+register(
+    QuerySpec(
+        name="semantic_dedup_census",
+        description="SemDeDup cluster-then-prune census: per-IVF-cell "
+        "kept/dropped counts at cosine >= 0.9, cell x RP-LSH sub-blocks",
+        spark=q_semantic_dedup_census,
+        oracle=f"""
+            WITH aug AS ({_AUG_EMB_SQL}),
+            scores AS (SELECT vec_id, embedding, {_SEM_SCORE_COLS} FROM aug),
+            cells AS MATERIALIZED (
+                SELECT vec_id, embedding, {_SEM_CELL_CASE} AS cell,
+                       {_SEMDEDUP_SIG_SQL} AS bucket
+                FROM (SELECT *, {_SEM_GREATEST} AS g FROM scores)
+            ),
+            dropped AS (
+                SELECT DISTINCT a.vec_id, a.cell
+                FROM cells a JOIN cells b
+                  ON a.cell = b.cell AND a.bucket = b.bucket
+                     AND b.vec_id < a.vec_id
+                WHERE list_dot_product(a.embedding, b.embedding)
+                      / (sqrt(list_dot_product(a.embedding, a.embedding))
+                         * sqrt(list_dot_product(b.embedding, b.embedding)))
+                      >= {_SEMDEDUP_THRESHOLD!r}
+            ),
+            counts AS (
+                SELECT cell, count(*) AS n_vectors FROM cells GROUP BY cell
+            ),
+            drops AS (
+                SELECT cell, count(*) AS n_dropped FROM dropped GROUP BY cell
+            )
+            SELECT c.cell,
+                   CAST(c.n_vectors AS BIGINT) AS n_vectors,
+                   CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+                   CAST(c.n_vectors - coalesce(d.n_dropped, 0) AS BIGINT)
+                     AS n_kept,
+                   CAST(coalesce(d.n_dropped, 0) AS DOUBLE)
+                   / CAST(c.n_vectors AS DOUBLE) AS dup_frac
+            FROM counts c LEFT JOIN drops d USING (cell)
+        """,
+    )
+)

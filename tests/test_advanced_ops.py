@@ -196,3 +196,48 @@ class TestSpearmanMoments:
         assert int(got.sxx) == sum(rx * rx for rx, _ in rows)
         assert int(got.syy) == sum(ry * ry for _, ry in rows)
         assert int(got.sxx) > 2**63  # the test is vacuous unless we crossed
+
+
+class TestDailyTrendSlope:
+    def test_matches_numpy_ols(self, spark, sf_dir):
+        """The fold-moment slope/r2 must agree with an independent numpy
+        least-squares on the same exact daily sums (tolerance-based: numpy
+        accumulates in a different order; the ORACLE equality is exact)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from spark_streaming_invoice_anomaly_detection_spark.functions.exactmath import (
+            scaled_long,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.plans.advanced import (
+            _t,
+            q_daily_trend_slope,
+        )
+
+        daily = (
+            _t(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.sum(scaled_long("value", 6)).alias("ym"))
+            .collect()
+        )
+        series = {}
+        for r in daily:
+            series.setdefault(r.event_type, []).append(
+                ((r.day - __import__("datetime").date(1970, 1, 1)).days, r.ym)
+            )
+        rows = q_daily_trend_slope(spark, sf_dir).collect()
+        assert len(rows) == len(series)
+        for r in rows:
+            pts = sorted(series[r.event_type])
+            x = np.array([p[0] for p in pts], dtype=float)
+            y = np.array([p[1] for p in pts], dtype=float) / 1e6
+            assert r.n_days == len(pts)
+            slope, intercept = np.polyfit(x, y, 1)
+            assert r.slope_per_day == pytest.approx(slope, rel=1e-9)
+            assert r.mean_daily == pytest.approx(y.mean(), rel=1e-12)
+            cc = np.corrcoef(x, y)[0, 1]
+            assert r.r2 == pytest.approx(cc * cc, rel=1e-9)
+        # the synthetic data trends: at least one type must show a real
+        # slope with non-trivial fit, or the query pins nothing
+        assert any(abs(r.slope_per_day) > 0 and r.r2 > 0.001 for r in rows)

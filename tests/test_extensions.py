@@ -502,3 +502,89 @@ class TestMMRDiversifiedTopk:
         # rank 1 is pure relevance: both methods agree on the seed
         seed = next(r.vec_id for r in mmr if r.mmr_rank == 1)
         assert seed == plain[0].vec_id
+
+
+class TestSemanticDedupCensus:
+    def test_planted_copies_dominated_and_census_consistent(
+        self, spark, sf_dir
+    ):
+        """Every planted scaled copy (vec_id >= 1_000_000, same direction
+        as its original, cosine ~1) must be dropped: its original has a
+        strictly smaller id and lands in the same cell AND the same RP
+        sub-bucket (scaling preserves every hyperplane sign and the
+        argmin-centroid assignment's relative order is direction-driven
+        for the planted pairs — pinned here, not assumed). Originals may
+        also be dropped when two distinct originals share a cell at
+        cosine >= 0.9 (essentially never for random 64-dim vectors)."""
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            q_semantic_dedup_census,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+
+        rows = q_semantic_dedup_census(spark, sf_dir).collect()
+        assert rows, "census is empty"
+        n_emb = load_table(spark, "embeddings", sf_dir).count()
+        total = sum(r.n_vectors for r in rows)
+        dropped = sum(r.n_dropped for r in rows)
+        kept = sum(r.n_kept for r in rows)
+        # augmented corpus = originals + one planted copy each
+        assert total == 2 * n_emb
+        assert kept + dropped == total
+        # every planted copy is dominated by its original; a handful of
+        # original-original collisions on top are possible but bounded
+        assert dropped >= n_emb
+        assert kept <= n_emb
+        for r in rows:
+            assert 0 <= r.n_dropped <= r.n_vectors
+            assert r.dup_frac == pytest.approx(r.n_dropped / r.n_vectors)
+
+
+class TestCusumDailyDrift:
+    def test_drawup_identity_matches_naive_recursion(self, spark, sf_dir):
+        """The two-window max-drawup form must equal the textbook
+        sequential recursion S_d = max(0, S_{d-1} + (x_d - mean)) replayed
+        in Python over the same daily sums (scaled integers, so the
+        comparison is exact apart from the one final double division)."""
+        from collections import defaultdict
+
+        from pyspark.sql import functions as F
+
+        from spark_streaming_invoice_anomaly_detection_spark.functions.exactmath import (
+            scaled_long,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.plans.advanced import (
+            _t,
+            q_cusum_daily_drift,
+        )
+
+        daily = (
+            _t(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.sum(scaled_long("value", 6)).alias("xm"))
+            .collect()
+        )
+        series = defaultdict(list)
+        for r in sorted(daily, key=lambda r: (r.event_type, r.day)):
+            series[r.event_type].append((r.day, r.xm))
+        expected = {}
+        for et, pts in series.items():
+            n = len(pts)
+            total = sum(x for _, x in pts)
+            s = 0
+            for day, x in pts:
+                s = max(0, s + (n * x - total))  # exact ints, no rounding
+                expected[(et, day)] = (s / (n * 1e6), s * 10 > total)
+        rows = q_cusum_daily_drift(spark, sf_dir).collect()
+        assert len(rows) == len(expected)
+        fired = 0
+        for r in rows:
+            exc, alarm = expected[(r.event_type, r.day)]
+            assert r.cusum_excess == pytest.approx(exc, rel=1e-12)
+            assert r.alarm == alarm
+            fired += alarm
+        # the synthetic data trends, so the detector must actually fire
+        # somewhere AND stay quiet somewhere (non-degenerate both ways)
+        assert 0 < fired < len(rows)
