@@ -330,3 +330,74 @@ def test_ks_drift_single_half_type_is_null_not_error(spark, tmp_path):
     assert got["early"].ks_stat is None
     assert got["early"].n2 == 0
     assert got["both"].ks_stat == 1.0  # disjoint halves: maximal drift
+
+
+class TestSemanticDedupEdges:
+    def test_empty_corpus(self, spark):
+        from spark_streaming_invoice_anomaly_detection_spark.operators.similarity import (
+            ivf_centroid_values,
+        )
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        out = D.semantic_dedup_census(
+            empty, ivf_centroid_values(4, 4), dim=4
+        )
+        assert out.count() == 0
+
+    def test_single_and_zero_vector_no_sub_planes(self, spark):
+        """sub_planes=0 (constant bucket) branch; a zero vector has null
+        cosine to everything, so it can neither dominate nor be dominated
+        — it must survive, not raise (ANSI 0/0)."""
+        from spark_streaming_invoice_anomaly_detection_spark.operators.similarity import (
+            ivf_centroid_values,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0, 0.0]),
+                (2, [2.0, 0.0, 0.0, 0.0]),  # same direction: dominated by 1
+                (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: kept
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rows = D.semantic_dedup_census(
+            df, ivf_centroid_values(4, 4), threshold=0.9, sub_planes=0, dim=4
+        ).collect()
+        assert sum(r.n_vectors for r in rows) == 3
+        assert sum(r.n_dropped for r in rows) == 1  # only the scaled copy
+
+
+class TestTrendAndCusumDegenerate:
+    def test_single_day_series(self, spark, tmp_path):
+        """One day per type: slope/r2 must be null (zero x-variance), the
+        CUSUM excess exactly 0 with no alarm — not a division error."""
+        import pandas as pd
+
+        from spark_streaming_invoice_anomaly_detection_spark.plans.advanced import (
+            q_cusum_daily_drift,
+            q_daily_trend_slope,
+        )
+
+        sf = str(tmp_path)
+        pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "ts": pd.to_datetime(["2024-03-01 10:00", "2024-03-01 11:00"]),
+                "user_id": [7, 8],
+                "event_type": ["click", "click"],
+                "value": [1.25, 2.5],
+                "props": ["{}", "{}"],
+            }
+        ).to_parquet(f"{sf}/events.parquet")
+        trend = q_daily_trend_slope(spark, sf).collect()
+        assert len(trend) == 1
+        assert trend[0].n_days == 1
+        assert trend[0].mean_daily == pytest.approx(3.75)
+        assert trend[0].slope_per_day is None
+        assert trend[0].r2 is None
+        cusum = q_cusum_daily_drift(spark, sf).collect()
+        assert len(cusum) == 1
+        assert cusum[0].cusum_excess == 0.0
+        assert cusum[0].alarm is False
