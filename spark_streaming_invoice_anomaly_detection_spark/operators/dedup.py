@@ -451,14 +451,32 @@ def semantic_dedup_census(
         if sub_planes > 0
         else F.lit(0)
     )
+
+    def dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    # per-member inverse norm, computed ONCE before the collect (the pair
+    # check inside a block is O(b^2); recomputing both norms per pair
+    # would triple its fold work). Null for a zero vector: it has no
+    # direction, so it neither dominates nor is dominated — the null
+    # propagates through the pair product and the >= comparison.
+    self_dot = dot(v, v)
+    inv_n = F.when(self_dot > 0, F.lit(1.0) / F.sqrt(self_dot))
     base = df.select(
         F.col(id_col).alias("_id"),
         v.alias("_v"),
+        inv_n.alias("_n"),
         ivf_cell_cosine(F.col(vec_col), centroids).alias("cell"),
         bucket.alias("bucket"),
     )
     blocks = base.groupBy("cell", "bucket").agg(
-        F.collect_list(F.struct(F.col("_id"), F.col("_v"))).alias("members")
+        F.collect_list(
+            F.struct(F.col("_id"), F.col("_v"), F.col("_n"))
+        ).alias("members")
     )
     dominated = F.size(
         F.filter(
@@ -466,7 +484,10 @@ def semantic_dedup_census(
             lambda m: F.exists(
                 F.col("members"),
                 lambda o: (o["_id"] < m["_id"])
-                & (cosine(m["_v"], o["_v"]) >= F.lit(threshold)),
+                & (
+                    dot(m["_v"], o["_v"]) * m["_n"] * o["_n"]
+                    >= F.lit(threshold)
+                ),
             ),
         )
     )

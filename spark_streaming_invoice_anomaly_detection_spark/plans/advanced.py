@@ -1641,22 +1641,27 @@ register(
 
 def q_cusum_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page's CUSUM change detector over daily event volume per type:
-    S_d = max(0, S_{d-1} + (x_d - mean)), alarm when the cumulative excess
-    passes 10% of the mean daily volume — the sequential-analysis companion to the
-    two-sample drift pair (value_drift_tv / ks_drift_by_type), which only
-    compare fixed halves; CUSUM localizes WHEN the level shift happened.
+    S_d = max(0, S_{d-1} + (x_d - k)), alarm when the cumulative excess
+    passes 10% of the mean daily volume — the sequential-analysis
+    companion to the two-sample drift pair (value_drift_tv /
+    ks_drift_by_type), which only compare fixed halves; CUSUM localizes
+    WHEN the level shift happened.
 
     Exactness: the recursion is non-linear (the max-with-zero clamp), so
     it is rewritten as the max-drawup identity
     ``S_d = P_d - min(0, min_{j<=d} P_j)`` over the prefix sums P of the
-    residuals — two window passes, no recursion. Residuals are scaled to
-    kill the mean's division: y_d = n*x_d - T (x in int64 micros via the
-    engine's floor(x+0.5) scaling, products in decimal(38,0) — exact and
-    mergeable far past int64's ~1e6-day horizon, same headroom discipline
-    as ks_drift_by_type). Only the final excess is one fixed-order double
-    division; the alarm compare (excess > (T/n)/10,
-    cleared of both divisions as 10*S > T) stays in exact integers on
-    both engines.
+    integer residuals — two window passes, no recursion. The reference
+    value k is the FLOOR of the mean daily volume (CUSUM's k is a free
+    parameter; an integer k keeps every residual x_d - k in exact int64
+    micros, with floor division written as (T - pmod(T, n)) / n so both
+    engines agree for negative totals too). Prefix sums ride
+    decimal(38,0) internally, but the emitted drawup is cast through
+    BIGINT first: DuckDB's >2^64 integer->double cast is off by 1 ulp on
+    ~1% of values (fuzz-verified, see daily_trend_slope), while int64
+    casts are exact on both engines — so the output is bit-identical up
+    to a cumulative drawup of 2^63 micros (~9.2e12 value units, decades
+    of extreme drift), failing LOUDLY under ANSI past that instead of
+    silently hash-diverging.
 
     Shape: one hash agg on (event_type, day), then all three windows run
     on the same event_type partitioning — two exchanges total; the per-
@@ -1684,17 +1689,17 @@ def q_cusum_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wt).alias("n_days"),
         F.sum("xm").over(wt).alias("total"),
     )
+    # k = floor(total / n_days): exact-integer floor division via the
+    # positive modulus (the numerator is an exact multiple of n_days, so
+    # truncating `div` equals floor on both engines for any sign of total;
+    # `/` would be DOUBLE division on either engine and rounds past 2^53)
+    k = F.expr("(total - pmod(total, n_days)) div n_days")
     prefix = scoped.select(
         "event_type",
         "day",
         "n_days",
         "total",
-        F.sum(
-            F.col("xm").cast(dec) * F.col("n_days").cast(dec)
-            - F.col("total").cast(dec)
-        )
-        .over(wd)
-        .alias("p"),
+        F.sum((F.col("xm") - k).cast(dec)).over(wd).alias("p"),
     )
     drawup = prefix.select(
         "event_type",
@@ -1704,17 +1709,17 @@ def q_cusum_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("p")
             - F.least(F.min("p").over(wd), F.lit(0).cast(dec))
-        ).alias("s"),
+        )
+        .cast("long")
+        .alias("s"),
     )
     return drawup.select(
         "event_type",
         "day",
+        (F.col("s").cast("double") / F.lit(1000000.0)).alias("cusum_excess"),
         (
-            F.col("s").cast("double")
-            / (F.col("n_days").cast("double") * F.lit(1000000.0))
-        ).alias("cusum_excess"),
-        (
-            F.col("s") * F.lit(10) > F.col("total").cast(dec)
+            F.col("s").cast(dec) * F.col("n_days").cast(dec) * F.lit(10)
+            > F.col("total").cast(dec)
         ).alias("alarm"),
     )
 
@@ -1741,22 +1746,24 @@ register(
                 WINDOW wt AS (PARTITION BY event_type)
             ), prefix AS (
                 SELECT *,
-                       sum(CAST(xm AS HUGEINT) * n_days - total) OVER wd AS p
+                       sum(CAST(xm - (total - ((total % n_days + n_days)
+                                               % n_days)) // n_days
+                                AS HUGEINT)) OVER wd AS p
                 FROM scoped
                 WINDOW wd AS (PARTITION BY event_type ORDER BY day
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW)
             ), drawup AS (
-                SELECT *, p - least(min(p) OVER wd, 0) AS s
+                SELECT *,
+                       CAST(p - least(min(p) OVER wd, 0) AS BIGINT) AS s
                 FROM prefix
                 WINDOW wd AS (PARTITION BY event_type ORDER BY day
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW)
             )
             SELECT event_type, day,
-                   CAST(s AS DOUBLE)
-                   / (CAST(n_days AS DOUBLE) * 1000000.0) AS cusum_excess,
-                   (s * 10 > CAST(total AS HUGEINT)) AS alarm
+                   CAST(s AS DOUBLE) / 1000000.0 AS cusum_excess,
+                   (CAST(s AS HUGEINT) * n_days * 10 > total) AS alarm
             FROM drawup
         """,
     )

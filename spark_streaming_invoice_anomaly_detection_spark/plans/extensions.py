@@ -3902,7 +3902,12 @@ register(
             scores AS (SELECT vec_id, embedding, {_SEM_SCORE_COLS} FROM aug),
             cells AS MATERIALIZED (
                 SELECT vec_id, embedding, {_SEM_CELL_CASE} AS cell,
-                       {_SEMDEDUP_SIG_SQL} AS bucket
+                       {_SEMDEDUP_SIG_SQL} AS bucket,
+                       CASE WHEN list_dot_product(embedding, embedding) > 0
+                            THEN 1.0
+                                 / sqrt(list_dot_product(embedding,
+                                                         embedding))
+                       END AS inv_n
                 FROM (SELECT *, {_SEM_GREATEST} AS g FROM scores)
             ),
             dropped AS (
@@ -3911,8 +3916,7 @@ register(
                   ON a.cell = b.cell AND a.bucket = b.bucket
                      AND b.vec_id < a.vec_id
                 WHERE list_dot_product(a.embedding, b.embedding)
-                      / (sqrt(list_dot_product(a.embedding, a.embedding))
-                         * sqrt(list_dot_product(b.embedding, b.embedding)))
+                      * a.inv_n * b.inv_n
                       >= {_SEMDEDUP_THRESHOLD!r}
             ),
             counts AS (

@@ -240,4 +240,10 @@ class TestDailyTrendSlope:
             assert r.r2 == pytest.approx(cc * cc, rel=1e-9)
         # the synthetic data trends: at least one type must show a real
         # slope with non-trivial fit, or the query pins nothing
-        assert any(abs(r.slope_per_day) > 0 and r.r2 > 0.001 for r in rows)
+        assert any(
+            r.slope_per_day is not None
+            and abs(r.slope_per_day) > 0
+            and r.r2 is not None
+            and r.r2 > 0.001
+            for r in rows
+        )

@@ -511,11 +511,12 @@ class TestSemanticDedupCensus:
         """Every planted scaled copy (vec_id >= 1_000_000, same direction
         as its original, cosine ~1) must be dropped: its original has a
         strictly smaller id and lands in the same cell AND the same RP
-        sub-bucket (scaling preserves every hyperplane sign and the
-        argmin-centroid assignment's relative order is direction-driven
-        for the planted pairs — pinned here, not assumed). Originals may
-        also be dropped when two distinct originals share a cell at
-        cosine >= 0.9 (essentially never for random 64-dim vectors)."""
+        sub-bucket (scaling preserves every hyperplane sign, and the
+        spherical argmax-cosine cell assignment is scale-invariant —
+        pinned here, not assumed; the L2 argmin variant split ~16% of the
+        planted pairs across cells). Originals may also be dropped when
+        two distinct originals share a cell at cosine >= 0.9 (essentially
+        never for random 64-dim vectors)."""
         from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
             q_semantic_dedup_census,
         )
@@ -544,9 +545,10 @@ class TestSemanticDedupCensus:
 class TestCusumDailyDrift:
     def test_drawup_identity_matches_naive_recursion(self, spark, sf_dir):
         """The two-window max-drawup form must equal the textbook
-        sequential recursion S_d = max(0, S_{d-1} + (x_d - mean)) replayed
-        in Python over the same daily sums (scaled integers, so the
-        comparison is exact apart from the one final double division)."""
+        sequential recursion S_d = max(0, S_{d-1} + (x_d - k)) with
+        k = floor(mean), replayed in Python over the same daily sums
+        (scaled integers, so the comparison is exact apart from the one
+        final double division)."""
         from collections import defaultdict
 
         from pyspark.sql import functions as F
@@ -573,10 +575,11 @@ class TestCusumDailyDrift:
         for et, pts in series.items():
             n = len(pts)
             total = sum(x for _, x in pts)
+            k = (total - ((total % n + n) % n)) // n  # floor(mean), exact
             s = 0
             for day, x in pts:
-                s = max(0, s + (n * x - total))  # exact ints, no rounding
-                expected[(et, day)] = (s / (n * 1e6), s * 10 > total)
+                s = max(0, s + (x - k))  # exact ints, no rounding
+                expected[(et, day)] = (s / 1e6, s * n * 10 > total)
         rows = q_cusum_daily_drift(spark, sf_dir).collect()
         assert len(rows) == len(expected)
         fired = 0
