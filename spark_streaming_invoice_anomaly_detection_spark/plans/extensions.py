@@ -386,7 +386,9 @@ register(
             FROM bucketed a JOIN bucketed b
               ON a.label = b.label AND a.bucket = b.bucket
                  AND a.vec_id < b.vec_id
-            WHERE list_dot_product(a.embedding, b.embedding)
+            WHERE (sqrt(list_dot_product(a.embedding, a.embedding))
+                   * sqrt(list_dot_product(b.embedding, b.embedding))) > 0
+              AND list_dot_product(a.embedding, b.embedding)
                   / (sqrt(list_dot_product(a.embedding, a.embedding))
                      * sqrt(list_dot_product(b.embedding, b.embedding)))
                   >= {_EMB_THRESHOLD!r}
@@ -2950,10 +2952,20 @@ register(
             ), pairs AS (
                 SELECT a.vec_id AS id_a, a.label AS label_a,
                        b.vec_id AS id_b, b.label AS label_b,
-                       list_dot_product(a.embedding, b.embedding)
-                       / (sqrt(list_dot_product(a.embedding, a.embedding))
-                          * sqrt(list_dot_product(b.embedding, b.embedding)))
-                         AS hard_neg_sim
+                       -- zero-norm guard mirrors Spark's cosine(): NULL,
+                       -- never 0/0 = NaN (which DuckDB would rank FIRST
+                       -- under DESC while Spark ranks NULL last)
+                       CASE WHEN (sqrt(list_dot_product(a.embedding,
+                                                        a.embedding))
+                                  * sqrt(list_dot_product(b.embedding,
+                                                          b.embedding)))
+                                 > 0
+                            THEN list_dot_product(a.embedding, b.embedding)
+                                 / (sqrt(list_dot_product(a.embedding,
+                                                          a.embedding))
+                                    * sqrt(list_dot_product(b.embedding,
+                                                            b.embedding)))
+                       END AS hard_neg_sim
                 FROM sigs a JOIN sigs b
                   ON a.bucket = b.bucket AND a.label <> b.label
             )
@@ -2962,7 +2974,7 @@ register(
                 SELECT *,
                        row_number() OVER (
                            PARTITION BY id_a
-                           ORDER BY hard_neg_sim DESC, id_b
+                           ORDER BY hard_neg_sim DESC NULLS LAST, id_b
                        ) AS rn
                 FROM pairs
             )
