@@ -45,6 +45,9 @@ def register(spec: QuerySpec) -> QuerySpec:
 # changed this round (need a fresh row), then queries never sampled in any
 # CORRECTNESS file (63 after r2), then the already-green ones.
 _FIXED_THIS_ROUND: tuple[str, ...] = (
+    "dsir_importance_weights",
+    "token_entropy_census",
+    "jl_projection_distortion",
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",
@@ -168,5 +171,6 @@ def _load_all() -> None:
     from . import advanced  # noqa: F401
     from . import extensions  # noqa: F401
     from . import sketch_queries  # noqa: F401
+    from . import selection  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,407 @@
+"""Data-selection & embedding-geometry queries (LLM-pipeline extensions).
+
+Three operators a 100 TB pretraining pipeline runs between dedup and
+packing, all oracle-checked bit-for-bit:
+
+- ``dsir_importance_weights`` — hashed n-gram importance resampling
+  (DSIR, Xie et al. 2023, arXiv:2302.03169): score every document by how
+  much more likely its hashed uni+bigram bag is under the target domain's
+  feature distribution than under the raw corpus distribution.
+- ``token_entropy_census`` — per-document Shannon entropy of the token
+  histogram, the classic low-entropy/template-text quality filter.
+- ``jl_projection_distortion`` — Johnson-Lindenstrauss sign-projection
+  (64-d -> 16-d) with per-pair squared-distance distortion, the
+  dimensionality-reduction sanity check run before ANN index builds.
+
+Logarithms use :mod:`..functions.fplog2` (exact fixed-point log2 in
+1/256-bit units): runtime libm logs diverge between the JVM and DuckDB by
+1 ulp on ~1% of inputs, so both likelihood ratios and entropies are
+computed in EXACT int64 fixed point and only converted to doubles by
+correctly-rounded (hence deterministic) final divisions. The JL distances
+reuse the left-fold dot-product licensing proven by the cosine family
+(bit-identical to DuckDB's list_dot_product).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.fplog2 import fp_log2, fp_log2_sql
+from ..operators import text as X
+from ..operators.similarity import _dot_const, _dot_self, _h60_py
+from ..operators.text import h60_sql
+from ..sources.catalog import load_table
+from .extensions import _TOKENS_SQL
+from .registry import QuerySpec, register
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights: hashed uni+bigram likelihood ratio, target = en
+# ---------------------------------------------------------------------------
+
+#: Hashed feature buckets. 64 keeps the bucket-stats relation broadcastable
+#: and the add-one smoothing meaningful at every driver SF; production DSIR
+#: uses 10k+ buckets — the plan shape (one gram shuffle, one 64-row
+#: broadcast) is unchanged by B.
+_DSIR_BUCKETS = 64
+
+#: Target-domain predicate: English documents. Any deterministic column
+#: predicate slots in here (the paper targets Wikipedia-like text).
+_DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight in exact 1/256-bit units.
+
+    w(x) = sum_b n_b(x) * s_b with
+    s_b = [L(t_b+1) - L(T+B)] - [L(r_b+1) - L(R+B)],  L = fp_log2,
+    t_b/r_b = target/raw corpus counts of hashed bucket b, add-one
+    smoothed. ``selected`` marks docs whose bag is more target-like than
+    raw (w > 0) — the resampling acceptance core of the paper, made
+    deterministic.
+
+    Scale: two shuffles, both map-side combined — bucket stats collapse
+    to B rows per task before their exchange, doc weights to one row per
+    doc. The exploded-gram subtree feeds both branches and is recomputed
+    rather than cached (pure map work; at 100 TB persist it if the
+    cluster has the memory, the result is identical either way). Docs
+    with zero tokens carry no evidence and are absent (documented,
+    matches the explode semantics).
+    """
+    b_ = _DSIR_BUCKETS
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    toks = X.tokenize(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    eb = docs.select(
+        "doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("g")
+    ).select("doc_id", "lang", (X.h60(F.col("g")) % b_).alias("b"))
+    bs = eb.groupBy("b").agg(
+        F.sum(
+            (F.col("lang") == _DSIR_TARGET_LANG).cast("long")
+        ).alias("t_b"),
+        F.count(F.lit(1)).alias("r_b"),
+    )
+    tot = bs.agg(
+        F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot")
+    )
+    sc0 = bs.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (F.col("t_b") + 1).cast("long").alias("t1"),
+        (F.col("r_b") + 1).cast("long").alias("r1"),
+        (F.col("t_tot") + b_).cast("long").alias("tn"),
+        (F.col("r_tot") + b_).cast("long").alias("rn"),
+    )
+    sc = sc0.select(
+        "b",
+        (
+            (fp_log2("t1") - fp_log2("tn")) - (fp_log2("r1") - fp_log2("rn"))
+        ).alias("s"),
+    )
+    return (
+        eb.join(F.broadcast(sc), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("s").alias("w_fp"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            "w_fp",
+            (F.col("w_fp").cast("double") / F.lit(256.0)).alias("w_bits"),
+            (F.col("w_fp") > 0).alias("selected"),
+        )
+    )
+
+
+def _dsir_oracle() -> str:
+    b_ = _DSIR_BUCKETS
+    l_t1 = fp_log2_sql("t1", "duckdb")
+    l_r1 = fp_log2_sql("r1", "duckdb")
+    l_tn = fp_log2_sql("tn", "duckdb")
+    l_rn = fp_log2_sql("rn", "duckdb")
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, lang, {_TOKENS_SQL} AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+            SELECT doc_id, lang,
+                   unnest(list_concat(t,
+                       CASE WHEN len(t) >= 2 THEN
+                           list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i + 1])
+                       ELSE CAST([] AS VARCHAR[]) END)) AS g
+            FROM tk
+        ),
+        eb AS (
+            SELECT doc_id, lang, {h60_sql('g')} % {b_} AS b
+            FROM grams
+        ),
+        bs AS (
+            SELECT b,
+                   CAST(sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+                   count(*) AS r_b
+            FROM eb GROUP BY b
+        ),
+        tot AS (
+            SELECT CAST(sum(t_b) AS BIGINT) AS t_tot,
+                   CAST(sum(r_b) AS BIGINT) AS r_tot
+            FROM bs
+        ),
+        sc0 AS (
+            SELECT b, t_b + 1 AS t1, r_b + 1 AS r1,
+                   t_tot + {b_} AS tn, r_tot + {b_} AS rn
+            FROM bs, tot
+        ),
+        sc AS (
+            SELECT b, ({l_t1} - {l_tn}) - ({l_r1} - {l_rn}) AS s
+            FROM sc0
+        )
+        SELECT eb.doc_id, eb.lang,
+               count(*) AS n_grams,
+               CAST(sum(sc.s) AS BIGINT) AS w_fp,
+               CAST(CAST(sum(sc.s) AS BIGINT) AS DOUBLE) / 256.0
+                 AS w_bits,
+               CAST(sum(sc.s) AS BIGINT) > 0 AS selected
+        FROM eb JOIN sc USING (b)
+        GROUP BY eb.doc_id, eb.lang
+    """
+
+
+register(
+    QuerySpec(
+        name="dsir_importance_weights",
+        description="DSIR data selection: hashed uni+bigram likelihood "
+        "ratio vs the en target domain, exact fixed-point log2 weights",
+        spark=q_dsir_importance,
+        oracle=_dsir_oracle(),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy census: exact fixed-point Shannon entropy per document
+# ---------------------------------------------------------------------------
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-histogram Shannon entropy.
+
+    H = sum_i (c_i/N) log2(N/c_i) is kept exact as
+    h_fp = N*L(N) - sum_i c_i*L(c_i) (int64, 1/256-bit units); the only
+    float op is the final correctly-rounded division h_fp/(256*N).
+    Low-entropy documents are template/repetition candidates — the cheap
+    information-theoretic twin of ``doc_repetition``'s positional check.
+
+    Scale: (doc, token) counts map-side combine before the one
+    corpus-sized shuffle; the per-doc rollup reuses the same hash
+    partitioning on doc_id.
+    """
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    tc = (
+        docs.select(
+            "doc_id", F.explode(X.tokenize(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = (
+        tc.select("doc_id", "c", fp_log2("c").alias("lc"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(F.col("c") * F.col("lc")).alias("s_fp"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        (F.col("n_tokens") * fp_log2("n_tokens") - F.col("s_fp")).alias(
+            "h_fp"
+        ),
+        (
+            (F.col("n_tokens") * fp_log2("n_tokens") - F.col("s_fp")).cast(
+                "double"
+            )
+            / (F.lit(256) * F.col("n_tokens")).cast("double")
+        ).alias("entropy_bits"),
+    )
+
+
+def _entropy_oracle() -> str:
+    l_c = fp_log2_sql("c", "duckdb")
+    l_n = fp_log2_sql("n_tokens", "duckdb")
+    return f"""
+        WITH tc AS (
+            SELECT doc_id, unnest({_TOKENS_SQL}) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        cnt AS (
+            SELECT doc_id, tok, count(*) AS c
+            FROM tc GROUP BY doc_id, tok
+        ),
+        lc AS (SELECT doc_id, c, {l_c} AS lc FROM cnt),
+        per AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct_tokens,
+                   CAST(sum(c * lc) AS BIGINT) AS s_fp
+            FROM lc GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct_tokens,
+               n_tokens * {l_n} - s_fp AS h_fp,
+               CAST(n_tokens * {l_n} - s_fp AS DOUBLE)
+                 / CAST(256 * n_tokens AS DOUBLE) AS entropy_bits
+        FROM per
+    """
+
+
+register(
+    QuerySpec(
+        name="token_entropy_census",
+        description="per-document Shannon entropy of the token histogram "
+        "(exact fixed-point log2; low entropy = template text)",
+        spark=q_token_entropy,
+        oracle=_entropy_oracle(),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign projection: 64-d -> 16-d distance distortion
+# ---------------------------------------------------------------------------
+
+_JL_OUT_DIM = 16
+_JL_IN_DIM = 64
+
+#: Deterministic +-1 projection rows from the shared md5/h60 scheme (same
+#: derivation family as the RP-LSH hyperplanes and IVF centroids).
+_JL_SIGNS: list[list[float]] = [
+    [
+        1.0 if _h60_py(f"jl:{k}:{j}") % 2 == 0 else -1.0
+        for j in range(_JL_IN_DIM)
+    ]
+    for k in range(_JL_OUT_DIM)
+]
+
+
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance distortion of a +-1 JL projection on consecutive-id pairs.
+
+    For each pair z = x - y: sq_dist = <z,z>, sq_dist_proj =
+    sum_k <z, s_k>^2, distortion = sq_dist_proj / (OUT_DIM * sq_dist)
+    (expectation 1 under the JL lemma). All dot products are the proven
+    left-fold form; the 16-term square sum is built left-associated so
+    both engines execute identical IEEE ops — distances compare RAW.
+
+    Scale: a co-partitioned self-join on the id (sort-merge on vec_id at
+    100 TB, no replication) followed by pure map work; projection rows
+    are literals, nothing is broadcast at runtime.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(
+        b, F.col("vec_id_a") + 1 == F.col("vec_id_b")
+    ).select(
+        "vec_id_a",
+        "vec_id_b",
+        F.zip_with(
+            F.col("va"), F.col("vb"), lambda x, y: x - y
+        ).alias("diff"),
+    )
+    d = F.col("diff")
+    proj_sq = [
+        _dot_const(d, row) * _dot_const(d, row) for row in _JL_SIGNS
+    ]
+    sq_dist_proj = reduce(lambda acc, t: acc + t, proj_sq)
+    out = pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        _dot_self(d).alias("sq_dist"),
+        sq_dist_proj.alias("sq_dist_proj"),
+    )
+    return out.select(
+        "vec_id_a",
+        "vec_id_b",
+        "sq_dist",
+        "sq_dist_proj",
+        F.when(
+            F.col("sq_dist") > 0,
+            F.col("sq_dist_proj")
+            / (F.lit(float(_JL_OUT_DIM)) * F.col("sq_dist")),
+        ).alias("distortion"),
+    )
+
+
+def _jl_oracle() -> str:
+    def row_lit(row: list[float]) -> str:
+        return "[" + ",".join(f"{v:.1f}" for v in row) + "]"
+
+    proj_terms = " + ".join(
+        f"(list_dot_product(diff, {row_lit(row)}) * "
+        f"list_dot_product(diff, {row_lit(row)}))"
+        for row in _JL_SIGNS
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   list_transform(range(1, len(a.v) + 1),
+                                  i -> a.v[i] - b.v[i]) AS diff
+            FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id
+        ),
+        m AS (
+            SELECT vec_id_a, vec_id_b,
+                   list_dot_product(diff, diff) AS sq_dist,
+                   ({proj_terms}) AS sq_dist_proj
+            FROM p
+        )
+        SELECT vec_id_a, vec_id_b, sq_dist, sq_dist_proj,
+               CASE WHEN sq_dist > 0
+                    THEN sq_dist_proj / ({float(_JL_OUT_DIM)} * sq_dist)
+               END AS distortion
+        FROM m
+    """
+
+
+register(
+    QuerySpec(
+        name="jl_projection_distortion",
+        description="Johnson-Lindenstrauss 64d->16d sign projection: "
+        "per-pair squared-distance distortion (expectation 1)",
+        spark=q_jl_distortion,
+        oracle=_jl_oracle(),
+    )
+)

@@ -1,0 +1,171 @@
+"""Semantic tests for the data-selection & geometry queries (plans/selection).
+
+Oracle equality is covered by the parametrized test_queries_oracle sweep;
+these pin the MEANING: fp_log2 accuracy bounds, DSIR separating target from
+non-target, entropy's information-theoretic invariants, JL concentration.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_streaming_invoice_anomaly_detection_spark.functions.fplog2 import (
+    LUT256,
+    fp_log2_py,
+)
+from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
+    REGISTRY,
+    queries,
+)
+
+queries()  # force registry load
+
+
+# ---------------------------------------------------------------------------
+# fp_log2 primitive
+# ---------------------------------------------------------------------------
+
+
+def test_lut_is_monotone_floor_table():
+    assert len(LUT256) == 256
+    assert LUT256[0] == 0
+    assert LUT256 == sorted(LUT256)
+    assert all(0 <= v < 256 for v in LUT256)
+
+
+@given(st.integers(min_value=1, max_value=2**62))
+@settings(max_examples=500, deadline=None)
+def test_fp_log2_error_bound(n):
+    err = fp_log2_py(n) / 256.0 - math.log2(n)
+    assert -0.0094 <= err <= 0.0
+
+
+def test_fp_log2_exact_at_powers_of_two():
+    for e in range(0, 62):
+        assert fp_log2_py(1 << e) == 256 * e
+
+
+def test_fp_log2_rejects_nonpositive():
+    with pytest.raises(ValueError):
+        fp_log2_py(0)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsir_rows(spark, sf_dir):
+    df = REGISTRY["dsir_importance_weights"].spark(spark, sf_dir)
+    return [r.asDict() for r in df.collect()]
+
+
+def test_dsir_covers_every_nonempty_doc(dsir_rows, spark, sf_dir):
+    from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+        load_table,
+    )
+
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert len(dsir_rows) == n_docs  # word-salad corpus: no empty docs
+    assert len({r["doc_id"] for r in dsir_rows}) == len(dsir_rows)
+
+
+def test_dsir_separates_target_from_raw(dsir_rows):
+    """Target-domain (en) docs must average a HIGHER likelihood-ratio
+    weight than non-target docs — the property the resampler relies on.
+    Per-gram normalization so doc length doesn't confound the comparison."""
+    en = [r["w_fp"] / r["n_grams"] for r in dsir_rows if r["lang"] == "en"]
+    other = [
+        r["w_fp"] / r["n_grams"] for r in dsir_rows if r["lang"] != "en"
+    ]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_dsir_selected_flag_matches_weight_sign(dsir_rows):
+    for r in dsir_rows:
+        assert r["selected"] == (r["w_fp"] > 0)
+        assert r["w_bits"] == r["w_fp"] / 256.0
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy census
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def entropy_rows(spark, sf_dir):
+    df = REGISTRY["token_entropy_census"].spark(spark, sf_dir)
+    return [r.asDict() for r in df.collect()]
+
+
+def test_entropy_bounds(entropy_rows):
+    """0 <= H <= log2(n_distinct) up to the fp_log2 floor error, and
+    single-token-type docs (if any) have exactly zero entropy."""
+    assert entropy_rows
+    for r in entropy_rows:
+        assert r["n_distinct_tokens"] <= r["n_tokens"]
+        assert r["entropy_bits"] >= -0.01
+        assert (
+            r["entropy_bits"]
+            <= math.log2(r["n_distinct_tokens"]) + 0.01
+            if r["n_distinct_tokens"] > 1
+            else r["h_fp"] == 0
+        )
+
+
+def test_entropy_matches_direct_computation(spark, sf_dir, entropy_rows):
+    """Recompute H for a handful of docs straight from the text via the
+    Python fp_log2 reference."""
+    from collections import Counter
+    import re
+
+    from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, "documents", sf_dir).limit(5).collect()
+    }
+    by_id = {r["doc_id"]: r for r in entropy_rows}
+    for doc_id, text in docs.items():
+        counts = Counter(re.findall("[A-Za-z0-9]+", text.lower()))
+        n = sum(counts.values())
+        h_fp = n * fp_log2_py(n) - sum(
+            c * fp_log2_py(c) for c in counts.values()
+        )
+        got = by_id[doc_id]
+        assert got["n_tokens"] == n
+        assert got["n_distinct_tokens"] == len(counts)
+        assert got["h_fp"] == h_fp
+
+
+# ---------------------------------------------------------------------------
+# JL projection distortion
+# ---------------------------------------------------------------------------
+
+
+def test_jl_distortion_concentrates_near_one(spark, sf_dir):
+    rows = [
+        r.asDict()
+        for r in REGISTRY["jl_projection_distortion"]
+        .spark(spark, sf_dir)
+        .collect()
+    ]
+    assert rows
+    ds = [r["distortion"] for r in rows if r["distortion"] is not None]
+    assert len(ds) == len(rows)  # consecutive-id pairs never coincide
+    mean = sum(ds) / len(ds)
+    # E[distortion] = 1 under the JL lemma; 16 projections at 500+ pairs
+    # put the sample mean well inside (0.8, 1.2).
+    assert 0.8 < mean < 1.2
+    assert all(d >= 0.0 for d in ds)
+    for r in rows:
+        assert r["vec_id_b"] == r["vec_id_a"] + 1
+        assert r["sq_dist"] > 0
