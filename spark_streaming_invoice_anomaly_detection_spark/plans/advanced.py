@@ -1400,7 +1400,9 @@ def q_value_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Drift metrics usually reach for KL/PSI, but ln() is not correctly
     rounded IEEE and differs across libm builds — unverifiable by a hash
-    oracle and irreproducible across engines. TV needs no transcendental:
+    oracle and irreproducible across engines (value_drift_psi now covers
+    PSI via the exact fixed-point log2 in functions/fplog2.py; TV remains
+    the transcendental-free exact stat). TV needs no transcendental:
     with integer bin counts, sum_i |c1_i*n2 - c2_i*n1| is EXACT integer
     arithmetic (decimal(38,0) headroom for 1e12-row halves), and the one
     final division by 2*n1*n2 is a fixed-order double op. Binning and the
@@ -1507,6 +1509,200 @@ register(
             FROM per_bin p JOIN totals t ON p.event_type = t.event_type
             GROUP BY p.event_type, n1, n2
         """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: Population Stability Index (base 2), first vs second
+# half — the log-based drift stat the TV query's docstring rules out for
+# runtime libm, made oracle-checkable by exact fixed-point log2.
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 20
+
+
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Population Stability Index (base 2) of ``value``
+    between the first and second time half, over the same fixed 20-bin
+    histogram as value_drift_tv: PSI = sum_i (p_i - q_i) log2(p_i/q_i),
+    add-one smoothed over the FULL bin grid.
+
+    This is the stat value_drift_tv declares unverifiable with runtime
+    logs; :mod:`..functions.fplog2` removes the libm dependency. The
+    log-ratio (L(c1+1)-L(n1+B)) - (L(c2+1)-L(n2+B)) is EXACT int64 in
+    1/256-bit units (every argument <= rows+B, so int64-safe at any real
+    scale), and the mass difference p_i - q_i is formed as correctly-
+    rounded double cross-products — never a >int64 integer — then summed
+    as a bin-ordered fold (the daily_trend_slope discipline). No overflow
+    horizon, bit-identical across engines.
+
+    Smoothing covers ABSENT bins (empty in both halves they still carry
+    smoothed mass when n1 != n2) via a per-type dense bin grid built
+    from sequence+explode — no extra scan of events. fp_log2's floor
+    error can push near-zero terms slightly negative: PSI >= -0.05
+    instead of >= 0 exactly (pinned in tests).
+    """
+    b_ = _PSI_BINS
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "ts", "value")
+    )
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t_lo"),
+        F.max(F.unix_micros("ts")).alias("t_hi"),
+        F.min("value").alias("v_lo"),
+        F.max("value").alias("v_hi"),
+    )
+    with_bins = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        (F.unix_micros("ts")
+         >= (F.col("t_lo") + F.col("t_hi")) / F.lit(2)).cast("int")
+        .alias("half"),
+        F.least(
+            F.lit(b_ - 1),
+            F.floor(
+                (F.col("value") - F.col("v_lo"))
+                / (F.col("v_hi") - F.col("v_lo"))
+                * F.lit(float(b_))
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    per_bin = with_bins.groupBy("event_type", "bin").agg(
+        F.count_if(F.col("half") == 0).alias("c1"),
+        F.count_if(F.col("half") == 1).alias("c2"),
+    )
+    totals = per_bin.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    grid = totals.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.explode(F.sequence(F.lit(0), F.lit(b_ - 1))).alias("bin"),
+    )
+    full = (
+        grid.join(F.broadcast(per_bin), ["event_type", "bin"], "left")
+        .fillna(0, ["c1", "c2"])
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            "bin",
+            (F.col("c1") + 1).cast("long").alias("c1p"),
+            (F.col("c2") + 1).cast("long").alias("c2p"),
+            (F.col("n1") + b_).cast("long").alias("n1b"),
+            (F.col("n2") + b_).cast("long").alias("n2b"),
+        )
+    )
+    from ..functions.fplog2 import fp_log2
+
+    lr_fp = (fp_log2("c1p") - fp_log2("n1b")) - (
+        fp_log2("c2p") - fp_log2("n2b")
+    )
+    d = (
+        F.col("c1p").cast("double") * F.col("n2b").cast("double")
+        - F.col("c2p").cast("double") * F.col("n1b").cast("double")
+    )
+    terms = full.select(
+        "event_type",
+        "n1",
+        "n2",
+        "n1b",
+        "n2b",
+        "bin",
+        (d * lr_fp.cast("double")).alias("term"),
+    )
+    arr = terms.groupBy("event_type", "n1", "n2", "n1b", "n2b").agg(
+        F.array_sort(F.collect_list(F.struct("bin", "term"))).alias("a")
+    )
+    num = F.aggregate(
+        F.col("a"), F.lit(0.0), lambda acc, s: acc + s["term"]
+    )
+    return arr.select(
+        "event_type",
+        "n1",
+        "n2",
+        (
+            num
+            / (
+                F.lit(256.0)
+                * F.col("n1b").cast("double")
+                * F.col("n2b").cast("double")
+            )
+        ).alias("psi_bits"),
+    )
+
+
+def _psi_oracle() -> str:
+    from ..functions.fplog2 import fp_log2_sql
+
+    b_ = _PSI_BINS
+    l_c1p = fp_log2_sql("c1p", "duckdb")
+    l_c2p = fp_log2_sql("c2p", "duckdb")
+    l_n1b = fp_log2_sql("n1b", "duckdb")
+    l_n2b = fp_log2_sql("n2b", "duckdb")
+    return f"""
+        WITH bounds AS (
+            SELECT min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi,
+                   min(value) AS v_lo, max(value) AS v_hi
+            FROM events WHERE value IS NOT NULL
+        ), binned AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) >= (t_lo + t_hi) / 2 AS INT) AS half,
+                   least({b_ - 1},
+                         CAST(floor((value - v_lo) / (v_hi - v_lo)
+                                    * {float(b_)!r}) AS INT)) AS bin
+            FROM events, bounds WHERE value IS NOT NULL
+        ), per_bin AS (
+            SELECT event_type, bin,
+                   count(*) FILTER (WHERE half = 0) AS c1,
+                   count(*) FILTER (WHERE half = 1) AS c2
+            FROM binned GROUP BY event_type, bin
+        ), totals AS (
+            SELECT event_type,
+                   CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2
+            FROM per_bin GROUP BY event_type
+        ), grid AS (
+            SELECT event_type, n1, n2, unnest(range(0, {b_})) AS bin
+            FROM totals
+        ), filled AS (
+            SELECT g.event_type, g.n1, g.n2, g.bin,
+                   CAST(COALESCE(p.c1, 0) + 1 AS BIGINT) AS c1p,
+                   CAST(COALESCE(p.c2, 0) + 1 AS BIGINT) AS c2p,
+                   CAST(g.n1 + {b_} AS BIGINT) AS n1b,
+                   CAST(g.n2 + {b_} AS BIGINT) AS n2b
+            FROM grid g LEFT JOIN per_bin p
+              ON g.event_type = p.event_type AND g.bin = p.bin
+        ), terms AS (
+            SELECT event_type, n1, n2, n1b, n2b, bin,
+                   (CAST(c1p AS DOUBLE) * CAST(n2b AS DOUBLE)
+                    - CAST(c2p AS DOUBLE) * CAST(n1b AS DOUBLE))
+                   * CAST(({l_c1p} - {l_n1b}) - ({l_c2p} - {l_n2b})
+                          AS DOUBLE) AS term
+            FROM filled
+        ), arr AS (
+            SELECT event_type, n1, n2, n1b, n2b,
+                   list(term ORDER BY bin) AS a
+            FROM terms GROUP BY event_type, n1, n2, n1b, n2b
+        )
+        SELECT event_type, n1, n2,
+               list_reduce(a, (p, q) -> p + q)
+               / (256.0 * CAST(n1b AS DOUBLE) * CAST(n2b AS DOUBLE))
+                 AS psi_bits
+        FROM arr
+    """
+
+
+register(
+    QuerySpec(
+        name="value_drift_psi",
+        description="per-type Population Stability Index (base 2) over "
+        "20 bins — exact fixed-point log2 ratios, bin-ordered fold",
+        spark=q_value_drift_psi,
+        oracle=_psi_oracle(),
     )
 )
 

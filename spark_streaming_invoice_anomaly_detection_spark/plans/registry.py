@@ -48,6 +48,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "dsir_importance_weights",
     "token_entropy_census",
     "jl_projection_distortion",
+    "value_drift_psi",
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",

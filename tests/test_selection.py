@@ -169,3 +169,65 @@ def test_jl_distortion_concentrates_near_one(spark, sf_dir):
     for r in rows:
         assert r["vec_id_b"] == r["vec_id_a"] + 1
         assert r["sq_dist"] > 0
+
+
+# ---------------------------------------------------------------------------
+# PSI drift (plans/advanced.py, fp_log2 consumer)
+# ---------------------------------------------------------------------------
+
+
+def test_psi_matches_direct_python_recomputation(spark, sf_dir):
+    """Recompute base-2 add-one-smoothed PSI from raw events with the
+    Python fp_log2 reference (same binning, same fold order) and against
+    the true float PSI within the fp_log2 error envelope."""
+    from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = [
+        r.asDict()
+        for r in REGISTRY["value_drift_psi"].spark(spark, sf_dir).collect()
+    ]
+    assert rows
+    by_type = {r["event_type"]: r for r in rows}
+
+    ev = [
+        (r["event_type"], r["ts"], r["value"])
+        for r in load_table(spark, "events", sf_dir)
+        .filter("value IS NOT NULL")
+        .select("event_type", "ts", "value")
+        .collect()
+    ]
+    B = 20
+    t_us = [int(t.timestamp() * 1_000_000) for _, t, _ in ev]
+    t_lo, t_hi = min(t_us), max(t_us)
+    v_lo = min(v for _, _, v in ev)
+    v_hi = max(v for _, _, v in ev)
+    mid = (t_lo + t_hi) / 2
+    from collections import defaultdict
+
+    c = defaultdict(lambda: [[0] * B, [0] * B])
+    for (et, _, v), tu in zip(ev, t_us):
+        h = 1 if tu >= mid else 0
+        b = min(B - 1, int(math.floor((v - v_lo) / (v_hi - v_lo) * float(B))))
+        c[et][h][b] += 1
+    for et, (h0, h1) in c.items():
+        n1, n2 = sum(h0), sum(h1)
+        n1b, n2b = n1 + B, n2 + B
+        num = 0.0
+        true_psi = 0.0
+        for b in range(B):
+            c1p, c2p = h0[b] + 1, h1[b] + 1
+            lr = (fp_log2_py(c1p) - fp_log2_py(n1b)) - (
+                fp_log2_py(c2p) - fp_log2_py(n2b)
+            )
+            num = num + (float(c1p) * float(n2b) - float(c2p) * float(n1b)) * float(lr)
+            p, q = c1p / n1b, c2p / n2b
+            true_psi += (p - q) * math.log2(p / q)
+        psi = num / (256.0 * float(n1b) * float(n2b))
+        got = by_type[et]
+        assert got["n1"] == n1 and got["n2"] == n2
+        assert got["psi_bits"] == psi  # bit-identical fold reproduction
+        # fp_log2 floor error: each log within 0.0094 bits, masses sum to ~2
+        assert abs(psi - true_psi) < 0.05
+        assert psi >= -0.05
