@@ -49,6 +49,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "token_entropy_census",
     "jl_projection_distortion",
     "value_drift_psi",
+    "source_pmi_keywords",
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.fplog2 import fp_log2, fp_log2_sql
@@ -403,5 +403,134 @@ register(
         "per-pair squared-distance distortion (expectation 1)",
         spark=q_jl_distortion,
         oracle=_jl_oracle(),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Source-characteristic vocabulary: top tokens per source by PMI
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 5
+
+
+def q_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per source by pointwise mutual information:
+    PMI(t, s) = log2( p(t,s) / (p(t) p(s)) ), the standard
+    "what vocabulary characterizes this source" curation probe.
+
+    Computed in the factored fixed-point form
+    (L(c_ts) + L(N)) - (L(c_t) + L(n_s)) so every log argument stays
+    <= total token count — int64-safe at any corpus size, unlike the
+    cross-product form c_ts*N which overflows at ~1e5x today's scale.
+    Rare-pair noise is cut by the usual min-count support filter
+    (applied AFTER the marginals, which stay corpus-wide); ranking ties
+    break on the token string, so top-5 is fully deterministic.
+
+    Scale: one corpus shuffle for (source, token) counts, then two
+    window passes (by token, by source) over the compressed count
+    relation — the rank window reuses the source partitioning, so no
+    further exchange after the marginals.
+    """
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    st = (
+        docs.select(
+            "source", F.explode(X.tokenize(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = st.agg(F.sum("c").cast("long").alias("n_all"))
+    w = st.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tok",
+        "c",
+        F.sum("c").over(Window.partitionBy("tok")).alias("c_t"),
+        F.sum("c").over(Window.partitionBy("source")).alias("n_s"),
+        "n_all",
+    )
+    h = w.filter(F.col("c") >= _PMI_MIN_COUNT).select(
+        "source",
+        "tok",
+        "c",
+        (
+            (fp_log2("c") + fp_log2("n_all"))
+            - (fp_log2("c_t") + fp_log2("n_s"))
+        ).alias("pmi_fp"),
+    )
+    r = h.select(
+        "source",
+        "tok",
+        "c",
+        "pmi_fp",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("pmi_fp").desc(), F.col("tok").asc()
+            )
+        )
+        .alias("rank"),
+    )
+    return r.filter(F.col("rank") <= _PMI_TOP_K).select(
+        "source",
+        "tok",
+        F.col("c").alias("c_st"),
+        "pmi_fp",
+        (F.col("pmi_fp").cast("double") / F.lit(256.0)).alias("pmi_bits"),
+        "rank",
+    )
+
+
+def _pmi_oracle() -> str:
+    l_c = fp_log2_sql("c", "duckdb")
+    l_n = fp_log2_sql("n_all", "duckdb")
+    l_ct = fp_log2_sql("c_t", "duckdb")
+    l_ns = fp_log2_sql("n_s", "duckdb")
+    return f"""
+        WITH tk AS (
+            SELECT source, unnest({_TOKENS_SQL}) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        st AS (
+            SELECT source, tok, count(*) AS c
+            FROM tk GROUP BY source, tok
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM st),
+        w AS (
+            SELECT source, tok, c,
+                   CAST(sum(c) OVER (PARTITION BY tok) AS BIGINT) AS c_t,
+                   CAST(sum(c) OVER (PARTITION BY source) AS BIGINT)
+                     AS n_s,
+                   n_all
+            FROM st, tot
+        ),
+        h AS (
+            SELECT source, tok, c,
+                   ({l_c} + {l_n}) - ({l_ct} + {l_ns}) AS pmi_fp
+            FROM w WHERE c >= {_PMI_MIN_COUNT}
+        ),
+        r AS (
+            SELECT source, tok, c, pmi_fp,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY pmi_fp DESC, tok ASC)
+                     AS rank
+            FROM h
+        )
+        SELECT source, tok, c AS c_st, pmi_fp,
+               CAST(pmi_fp AS DOUBLE) / 256.0 AS pmi_bits, rank
+        FROM r WHERE rank <= {_PMI_TOP_K}
+    """
+
+
+register(
+    QuerySpec(
+        name="source_pmi_keywords",
+        description="top-5 tokens per source by pointwise mutual "
+        "information (exact fixed-point log2, deterministic ties)",
+        spark=q_source_pmi,
+        oracle=_pmi_oracle(),
     )
 )

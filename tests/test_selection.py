@@ -231,3 +231,48 @@ def test_psi_matches_direct_python_recomputation(spark, sf_dir):
         # fp_log2 floor error: each log within 0.0094 bits, masses sum to ~2
         assert abs(psi - true_psi) < 0.05
         assert psi >= -0.05
+
+
+# ---------------------------------------------------------------------------
+# Source PMI keywords
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_keywords_semantics(spark, sf_dir):
+    """Ranks are contiguous per source, support filter holds, and the
+    fixed-point PMI tracks the true float PMI within the fp_log2 error
+    envelope (4 logs x 0.0094 bits)."""
+    from collections import Counter
+    import re
+
+    from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = [
+        r.asDict()
+        for r in REGISTRY["source_pmi_keywords"].spark(spark, sf_dir).collect()
+    ]
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        assert all(x["c_st"] >= 5 for x in rs)
+
+    docs = load_table(spark, "documents", sf_dir).select("source", "text").collect()
+    st, s_tot, t_tot = Counter(), Counter(), Counter()
+    for r in docs:
+        for tok in re.findall("[A-Za-z0-9]+", r["text"].lower()):
+            st[(r["source"], tok)] += 1
+            s_tot[r["source"]] += 1
+            t_tot[tok] += 1
+    n_all = sum(st.values())
+    for r in rows:
+        c, src, tok = r["c_st"], r["source"], r["tok"]
+        assert st[(src, tok)] == c
+        true_pmi = math.log2((c / n_all) / ((t_tot[tok] / n_all) * (s_tot[src] / n_all)))
+        assert abs(r["pmi_bits"] - true_pmi) < 0.04
+        assert r["pmi_bits"] == r["pmi_fp"] / 256.0
