@@ -1,7 +1,7 @@
 """Data-selection & embedding-geometry queries (LLM-pipeline extensions).
 
-Three operators a 100 TB pretraining pipeline runs between dedup and
-packing, all oracle-checked bit-for-bit:
+Operators a 100 TB pretraining pipeline runs between dedup and packing,
+all oracle-checked bit-for-bit:
 
 - ``dsir_importance_weights`` — hashed n-gram importance resampling
   (DSIR, Xie et al. 2023, arXiv:2302.03169): score every document by how
@@ -12,6 +12,8 @@ packing, all oracle-checked bit-for-bit:
 - ``jl_projection_distortion`` — Johnson-Lindenstrauss sign-projection
   (64-d -> 16-d) with per-pair squared-distance distortion, the
   dimensionality-reduction sanity check run before ANN index builds.
+- ``source_pmi_keywords`` — top tokens per source by pointwise mutual
+  information, the source-characterization / domain-tagging probe.
 
 Logarithms use :mod:`..functions.fplog2` (exact fixed-point log2 in
 1/256-bit units): runtime libm logs diverge between the JVM and DuckDB by
