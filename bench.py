@@ -50,6 +50,7 @@ def main() -> None:
         # round-3 surface:
         "bloom_pruned_revenue",     # runtime-filter-shaped fact join
         "quality_calibration_map",  # quality scoring + rollup GK grids
+        "dsir_importance_weights",  # gram explode + fp_log2 likelihood ratio
     ]
     headline = [q for q in headline if q in REGISTRY]
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.fplog2 import fp_log2, fp_log2_sql
 from ..operators import text as X
+from ..operators.layout import spread_if_narrow
 from ..operators.similarity import _dot_const, _dot_self, _h60_py
 from ..operators.text import h60_sql
 from ..sources.catalog import load_table
@@ -73,9 +74,9 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the explode semantics).
     """
     b_ = _DSIR_BUCKETS
-    docs = load_table(spark, "documents", sf_dir).filter(
-        F.col("text").isNotNull()
-    )
+    docs = spread_if_narrow(
+        load_table(spark, "documents", sf_dir)
+    ).filter(F.col("text").isNotNull())
     toks = X.tokenize(F.col("text"))
     n = F.size(toks)
     bigrams = F.when(
@@ -215,9 +216,9 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized shuffle; the per-doc rollup reuses the same hash
     partitioning on doc_id.
     """
-    docs = load_table(spark, "documents", sf_dir).filter(
-        F.col("text").isNotNull()
-    )
+    docs = spread_if_narrow(
+        load_table(spark, "documents", sf_dir)
+    ).filter(F.col("text").isNotNull())
     tc = (
         docs.select(
             "doc_id", F.explode(X.tokenize(F.col("text"))).alias("tok")
@@ -435,9 +436,9 @@ def q_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation — the rank window reuses the source partitioning, so no
     further exchange after the marginals.
     """
-    docs = load_table(spark, "documents", sf_dir).filter(
-        F.col("text").isNotNull()
-    )
+    docs = spread_if_narrow(
+        load_table(spark, "documents", sf_dir)
+    ).filter(F.col("text").isNotNull())
     st = (
         docs.select(
             "source", F.explode(X.tokenize(F.col("text"))).alias("tok")

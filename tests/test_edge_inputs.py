@@ -401,3 +401,130 @@ class TestTrendAndCusumDegenerate:
         assert len(cusum) == 1
         assert cusum[0].cusum_excess == 0.0
         assert cusum[0].alarm is False
+
+
+class TestSelectionQueryEdges:
+    """Degenerate inputs for the fp_log2-based selection/drift family."""
+
+    def _write_docs(self, spark, tmp_path, rows):
+        import os
+
+        d = str(tmp_path / "sf_sel")
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return d
+
+    def test_dsir_empty_corpus(self, spark, tmp_path):
+        from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
+            q_dsir_importance,
+        )
+
+        d = self._write_docs(spark, tmp_path, [])
+        assert q_dsir_importance(spark, d).count() == 0
+
+    def test_dsir_no_target_docs(self, spark, tmp_path):
+        """No en doc at all: every bucket's target count is 0 (smoothed to
+        1), weights are uniformly non-positive, nothing is selected."""
+        from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
+            q_dsir_importance,
+        )
+
+        d = self._write_docs(
+            spark,
+            tmp_path,
+            [
+                (1, "uno dos tres cuatro", "es", "s1", 19),
+                (2, "cinco seis siete", "es", "s1", 16),
+            ],
+        )
+        rows = q_dsir_importance(spark, d).collect()
+        assert len(rows) == 2
+        assert all(r.w_fp <= 0 and not r.selected for r in rows)
+
+    def test_dsir_single_token_doc_has_no_bigrams(self, spark, tmp_path):
+        """One token: the bigram guard must yield an empty array, not a
+        descending sequence(1, 0) = [1, 0] ghost gram."""
+        from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
+            q_dsir_importance,
+        )
+
+        d = self._write_docs(
+            spark, tmp_path, [(1, "solo", "en", "s1", 4)]
+        )
+        rows = q_dsir_importance(spark, d).collect()
+        assert len(rows) == 1
+        assert rows[0].n_grams == 1  # the unigram only
+
+    def test_entropy_single_token_type(self, spark, tmp_path):
+        """A doc repeating one token has exactly zero entropy (h_fp == 0,
+        not merely close)."""
+        from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
+            q_token_entropy,
+        )
+
+        d = self._write_docs(
+            spark, tmp_path, [(1, "spam spam spam spam", "en", "s1", 19)]
+        )
+        r = q_token_entropy(spark, d).collect()[0]
+        assert r.n_tokens == 4 and r.n_distinct_tokens == 1
+        assert r.h_fp == 0 and r.entropy_bits == 0.0
+
+    def test_pmi_all_below_support_is_empty(self, spark, tmp_path):
+        from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
+            q_source_pmi,
+        )
+
+        d = self._write_docs(
+            spark, tmp_path, [(1, "rare words only once", "en", "s1", 20)]
+        )
+        assert q_source_pmi(spark, d).count() == 0
+
+    def test_jl_zero_difference_pair_is_null(self, spark, tmp_path):
+        """Identical consecutive vectors: sq_dist 0 -> distortion NULL,
+        never an ANSI divide-by-zero."""
+        import os
+
+        from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
+            q_jl_distortion,
+        )
+
+        d = str(tmp_path / "sf_jl")
+        os.makedirs(d, exist_ok=True)
+        v = [1.0] * 64
+        spark.createDataFrame(
+            [(1, v), (2, v), (3, [float(j % 3) for j in range(64)])],
+            "vec_id long, embedding array<double>",
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        rows = {r.vec_id_a: r for r in q_jl_distortion(spark, d).collect()}
+        assert rows[1].sq_dist == 0.0 and rows[1].distortion is None
+        assert rows[2].sq_dist > 0 and rows[2].distortion is not None
+
+    def test_psi_single_half_events(self, spark, tmp_path):
+        """All events in one timestamp: the midpoint split puts everything
+        in half 1 (ts >= mid), half 0 is empty -> smoothed PSI is finite,
+        no division error."""
+        import pandas as pd
+
+        from spark_streaming_invoice_anomaly_detection_spark.plans.advanced import (
+            q_value_drift_psi,
+        )
+
+        sf = str(tmp_path)
+        pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "ts": pd.to_datetime(["2024-03-01 10:00", "2024-03-01 10:00"]),
+                "user_id": [7, 8],
+                "event_type": ["click", "click"],
+                "value": [1.0, 2.0],
+                "props": ["{}", "{}"],
+            }
+        ).to_parquet(f"{sf}/events.parquet")
+        rows = q_value_drift_psi(spark, sf).collect()
+        assert len(rows) == 1
+        assert rows[0].n1 == 0 and rows[0].n2 == 2
+        assert rows[0].psi_bits is not None
