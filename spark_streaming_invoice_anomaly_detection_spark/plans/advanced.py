@@ -2097,3 +2097,199 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# EWMA daily level: exponential smoothing of daily volume, last-day alarm
+# ---------------------------------------------------------------------------
+
+#: Smoothing factor as an exact dyadic rational (0.3 would round): alpha =
+#: 77/256 ~ 0.3. Both engines multiply by the same literal doubles.
+_EWMA_ALPHA = 77.0 / 256.0
+
+
+def q_ewma_daily_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exponentially weighted moving average of daily
+    volume: y_t = alpha*x_t + (1-alpha)*y_{t-1}, y_0 = x_0 — the
+    smoothed "normal level" a monitoring stack compares each new day
+    against. Output: final level, last-day volume, their ratio, and an
+    alarm when the last day runs >=1.5x the smoothed level (the batch
+    twin of the streaming PSI monitor's alarm, for VOLUME rather than
+    distribution shape).
+
+    Determinism: daily sums are exact int64 micros; the EWMA recursion
+    is inherently order-dependent, so it runs as a left fold over the
+    day-sorted collected series — seeded with the FIRST element on both
+    engines (Spark folds slice(a, 2, ...) from a[0]; DuckDB list_reduce
+    seeds with element 1 natively). Bounded by calendar days, like
+    daily_trend_slope.
+    """
+    from ..functions.exactmath import scaled_long
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(scaled_long("value", 6)).alias("ym"))
+        .select(
+            "event_type",
+            F.struct(
+                "day", (F.col("ym").cast("double") / 1000000.0).alias("x")
+            ).alias("s"),
+        )
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("s")).alias("a")
+    )
+    xs = F.transform(F.col("a"), lambda s: s["x"])
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: F.lit(_EWMA_ALPHA) * x
+        + F.lit(1.0 - _EWMA_ALPHA) * acc,
+    )
+    last = F.element_at(xs, -1)
+    out = arr.select(
+        "event_type",
+        F.size("a").cast("long").alias("n_days"),
+        ewma.alias("ewma_level"),
+        last.alias("last_day"),
+    )
+    ratio = F.when(
+        F.col("ewma_level") > 0, F.col("last_day") / F.col("ewma_level")
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        "ewma_level",
+        "last_day",
+        ratio.alias("last_to_level"),
+        (ratio >= 1.5).alias("alarm"),
+    )
+
+
+register(
+    QuerySpec(
+        name="ewma_daily_level",
+        description="per-type EWMA of daily volume (first-element-seeded "
+        "ordered fold) with last-day volume alarm",
+        spark=q_ewma_daily_level,
+        oracle=f"""
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(sum(CAST(floor(value * 1000000.0 + 0.5)
+                                     AS BIGINT)) AS DOUBLE) / 1000000.0
+                         AS x
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type, CAST(ts AS DATE)
+            ), arr AS (
+                SELECT event_type, list(x ORDER BY day) AS xs
+                FROM daily GROUP BY event_type
+            ), m AS (
+                SELECT event_type,
+                       CAST(len(xs) AS BIGINT) AS n_days,
+                       list_reduce(xs,
+                           (acc, x) -> {_EWMA_ALPHA!r} * x
+                                       + {1.0 - _EWMA_ALPHA!r} * acc)
+                         AS ewma_level,
+                       xs[-1] AS last_day
+                FROM arr
+            )
+            SELECT event_type, n_days, ewma_level, last_day,
+                   CASE WHEN ewma_level > 0
+                        THEN last_day / ewma_level END AS last_to_level,
+                   CASE WHEN ewma_level > 0
+                        THEN last_day / ewma_level >= 1.5 END AS alarm
+            FROM m
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Weekly seasonality index: day-of-week volume profile per event type
+# ---------------------------------------------------------------------------
+
+
+def q_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ISO-day-of-week seasonality index: mean daily
+    volume on that weekday divided by the overall mean daily volume
+    (1.0 = flat week). The profile a forecaster divides out before
+    trend/drift detection — and the reason a Sunday dip is not an
+    incident.
+
+    Exactness: per-day sums are exact int64 micros; the index is a ratio
+    of two exact-integer means, evaluated in a fixed division order on
+    both engines. Weekday numbering is pinned to ISO (1=Mon..7=Sun):
+    Spark ``weekday()+1`` == DuckDB ``isodow()`` (DuckDB's ``dayofweek``
+    is 0=Sunday — a silent off-by-one if used naively).
+
+    Scale: one daily hash agg, one (type, dow) rollup of <= 7 rows per
+    type, one broadcast of per-type totals. Nothing holds more than the
+    calendar.
+    """
+    from ..functions.exactmath import scaled_long
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(scaled_long("value", 6)).alias("ym"))
+    )
+    by_dow = daily.groupBy(
+        "event_type", (F.weekday("day") + 1).alias("iso_dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("ym").alias("ym_dow"),
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_all"),
+        F.sum("ym").alias("ym_all"),
+    )
+    j = by_dow.join(F.broadcast(totals), "event_type")
+    dow_mean = F.col("ym_dow").cast("double") / F.col("n_days").cast("double")
+    all_mean = (
+        F.col("ym_all").cast("double") / F.col("n_days_all").cast("double")
+    )
+    return j.select(
+        "event_type",
+        "iso_dow",
+        "n_days",
+        (dow_mean / 1000000.0).alias("mean_daily_dow"),
+        (dow_mean / all_mean).alias("seasonality_index"),
+    )
+
+
+register(
+    QuerySpec(
+        name="weekly_seasonality_index",
+        description="per-type ISO day-of-week volume profile: mean daily "
+        "volume per weekday / overall mean (exact integer daily sums)",
+        spark=q_weekly_seasonality,
+        oracle="""
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(sum(CAST(floor(value * 1000000.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS ym
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type, CAST(ts AS DATE)
+            ), by_dow AS (
+                SELECT event_type, CAST(isodow(day) AS INT) AS iso_dow,
+                       count(*) AS n_days,
+                       CAST(sum(ym) AS BIGINT) AS ym_dow
+                FROM daily GROUP BY event_type, isodow(day)
+            ), totals AS (
+                SELECT event_type, count(*) AS n_days_all,
+                       CAST(sum(ym) AS BIGINT) AS ym_all
+                FROM daily GROUP BY event_type
+            )
+            SELECT b.event_type, b.iso_dow, b.n_days,
+                   (CAST(ym_dow AS DOUBLE) / CAST(b.n_days AS DOUBLE))
+                     / 1000000.0 AS mean_daily_dow,
+                   (CAST(ym_dow AS DOUBLE) / CAST(b.n_days AS DOUBLE))
+                   / (CAST(ym_all AS DOUBLE) / CAST(n_days_all AS DOUBLE))
+                     AS seasonality_index
+            FROM by_dow b JOIN totals t ON b.event_type = t.event_type
+        """,
+    )
+)

@@ -50,6 +50,8 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "jl_projection_distortion",
     "value_drift_psi",
     "source_pmi_keywords",
+    "ewma_daily_level",
+    "weekly_seasonality_index",
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",

@@ -276,3 +276,69 @@ def test_pmi_keywords_semantics(spark, sf_dir):
         true_pmi = math.log2((c / n_all) / ((t_tot[tok] / n_all) * (s_tot[src] / n_all)))
         assert abs(r["pmi_bits"] - true_pmi) < 0.04
         assert r["pmi_bits"] == r["pmi_fp"] / 256.0
+
+
+# ---------------------------------------------------------------------------
+# EWMA level + weekly seasonality (plans/advanced.py time-series family)
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_python_fold(spark, sf_dir):
+    from collections import defaultdict
+
+    from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = {
+        r["event_type"]: r.asDict()
+        for r in REGISTRY["ewma_daily_level"].spark(spark, sf_dir).collect()
+    }
+    assert rows
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter("value IS NOT NULL")
+        .selectExpr(
+            "event_type",
+            "CAST(ts AS DATE) AS day",
+            "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS ym",
+        )
+        .collect()
+    )
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        daily[r["event_type"]][r["day"]] += r["ym"]
+    alpha = 77.0 / 256.0
+    for et, by_day in daily.items():
+        xs = [by_day[d] / 1_000_000.0 for d in sorted(by_day)]
+        y = xs[0]
+        for x in xs[1:]:
+            y = alpha * x + (1.0 - alpha) * y
+        got = rows[et]
+        assert got["n_days"] == len(xs)
+        assert got["ewma_level"] == y  # bit-identical fold
+        assert got["last_day"] == xs[-1]
+        assert got["alarm"] == (xs[-1] / y >= 1.5)
+
+
+def test_weekly_seasonality_weighted_mean_is_one(spark, sf_dir):
+    """sum(n_days_d * index_d) / n_days_all == 1 by construction."""
+    rows = [
+        r.asDict()
+        for r in REGISTRY["weekly_seasonality_index"]
+        .spark(spark, sf_dir)
+        .collect()
+    ]
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        assert len(rs) <= 7
+        assert all(1 <= r["iso_dow"] <= 7 for r in rs)
+        n_all = sum(r["n_days"] for r in rs)
+        w_mean = (
+            sum(r["n_days"] * r["seasonality_index"] for r in rs) / n_all
+        )
+        assert abs(w_mean - 1.0) < 1e-9
+        assert all(r["seasonality_index"] > 0 for r in rs)
