@@ -8,6 +8,7 @@
     python -m spark_streaming_invoice_anomaly_detection_spark produce <file.csv> <watch_dir> [--min-ms 5 --max-ms 10]
     python -m spark_streaming_invoice_anomaly_detection_spark sql "SELECT ..." [--sf-dir DIR] [--explain]
     python -m spark_streaming_invoice_anomaly_detection_spark query <name>|list [--sf-dir DIR] [--explain]
+    python -m spark_streaming_invoice_anomaly_detection_spark state meta|census|dump <checkpoint_dir>
 
 `train` mirrors KMeansClusterInvoices.main / BisectingKMeansClusterInvoices
 (CSV -> featurize -> filter -> sweep+elbow -> model + threshold persisted,
@@ -168,6 +169,26 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_state(args: argparse.Namespace) -> int:
+    from .session import get_spark
+    from .streaming.state_inspect import (
+        read_state,
+        state_census,
+        state_operator_metadata,
+    )
+
+    spark = get_spark(app_name="invoice-engine-state")
+    if args.what == "meta":
+        df = state_operator_metadata(spark, args.checkpoint)
+    elif args.what == "census":
+        df = state_census(spark, args.checkpoint, operator_id=args.operator_id)
+    else:  # dump
+        df = read_state(spark, args.checkpoint, operator_id=args.operator_id)
+    for line in df.limit(args.limit).toJSON().collect():
+        print(line)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="spark_streaming_invoice_anomaly_detection_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -216,6 +237,16 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--limit", type=int, default=100)
     g.add_argument("--explain", action="store_true")
     g.set_defaults(fn=_cmd_query)
+
+    st = sub.add_parser(
+        "state",
+        help="offline checkpoint state: meta | census | dump",
+    )
+    st.add_argument("what", choices=["meta", "census", "dump"])
+    st.add_argument("checkpoint")
+    st.add_argument("--operator-id", type=int, default=0)
+    st.add_argument("--limit", type=int, default=100)
+    st.set_defaults(fn=_cmd_state)
     return p
 
 

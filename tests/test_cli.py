@@ -220,3 +220,42 @@ def test_query_cli_lists_and_runs_registered_query(spark, capsys):
     assert rows and {"l_returnflag", "l_linestatus"} <= set(rows[0])
 
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_state_cli_census_and_meta(spark, tmp_path, capsys):
+    """Build a small agg checkpoint, then read it back through the CLI."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    with open(src / "a.csv", "w") as f:
+        f.write("k1,1\nk2,2\nk3,3\n")
+    raw = (
+        spark.readStream.format("csv").schema("k string, v int").load(str(src))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        raw.groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    assert main(["state", "census", ckpt]) == 0
+    census = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert census["n_keys"] == 3
+
+    assert main(["state", "meta", ckpt]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["operatorName"] == "stateStoreSave"
+
+    assert main(["state", "dump", ckpt]) == 0
+    dump = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert sorted(d["key"]["k"] for d in dump) == ["k1", "k2", "k3"]
