@@ -82,19 +82,18 @@ def shingle_docs(
     )
 
 
-def lsh_candidate_pairs(
+def band_entries(
     signatures: DataFrame,
     num_hashes: int,
     bands: int,
     id_col: str = "doc_id",
     sig_col: str = "signature",
 ) -> DataFrame:
-    """Banded LSH: docs agreeing on ALL rows of any band become a candidate
-    pair. One explode + one self-equi-join on (band_id, band_hash) — the
-    join co-locates buckets, so cost scales with bucket sizes, not n^2.
-    """
+    """Signature rows -> exploded (id, band_id, band_hash) bucket entries —
+    the join key of banded LSH and the on-disk unit of the incremental
+    index."""
     rows_per_band = num_hashes // bands
-    band_entries = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -119,8 +118,22 @@ def lsh_candidate_pairs(
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
 
-    left = band_entries.alias("l")
-    right = band_entries.alias("r")
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become a candidate
+    pair. One explode + one self-equi-join on (band_id, band_hash) — the
+    join co-locates buckets, so cost scales with bucket sizes, not n^2.
+    """
+    entries = band_entries(signatures, num_hashes, bands, id_col, sig_col)
+
+    left = entries.alias("l")
+    right = entries.alias("r")
     return (
         left.join(
             right,
