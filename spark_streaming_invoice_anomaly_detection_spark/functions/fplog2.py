@@ -77,12 +77,15 @@ def fp_log2_sql(x: str, dialect: str) -> str:
     raise ValueError(f"unknown dialect: {dialect}")
 
 
-def fp_log2(col: Column | str) -> Column:
-    """Spark Column form (positive int64 input, int64 output)."""
-    name = col if isinstance(col, str) else None
-    if name is None:
+def fp_log2(col: str) -> Column:
+    """Spark Column form (positive int64 input, int64 output).
+
+    Takes a column NAME, not a Column: the expression inlines its input
+    several times, so hoist computed values into a named column first.
+    """
+    if not isinstance(col, str):
         raise TypeError(
             "fp_log2 takes a column NAME (the expression inlines its input "
             "several times; hoist computed values into a named column first)"
         )
-    return F.expr(fp_log2_sql(name, "spark"))
+    return F.expr(fp_log2_sql(col, "spark"))

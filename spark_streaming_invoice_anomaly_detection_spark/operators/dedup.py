@@ -181,21 +181,12 @@ def minhash_near_dups(
     sides) — measured 2x end-to-end. Tokenize/ngram recompute is the
     alternative at cluster scale if shingle storage exceeds the cache.
     """
-    # Tokenize/shingle is the pipeline's CPU hot spot, and its parallelism
-    # is whatever the text scan produced — a handful of parquet files (or
-    # one upstream coalesce) leaves most cores idle. If the input is
-    # under-parallel, spread it first: the shuffle moves only (id, text)
-    # once, and every downstream stage inherits the width. When the input
-    # already has enough partitions (any real cluster scan), no-op.
-    # Probe width via inputFiles(), NOT df.rdd.getNumPartitions(): under
-    # AQE the rdd accessor eagerly executes any upstream shuffle stages
-    # just to learn the count, and those results are then thrown away.
-    # Non-file-backed inputs (len == 0) get the spread unconditionally —
-    # their width is unknowable cheaply and the shuffle is one narrow pass.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if n_files < target:
-        df = df.repartition(target)
+    # Tokenize/shingle is the pipeline's CPU hot spot; give it the full
+    # cluster width when the scan came in narrow (rationale + probe
+    # caveats in the shared helper).
+    from .layout import spread_if_narrow
+
+    df = spread_if_narrow(df)
     # Empty-shingle docs (fewer than ngram tokens) would all hash to the
     # SAME band bucket (array_min of [] is null; concat_ws skips nulls ->
     # md5('')), forming one quadratic candidate bucket of short docs that

@@ -38,8 +38,6 @@ from pyspark.sql import functions as F
 from .dedup import band_entries, jaccard, minhash_signature, shingle_docs
 from .layout import spread_if_narrow
 
-_DEFAULTS = dict(ngram=3, num_hashes=8, bands=4)
-
 
 def _prepare(
     df: DataFrame,
@@ -94,11 +92,15 @@ def probe_index(
 
     A delta doc with NO output row is novel; the caller typically
     anti-joins on id_new before ``update_index``.
+
+    The delta's shingle subtree feeds the signatures plus both verify
+    sides and is recomputed per consumer — pure map work over the DELTA
+    (small by definition in this access pattern), so no persist is held
+    across calls of a long-running ingestion loop.
     """
     sh_new, entries_new = _prepare(
         delta, text_col, id_col, ngram, num_hashes, bands
     )
-    sh_new = sh_new.persist()
     entries_idx = spark.read.parquet(os.path.join(path, "bands"))
     sh_idx = spark.read.parquet(os.path.join(path, "shingles"))
 

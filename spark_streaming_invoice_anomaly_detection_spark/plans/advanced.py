@@ -1393,6 +1393,63 @@ register(
 _TV_BINS = 20
 
 
+def _halved_bins(ev: DataFrame, bins: int) -> DataFrame:
+    """Shared TV/PSI front end: (event_type, half, bin) with the time
+    midpoint and fixed-width value bins, bounds from one broadcast 1-row
+    agg. Degenerate guard: when every value is identical (v_hi == v_lo,
+    or all NULL) the width division would be 0/0 — NaN whose int cast
+    aborts under ANSI and disagrees with DuckDB's NULL — so all rows land
+    in bin 0 on both engines instead. NULL values (TV keeps them, PSI
+    filters first) fall to the TOP bin via least(bins-1, NULL-skipping
+    least) — quirky but probe-verified identical in Spark and DuckDB.
+    """
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t_lo"),
+        F.max(F.unix_micros("ts")).alias("t_hi"),
+        F.min("value").alias("v_lo"),
+        F.max("value").alias("v_hi"),
+    )
+    bin_col = F.when(
+        F.col("v_hi") > F.col("v_lo"),
+        F.least(
+            F.lit(bins - 1),
+            F.floor(
+                (F.col("value") - F.col("v_lo"))
+                / (F.col("v_hi") - F.col("v_lo"))
+                * F.lit(float(bins))
+            ).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    return ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        # integer midpoint: identical floor division on both engines
+        (F.unix_micros("ts")
+         >= (F.col("t_lo") + F.col("t_hi")) / F.lit(2)).cast("int")
+        .alias("half"),
+        bin_col.alias("bin"),
+    )
+
+
+def _halved_bins_sql(bins: int, where: str = "") -> str:
+    """DuckDB twin of :func:`_halved_bins`: bounds + binned CTE bodies
+    (caller embeds them in its WITH list)."""
+    return f"""bounds AS (
+                SELECT min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi,
+                       min(value) AS v_lo, max(value) AS v_hi
+                FROM events {where}
+            ), binned AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) >= (t_lo + t_hi) / 2 AS INT)
+                         AS half,
+                       CASE WHEN v_hi > v_lo THEN
+                            least({bins - 1},
+                                  CAST(floor((value - v_lo) / (v_hi - v_lo)
+                                             * {float(bins)!r}) AS INT))
+                       ELSE 0 END AS bin
+                FROM events, bounds {where}
+            )"""
+
+
 def q_value_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distribution drift of ``value`` between the first
     and second half of the time range, as TOTAL-VARIATION distance over a
@@ -1410,27 +1467,7 @@ def q_value_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate broadcast into the scan) — no per-row Python, two shuffles.
     """
     ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
-    bounds = ev.agg(
-        F.min(F.unix_micros("ts")).alias("t_lo"),
-        F.max(F.unix_micros("ts")).alias("t_hi"),
-        F.min("value").alias("v_lo"),
-        F.max("value").alias("v_hi"),
-    )
-    with_bins = ev.crossJoin(F.broadcast(bounds)).select(
-        "event_type",
-        # integer midpoint: identical floor division on both engines
-        (F.unix_micros("ts")
-         >= (F.col("t_lo") + F.col("t_hi")) / F.lit(2)).cast("int")
-        .alias("half"),
-        F.least(
-            F.lit(_TV_BINS - 1),
-            F.floor(
-                (F.col("value") - F.col("v_lo"))
-                / (F.col("v_hi") - F.col("v_lo"))
-                * F.lit(float(_TV_BINS))
-            ).cast("int"),
-        ).alias("bin"),
-    )
+    with_bins = _halved_bins(ev, _TV_BINS)
     per_bin = with_bins.groupBy("event_type", "bin").agg(
         F.count_if(F.col("half") == 0).alias("c1"),
         F.count_if(F.col("half") == 1).alias("c2"),
@@ -1475,20 +1512,7 @@ register(
         "distance over 20 bins (integer cross-products, no transcendentals)",
         spark=q_value_drift_tv,
         oracle=f"""
-            WITH bounds AS (
-                SELECT min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi,
-                       min(value) AS v_lo, max(value) AS v_hi
-                FROM events
-            ), binned AS (
-                SELECT event_type,
-                       CAST(epoch_us(ts) >= (t_lo + t_hi) / 2 AS INT)
-                         AS half,
-                       least({_TV_BINS - 1},
-                             CAST(floor((value - v_lo) / (v_hi - v_lo)
-                                        * {float(_TV_BINS)!r}) AS INT))
-                         AS bin
-                FROM events, bounds
-            ), per_bin AS (
+            WITH {_halved_bins_sql(_TV_BINS)}, per_bin AS (
                 SELECT event_type, bin,
                        count(*) FILTER (WHERE half = 0) AS c1,
                        count(*) FILTER (WHERE half = 1) AS c2
@@ -1549,26 +1573,7 @@ def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select("event_type", "ts", "value")
     )
-    bounds = ev.agg(
-        F.min(F.unix_micros("ts")).alias("t_lo"),
-        F.max(F.unix_micros("ts")).alias("t_hi"),
-        F.min("value").alias("v_lo"),
-        F.max("value").alias("v_hi"),
-    )
-    with_bins = ev.crossJoin(F.broadcast(bounds)).select(
-        "event_type",
-        (F.unix_micros("ts")
-         >= (F.col("t_lo") + F.col("t_hi")) / F.lit(2)).cast("int")
-        .alias("half"),
-        F.least(
-            F.lit(b_ - 1),
-            F.floor(
-                (F.col("value") - F.col("v_lo"))
-                / (F.col("v_hi") - F.col("v_lo"))
-                * F.lit(float(b_))
-            ).cast("int"),
-        ).alias("bin"),
-    )
+    with_bins = _halved_bins(ev, b_)
     per_bin = with_bins.groupBy("event_type", "bin").agg(
         F.count_if(F.col("half") == 0).alias("c1"),
         F.count_if(F.col("half") == 1).alias("c2"),
@@ -1644,18 +1649,8 @@ def _psi_oracle() -> str:
     l_n1b = fp_log2_sql("n1b", "duckdb")
     l_n2b = fp_log2_sql("n2b", "duckdb")
     return f"""
-        WITH bounds AS (
-            SELECT min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi,
-                   min(value) AS v_lo, max(value) AS v_hi
-            FROM events WHERE value IS NOT NULL
-        ), binned AS (
-            SELECT event_type,
-                   CAST(epoch_us(ts) >= (t_lo + t_hi) / 2 AS INT) AS half,
-                   least({b_ - 1},
-                         CAST(floor((value - v_lo) / (v_hi - v_lo)
-                                    * {float(b_)!r}) AS INT)) AS bin
-            FROM events, bounds WHERE value IS NOT NULL
-        ), per_bin AS (
+        WITH {_halved_bins_sql(b_, where="WHERE value IS NOT NULL")},
+        per_bin AS (
             SELECT event_type, bin,
                    count(*) FILTER (WHERE half = 0) AS c1,
                    count(*) FILTER (WHERE half = 1) AS c2

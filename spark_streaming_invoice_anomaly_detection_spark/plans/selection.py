@@ -92,8 +92,13 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("g")
     ).select("doc_id", "lang", (X.h60(F.col("g")) % b_).alias("b"))
     bs = eb.groupBy("b").agg(
+        # when/otherwise, NOT a bare boolean cast: a NULL lang must count
+        # as 0 target evidence (a null-sum bucket would poison the whole
+        # score column), matching the oracle's CASE ... ELSE 0
         F.sum(
-            (F.col("lang") == _DSIR_TARGET_LANG).cast("long")
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.lit(1)).otherwise(
+                F.lit(0)
+            ).cast("long")
         ).alias("t_b"),
         F.count(F.lit(1)).alias("r_b"),
     )

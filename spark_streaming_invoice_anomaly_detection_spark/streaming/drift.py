@@ -61,6 +61,11 @@ def histogram_baseline(
     lo, hi = df.agg(
         F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
     ).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            f"histogram_baseline: no non-null '{value_col}' values in the "
+            "training frame — a baseline needs at least one observation"
+        )
     lo, hi = float(lo), float(hi)
     bin_col = _bin_expr(F.col(value_col), lo, hi, bins)
     rows = (

@@ -61,10 +61,12 @@ def state_census(
         .groupBy("partition_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # coalesce: an EMPTY store (all sessions expired) must read n_keys=0,
+    # not a row of NULLs — the leak check watches this number over time
     return per_part.agg(
-        F.sum("n").alias("n_keys"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_keys"),
         F.count(F.lit(1)).alias("n_partitions_used"),
-        F.max("n").alias("max_partition_keys"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_partition_keys"),
         (
             F.max("n").cast("double")
             / (F.sum("n").cast("double") / F.count(F.lit(1)).cast("double"))

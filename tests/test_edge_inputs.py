@@ -528,3 +528,120 @@ class TestSelectionQueryEdges:
         assert len(rows) == 1
         assert rows[0].n1 == 0 and rows[0].n2 == 2
         assert rows[0].psi_bits is not None
+
+
+class TestDriftDegenerateOracleParity:
+    """Post-review regressions: the degenerate shapes must not only run,
+    they must still MATCH the DuckDB oracle (the crash/divergence class
+    the guards exist for)."""
+
+    def _events_dir(self, spark, tmp_path, values):
+        import datetime as dt
+
+        import pandas as pd
+
+        sf = str(tmp_path)
+        n = len(values)
+        pd.DataFrame(
+            {
+                "event_id": list(range(n)),
+                "ts": [
+                    dt.datetime(2024, 3, 1) + dt.timedelta(hours=6 * i)
+                    for i in range(n)
+                ],
+                "user_id": [7] * n,
+                "event_type": ["click"] * n,
+                "value": values,
+                "props": ["{}"] * n,
+            }
+        ).to_parquet(f"{sf}/events.parquet")
+        return sf
+
+    def _assert_oracle_parity(self, spark, sf, name):
+        import duckdb
+
+        from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
+            REGISTRY,
+            queries,
+        )
+
+        from .oracle import assert_matches_oracle
+
+        queries()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')"
+        )
+        spec = REGISTRY[name]
+        assert_matches_oracle(
+            spec.spark(spark, sf), con, spec.oracle, name=name
+        )
+        con.close()
+
+    def test_constant_values_tv_and_psi(self, spark, tmp_path):
+        """All values identical: bin width is zero — guarded to bin 0 on
+        both engines (was: NaN int-cast abort under ANSI, and a silent
+        Spark-0 vs DuckDB-19 bin divergence otherwise)."""
+        sf = self._events_dir(spark, tmp_path, [5.0, 5.0, 5.0, 5.0])
+        self._assert_oracle_parity(spark, sf, "value_drift_tv")
+        self._assert_oracle_parity(spark, sf, "value_drift_psi")
+
+    def test_null_values_keep_tv_null_bin_semantics(self, spark, tmp_path):
+        """TV keeps NULL values (top bin on both engines) — the refactor
+        must not have changed that."""
+        sf = self._events_dir(spark, tmp_path, [1.0, None, 2.0, None])
+        self._assert_oracle_parity(spark, sf, "value_drift_tv")
+        self._assert_oracle_parity(spark, sf, "value_drift_psi")
+
+
+def test_dsir_null_lang_counts_as_zero_target(spark, tmp_path):
+    """NULL lang must contribute 0 target evidence, not poison a bucket's
+    score with NULL (post-review regression)."""
+    import duckdb
+
+    from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
+        REGISTRY,
+        queries,
+    )
+
+    from .oracle import assert_matches_oracle
+
+    queries()
+    d = str(tmp_path / "sf_null_lang")
+    import os
+
+    os.makedirs(d)
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", None, "s1", 22),
+            (2, "alpha beta gamma delta", "en", "s1", 22),
+            (3, "epsilon zeta eta theta", "es", "s1", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    spec = REGISTRY["dsir_importance_weights"]
+    rows = spec.spark(spark, d).collect()
+    assert len(rows) == 3
+    assert all(r.w_fp is not None for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.spark(spark, d), con, spec.oracle, name="dsir_null_lang"
+    )
+    con.close()
+
+
+def test_histogram_baseline_empty_raises_clear_error(spark):
+    import pytest as _pytest
+
+    from spark_streaming_invoice_anomaly_detection_spark.streaming.drift import (
+        histogram_baseline,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    with _pytest.raises(ValueError, match="no non-null"):
+        histogram_baseline(empty, "v")
