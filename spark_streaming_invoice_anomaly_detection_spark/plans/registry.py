@@ -52,6 +52,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "source_pmi_keywords",
     "ewma_daily_level",
     "weekly_seasonality_index",
+    "source_token_kl",
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",

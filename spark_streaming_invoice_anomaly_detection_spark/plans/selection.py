@@ -542,3 +542,161 @@ register(
         oracle=_pmi_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence: distribution-level domain shift vs the corpus
+# ---------------------------------------------------------------------------
+
+_KL_BUCKETS = 64
+
+
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source || corpus) over hashed token buckets, per source:
+    D = sum_b p_b log2(p_b / q_b) with add-one smoothing — the
+    distribution-level companion to source_pmi_keywords (PMI names the
+    tokens that characterize a source; KL says HOW FAR the source's whole
+    token distribution sits from the corpus mix, the number a domain-
+    weighting scheme consumes).
+
+    Exactness: the log-ratio
+    (L(s_b+1) - L(n_s+B)) - (L(c_b+1) - L(N+B)) is exact int64
+    fixed-point; the mass weights are correctly-rounded double
+    cross-products; the 64 per-bucket terms sum in a bucket-ordered fold.
+    Same no-overflow-horizon discipline as value_drift_psi.
+
+    Scale: ONE corpus pass — the (source, bucket) counts and all three
+    marginals come from a single grouping-sets aggregation whose tiny
+    result (sources x B rows) is localCheckpoint'd and re-read by every
+    branch (the rollup-plus-checkpoint remedy the triangle census
+    established; without it the explode subtree re-shuffles once per
+    marginal). Then broadcast joins and a 64-element fold per source.
+    """
+    b_ = _KL_BUCKETS
+    docs = spread_if_narrow(
+        load_table(spark, "documents", sf_dir)
+    ).filter(F.col("text").isNotNull())
+    eb = docs.select(
+        "source", F.explode(X.tokenize(F.col("text"))).alias("tok")
+    ).select("source", (X.h60(F.col("tok")) % b_).alias("b"))
+    gs = (
+        eb.groupingSets(
+            [["source", "b"], ["source"], ["b"], []], "source", "b"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+        .localCheckpoint()
+    )
+    sb = gs.filter("gid = 0").select("source", "b", F.col("n").alias("s_raw"))
+    sources = gs.filter("gid = 1").select("source", F.col("n").alias("n_s"))
+    corpus = gs.filter("gid = 2").select("b", F.col("n").alias("c_raw"))
+    tot = gs.filter("gid = 3").select(F.col("n").alias("n_all"))
+    # dense (source, bucket) grid so empty buckets carry smoothed mass
+    grid = sources.select(
+        "source", "n_s", F.explode(F.sequence(F.lit(0), F.lit(b_ - 1))).alias("b")
+    )
+    full = (
+        grid.join(F.broadcast(sb), ["source", "b"], "left")
+        .fillna(0, ["s_raw"])
+        # LEFT join + fill: the vocabulary can be far smaller than B, so
+        # buckets with zero corpus-wide mass still exist in the smoothed
+        # domain (q_b = 1/(N+B)) — an inner join would silently drop them
+        .join(F.broadcast(corpus), "b", "left")
+        .fillna(0, ["c_raw"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "b",
+            (F.col("s_raw") + 1).cast("long").alias("sb1"),
+            (F.col("n_s") + b_).cast("long").alias("nsb"),
+            (F.col("c_raw") + 1).cast("long").alias("cb1"),
+            (F.col("n_all") + b_).cast("long").alias("nab"),
+        )
+    )
+    lr = (fp_log2("sb1") - fp_log2("nsb")) - (fp_log2("cb1") - fp_log2("nab"))
+    terms = full.select(
+        "source",
+        "nsb",
+        "b",
+        (
+            F.col("sb1").cast("double") * lr.cast("double")
+        ).alias("term"),
+    )
+    arr = terms.groupBy("source", "nsb").agg(
+        F.array_sort(F.collect_list(F.struct("b", "term"))).alias("a")
+    )
+    num = F.aggregate(F.col("a"), F.lit(0.0), lambda acc, s: acc + s["term"])
+    return arr.select(
+        "source",
+        (F.col("nsb") - b_).alias("n_tokens"),
+        (num / (F.lit(256.0) * F.col("nsb").cast("double"))).alias(
+            "kl_bits"
+        ),
+    )
+
+
+def _kl_oracle() -> str:
+    b_ = _KL_BUCKETS
+    l_sb1 = fp_log2_sql("sb1", "duckdb")
+    l_nsb = fp_log2_sql("nsb", "duckdb")
+    l_cb1 = fp_log2_sql("cb1", "duckdb")
+    l_nab = fp_log2_sql("nab", "duckdb")
+    return f"""
+        WITH tk AS (
+            SELECT source, unnest({_TOKENS_SQL}) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        sb AS (
+            SELECT source, {h60_sql('tok')} % {b_} AS b,
+                   count(*) AS s_raw
+            FROM tk GROUP BY source, b
+        ),
+        sources AS (
+            SELECT source, CAST(sum(s_raw) AS BIGINT) AS n_s
+            FROM sb GROUP BY source
+        ),
+        grid AS (
+            SELECT source, n_s, unnest(range(0, {b_})) AS b FROM sources
+        ),
+        corpus AS (
+            SELECT b, CAST(sum(s_raw) AS BIGINT) AS c_raw
+            FROM sb GROUP BY b
+        ),
+        tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_all FROM corpus),
+        filled AS (
+            SELECT g.source, g.b,
+                   CAST(COALESCE(s.s_raw, 0) + 1 AS BIGINT) AS sb1,
+                   CAST(g.n_s + {b_} AS BIGINT) AS nsb,
+                   CAST(COALESCE(c.c_raw, 0) + 1 AS BIGINT) AS cb1,
+                   CAST(t.n_all + {b_} AS BIGINT) AS nab
+            FROM grid g
+            LEFT JOIN sb s ON g.source = s.source AND g.b = s.b
+            LEFT JOIN corpus c ON g.b = c.b, tot t
+        ),
+        terms AS (
+            SELECT source, nsb, b,
+                   CAST(sb1 AS DOUBLE)
+                   * CAST(({l_sb1} - {l_nsb}) - ({l_cb1} - {l_nab})
+                          AS DOUBLE) AS term
+            FROM filled
+        ),
+        arr AS (
+            SELECT source, nsb, list(term ORDER BY b) AS a
+            FROM terms GROUP BY source, nsb
+        )
+        SELECT source, nsb - {b_} AS n_tokens,
+               list_reduce(a, (p, q) -> p + q)
+               / (256.0 * CAST(nsb AS DOUBLE)) AS kl_bits
+        FROM arr
+    """
+
+
+register(
+    QuerySpec(
+        name="source_token_kl",
+        description="KL(source || corpus) over hashed token buckets "
+        "(exact fixed-point log2, bucket-ordered fold) — domain-shift "
+        "score per source",
+        spark=q_source_kl,
+        oracle=_kl_oracle(),
+    )
+)

@@ -342,3 +342,71 @@ def test_weekly_seasonality_weighted_mean_is_one(spark, sf_dir):
         )
         assert abs(w_mean - 1.0) < 1e-9
         assert all(r["seasonality_index"] > 0 for r in rs)
+
+
+# ---------------------------------------------------------------------------
+# Source KL divergence + randomized cross-engine fp_log2 pin
+# ---------------------------------------------------------------------------
+
+
+def test_source_kl_matches_python_recomputation(spark, sf_dir):
+    from collections import Counter, defaultdict
+    import re
+
+    from spark_streaming_invoice_anomaly_detection_spark.operators.similarity import (
+        _h60_py,
+    )
+    from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = {
+        r["source"]: r.asDict()
+        for r in REGISTRY["source_token_kl"].spark(spark, sf_dir).collect()
+    }
+    assert rows
+
+    docs = load_table(spark, "documents", sf_dir).select("source", "text").collect()
+    B = 64
+    sb, corpus = defaultdict(Counter), Counter()
+    for r in docs:
+        for tok in re.findall("[A-Za-z0-9]+", r["text"].lower()):
+            b = _h60_py(tok) % B
+            sb[r["source"]][b] += 1
+            corpus[b] += 1
+    n_all = sum(corpus.values())
+    for src, counts in sb.items():
+        n_s = sum(counts.values())
+        nsb, nab = n_s + B, n_all + B
+        num = 0.0
+        for b in range(B):
+            sb1, cb1 = counts[b] + 1, corpus[b] + 1
+            lr = (fp_log2_py(sb1) - fp_log2_py(nsb)) - (
+                fp_log2_py(cb1) - fp_log2_py(nab)
+            )
+            num = num + float(sb1) * float(lr)
+        kl = num / (256.0 * float(nsb))
+        got = rows[src]
+        assert got["n_tokens"] == n_s
+        assert got["kl_bits"] == kl  # bit-identical fold
+        # KL >= 0 up to smoothing + fp floor error
+        assert kl > -0.06
+
+
+@given(st.integers(min_value=1, max_value=2**62))
+@settings(max_examples=200, deadline=None)
+def test_fp_log2_python_matches_duckdb(n):
+    """The Python reference and the generated DuckDB expression agree on
+    random int64 inputs (the Spark side is pinned transitively by every
+    oracle-checked fp_log2 query)."""
+    import duckdb
+
+    from spark_streaming_invoice_anomaly_detection_spark.functions.fplog2 import (
+        fp_log2_sql,
+    )
+
+    got = duckdb.sql(
+        f"SELECT {fp_log2_sql('x', 'duckdb')} AS v "
+        f"FROM (SELECT CAST({n} AS BIGINT) AS x)"
+    ).fetchone()[0]
+    assert got == fp_log2_py(n)
