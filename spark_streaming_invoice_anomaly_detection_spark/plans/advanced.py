@@ -2288,3 +2288,81 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix: first-order Markov census over per-user sequences
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix of event types along each user's
+    event sequence: for consecutive events (by time) of the same user,
+    count prev_type -> curr_type and the row-normalized transition
+    probability — the sequence-analytics census behind "what do users do
+    after X" and Markov-chain session simulators.
+
+    Ordering is pinned (ts, event_id) so ties are deterministic, and
+    rows with NULL ts are excluded on both engines (Spark sorts NULLs
+    first, DuckDB last — a silent sequence shift otherwise). Counts are
+    exact ints; the probability is one correctly-rounded division.
+
+    Scale: one shuffle to sequence per user (window), one hash agg of
+    |types|^2 pairs, marginals broadcast back onto the tiny matrix.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("curr_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "curr_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # window marginal over the tiny |types|^2 matrix — a groupBy+join
+    # would re-execute the whole sequence subtree for the second branch
+    n_prev = F.sum("n").over(Window.partitionBy("prev_type"))
+    return pairs.select(
+        "prev_type",
+        "curr_type",
+        "n",
+        (F.col("n").cast("double") / n_prev.cast("double")).alias("p"),
+    )
+
+
+register(
+    QuerySpec(
+        name="event_transition_matrix",
+        description="first-order Markov transition counts/probabilities "
+        "over per-user event sequences (deterministic tie order)",
+        spark=q_event_transitions,
+        oracle="""
+            WITH seq AS (
+                SELECT user_id,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                         AS prev_type,
+                       event_type AS curr_type
+                FROM events WHERE ts IS NOT NULL
+            ),
+            pairs AS (
+                SELECT prev_type, curr_type, count(*) AS n
+                FROM seq WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, curr_type
+            ),
+            marg AS (
+                SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_prev
+                FROM pairs GROUP BY prev_type
+            )
+            SELECT p.prev_type, p.curr_type, p.n,
+                   CAST(p.n AS DOUBLE) / CAST(m.n_prev AS DOUBLE) AS p
+            FROM pairs p JOIN marg m ON p.prev_type = m.prev_type
+        """,
+    )
+)

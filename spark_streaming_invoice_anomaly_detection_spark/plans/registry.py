@@ -53,6 +53,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "ewma_daily_level",
     "weekly_seasonality_index",
     "source_token_kl",
+    "event_transition_matrix",
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",

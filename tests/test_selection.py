@@ -410,3 +410,21 @@ def test_fp_log2_python_matches_duckdb(n):
         f"FROM (SELECT CAST({n} AS BIGINT) AS x)"
     ).fetchone()[0]
     assert got == fp_log2_py(n)
+
+
+def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
+    rows = [
+        r.asDict()
+        for r in REGISTRY["event_transition_matrix"]
+        .spark(spark, sf_dir)
+        .collect()
+    ]
+    assert rows
+    from collections import defaultdict
+
+    by_prev = defaultdict(list)
+    for r in rows:
+        assert r["n"] >= 1 and 0.0 < r["p"] <= 1.0
+        by_prev[r["prev_type"]].append(r["p"])
+    for prev, ps in by_prev.items():
+        assert abs(sum(ps) - 1.0) < 1e-9
