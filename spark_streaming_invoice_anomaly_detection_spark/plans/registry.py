@@ -54,6 +54,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "weekly_seasonality_index",
     "source_token_kl",
     "event_transition_matrix",
+    "rfm_segments",
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",

@@ -2890,3 +2890,179 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation: recency/frequency/monetary quartile grid
+# ---------------------------------------------------------------------------
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation census: score every customer 1-4 on
+    Recency (days since last order, 4 = most recent), Frequency (order
+    count), and Monetary (exact lifetime spend in cents), then census the
+    4x4x4 segment grid — the marketing-analytics workhorse the TPC-H
+    family lacks.
+
+    Quartile cuts come from the mergeable GK sketch over the PER-CUSTOMER
+    relation (exact regime licensed by approx_quantiles_by_type while
+    customers <= accuracy; cuts on the exact integer cents, never float
+    money), fused with the reference-date max into ONE 1-row broadcast
+    so the per-customer subtree executes twice, not four times. The
+    segment census is a tiny hash agg.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    # checkpoint: three consumers (global cuts, scoring join, recency
+    # cuts) would otherwise re-run the orders aggregation each — the
+    # rollup-plus-checkpoint remedy; at cluster scale persist() the
+    # customer relation instead if it outgrows local storage
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(scaled_long("o_totalprice", 2)).alias("cents"),
+        )
+        .localCheckpoint()
+    )
+    rq = F.percentile_approx("freq", [0.25, 0.5, 0.75], _GK_ACCURACY)
+    cuts = cust.agg(
+        F.max("last_order").alias("ref_date"),
+        F.element_at(rq, 1).alias("f1"),
+        F.element_at(rq, 2).alias("f2"),
+        F.element_at(rq, 3).alias("f3"),
+        F.element_at(
+            F.percentile_approx("cents", [0.25, 0.5, 0.75], _GK_ACCURACY), 1
+        ).alias("m1"),
+        F.element_at(
+            F.percentile_approx("cents", [0.25, 0.5, 0.75], _GK_ACCURACY), 2
+        ).alias("m2"),
+        F.element_at(
+            F.percentile_approx("cents", [0.25, 0.5, 0.75], _GK_ACCURACY), 3
+        ).alias("m3"),
+    )
+    # recency needs the global ref date BEFORE its own quartiles, so its
+    # cuts come from a second pass over the joined relation
+    scored0 = cust.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "freq",
+        "cents",
+        F.datediff(F.col("ref_date"), F.col("last_order"))
+        .cast("long")
+        .alias("rec_days"),
+        "f1",
+        "f2",
+        "f3",
+        "m1",
+        "m2",
+        "m3",
+    )
+    rcuts = scored0.agg(
+        F.element_at(
+            F.percentile_approx("rec_days", [0.25, 0.5, 0.75], _GK_ACCURACY), 1
+        ).alias("r1"),
+        F.element_at(
+            F.percentile_approx("rec_days", [0.25, 0.5, 0.75], _GK_ACCURACY), 2
+        ).alias("r2"),
+        F.element_at(
+            F.percentile_approx("rec_days", [0.25, 0.5, 0.75], _GK_ACCURACY), 3
+        ).alias("r3"),
+    )
+    scored = scored0.crossJoin(F.broadcast(rcuts))
+    r_q = (
+        F.when(F.col("rec_days") <= F.col("r1"), F.lit(4))
+        .when(F.col("rec_days") <= F.col("r2"), F.lit(3))
+        .when(F.col("rec_days") <= F.col("r3"), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    f_q = (
+        F.when(F.col("freq") <= F.col("f1"), F.lit(1))
+        .when(F.col("freq") <= F.col("f2"), F.lit(2))
+        .when(F.col("freq") <= F.col("f3"), F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    m_q = (
+        F.when(F.col("cents") <= F.col("m1"), F.lit(1))
+        .when(F.col("cents") <= F.col("m2"), F.lit(2))
+        .when(F.col("cents") <= F.col("m3"), F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    return (
+        scored.select(
+            r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q"), "cents",
+            "rec_days",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias(
+                "total_monetary"
+            ),
+            (
+                F.sum("rec_days").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_recency_days"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="rfm_segments",
+        description="RFM customer segmentation: 4x4x4 quartile grid census "
+        "(GK cuts on exact integer cents, deterministic tiles)",
+        spark=q_rfm_segments,
+        oracle=f"""
+            WITH cust AS (
+                SELECT o_custkey, max(o_orderdate) AS last_order,
+                       count(*) AS freq,
+                       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY o_custkey
+            ),
+            cuts AS (
+                SELECT max(last_order) AS ref_date,
+                       quantile_disc(freq, 0.25) AS f1,
+                       quantile_disc(freq, 0.5)  AS f2,
+                       quantile_disc(freq, 0.75) AS f3,
+                       quantile_disc(cents, 0.25) AS m1,
+                       quantile_disc(cents, 0.5)  AS m2,
+                       quantile_disc(cents, 0.75) AS m3
+                FROM cust
+            ),
+            scored0 AS (
+                SELECT c.o_custkey, c.freq, c.cents,
+                       CAST(date_diff('day', CAST(c.last_order AS DATE),
+                                      CAST(k.ref_date AS DATE)) AS BIGINT)
+                         AS rec_days,
+                       k.f1, k.f2, k.f3, k.m1, k.m2, k.m3
+                FROM cust c, cuts k
+            ),
+            rcuts AS (
+                SELECT quantile_disc(rec_days, 0.25) AS r1,
+                       quantile_disc(rec_days, 0.5)  AS r2,
+                       quantile_disc(rec_days, 0.75) AS r3
+                FROM scored0
+            ),
+            scored AS (
+                SELECT s.*,
+                       CASE WHEN rec_days <= r1 THEN 4
+                            WHEN rec_days <= r2 THEN 3
+                            WHEN rec_days <= r3 THEN 2 ELSE 1 END AS r_q,
+                       CASE WHEN freq <= f1 THEN 1
+                            WHEN freq <= f2 THEN 2
+                            WHEN freq <= f3 THEN 3 ELSE 4 END AS f_q,
+                       CASE WHEN cents <= m1 THEN 1
+                            WHEN cents <= m2 THEN 2
+                            WHEN cents <= m3 THEN 3 ELSE 4 END AS m_q
+                FROM scored0 s, rcuts
+            )
+            SELECT r_q, f_q, m_q, count(*) AS n_customers,
+                   CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
+                     AS total_monetary,
+                   CAST(CAST(sum(rec_days) AS BIGINT) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS avg_recency_days
+            FROM scored GROUP BY r_q, f_q, m_q
+        """,
+    )
+)

@@ -428,3 +428,28 @@ def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
         by_prev[r["prev_type"]].append(r["p"])
     for prev, ps in by_prev.items():
         assert abs(sum(ps) - 1.0) < 1e-9
+
+
+def test_rfm_segments_cover_all_customers(spark, sf_dir):
+    from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = [
+        r.asDict()
+        for r in REGISTRY["rfm_segments"].spark(spark, sf_dir).collect()
+    ]
+    assert rows
+    n_cust = (
+        load_table(spark, "orders", sf_dir)
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_q"] <= 4 and 1 <= r["f_q"] <= 4 and 1 <= r["m_q"] <= 4
+        assert r["avg_recency_days"] >= 0 and r["total_monetary"] > 0
+    # quartiles must actually split: more than one distinct tile per axis
+    assert len({r["r_q"] for r in rows}) > 1
+    assert len({r["m_q"] for r in rows}) > 1
