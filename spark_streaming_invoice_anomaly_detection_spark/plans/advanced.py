@@ -2303,8 +2303,9 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     after X" and Markov-chain session simulators.
 
     Ordering is pinned (ts, event_id) so ties are deterministic, and
-    rows with NULL ts are excluded on both engines (Spark sorts NULLs
-    first, DuckDB last — a silent sequence shift otherwise). Counts are
+    rows with a NULL ts OR event_id are excluded on both engines (Spark
+    sorts NULLs first, DuckDB last — a silent sequence shift otherwise,
+    on the tiebreaker as much as on the key). Counts are
     exact ints; the probability is one correctly-rounded division.
 
     Scale: one shuffle to sequence per user (window), one hash agg of
@@ -2312,7 +2313,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = (
         _t(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
         .select("user_id", "ts", "event_id", "event_type")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2349,7 +2350,7 @@ register(
                                              ORDER BY ts, event_id)
                          AS prev_type,
                        event_type AS curr_type
-                FROM events WHERE ts IS NOT NULL
+                FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
             ),
             pairs AS (
                 SELECT prev_type, curr_type, count(*) AS n

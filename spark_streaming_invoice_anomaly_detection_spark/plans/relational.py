@@ -2925,21 +2925,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    rq = F.percentile_approx("freq", [0.25, 0.5, 0.75], _GK_ACCURACY)
+    fq = F.percentile_approx("freq", [0.25, 0.5, 0.75], _GK_ACCURACY)
+    mq = F.percentile_approx("cents", [0.25, 0.5, 0.75], _GK_ACCURACY)
     cuts = cust.agg(
         F.max("last_order").alias("ref_date"),
-        F.element_at(rq, 1).alias("f1"),
-        F.element_at(rq, 2).alias("f2"),
-        F.element_at(rq, 3).alias("f3"),
-        F.element_at(
-            F.percentile_approx("cents", [0.25, 0.5, 0.75], _GK_ACCURACY), 1
-        ).alias("m1"),
-        F.element_at(
-            F.percentile_approx("cents", [0.25, 0.5, 0.75], _GK_ACCURACY), 2
-        ).alias("m2"),
-        F.element_at(
-            F.percentile_approx("cents", [0.25, 0.5, 0.75], _GK_ACCURACY), 3
-        ).alias("m3"),
+        *[F.element_at(fq, i).alias(f"f{i}") for i in (1, 2, 3)],
+        *[F.element_at(mq, i).alias(f"m{i}") for i in (1, 2, 3)],
     )
     # recency needs the global ref date BEFORE its own quartiles, so its
     # cuts come from a second pass over the joined relation
@@ -2957,16 +2948,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m2",
         "m3",
     )
+    rcq = F.percentile_approx("rec_days", [0.25, 0.5, 0.75], _GK_ACCURACY)
     rcuts = scored0.agg(
-        F.element_at(
-            F.percentile_approx("rec_days", [0.25, 0.5, 0.75], _GK_ACCURACY), 1
-        ).alias("r1"),
-        F.element_at(
-            F.percentile_approx("rec_days", [0.25, 0.5, 0.75], _GK_ACCURACY), 2
-        ).alias("r2"),
-        F.element_at(
-            F.percentile_approx("rec_days", [0.25, 0.5, 0.75], _GK_ACCURACY), 3
-        ).alias("r3"),
+        *[F.element_at(rcq, i).alias(f"r{i}") for i in (1, 2, 3)]
     )
     scored = scored0.crossJoin(F.broadcast(rcuts))
     r_q = (

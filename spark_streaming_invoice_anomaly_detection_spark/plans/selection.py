@@ -573,9 +573,13 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginal). Then broadcast joins and a 64-element fold per source.
     """
     b_ = _KL_BUCKETS
+    # source IS NOT NULL as well as text: the dense-grid equality join
+    # (and the oracle's g.source = s.source) never matches a NULL key, so
+    # a NULL-source group would keep its marginal but lose every bucket
+    # count — the same NULL-key evidence-loss class as DSIR's lang guard
     docs = spread_if_narrow(
         load_table(spark, "documents", sf_dir)
-    ).filter(F.col("text").isNotNull())
+    ).filter(F.col("text").isNotNull() & F.col("source").isNotNull())
     eb = docs.select(
         "source", F.explode(X.tokenize(F.col("text"))).alias("tok")
     ).select("source", (X.h60(F.col("tok")) % b_).alias("b"))
@@ -643,7 +647,8 @@ def _kl_oracle() -> str:
     return f"""
         WITH tk AS (
             SELECT source, unnest({_TOKENS_SQL}) AS tok
-            FROM documents WHERE text IS NOT NULL
+            FROM documents
+            WHERE text IS NOT NULL AND source IS NOT NULL
         ),
         sb AS (
             SELECT source, {h60_sql('tok')} % {b_} AS b,

@@ -366,7 +366,12 @@ def test_source_kl_matches_python_recomputation(spark, sf_dir):
     }
     assert rows
 
-    docs = load_table(spark, "documents", sf_dir).select("source", "text").collect()
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter("text IS NOT NULL AND source IS NOT NULL")
+        .select("source", "text")
+        .collect()
+    )
     B = 64
     sb, corpus = defaultdict(Counter), Counter()
     for r in docs:
