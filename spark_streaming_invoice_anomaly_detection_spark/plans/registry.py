@@ -55,6 +55,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "source_token_kl",
     "event_transition_matrix",
     "rfm_segments",
+    "data_quality_report",
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",

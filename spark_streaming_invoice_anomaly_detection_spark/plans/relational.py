@@ -3050,3 +3050,190 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation report: the Deequ-style contract census
+# ---------------------------------------------------------------------------
+
+
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-check data-quality report across the catalog —
+    uniqueness, referential integrity, nullity, and range contracts, the
+    expectation suite a pipeline gates its publishes on (the Deequ/
+    expectations pattern expressed as plain aggregations):
+
+    - primary keys unique (orders, customer, part)
+    - no orphan foreign keys (orders->customer, lineitem->orders)
+    - value ranges (lineitem quantity/price positive, discount in [0,1])
+    - required fields present (events.value, documents.text non-empty)
+
+    Output: table_name, check_name, n_rows, n_violations, pass.
+
+    Scale: every check is one aggregation over its own scan — uniqueness
+    via count - count(distinct), orphans via a count over a broadcast-able
+    anti-join — unioned as 1-row frames; nothing here shuffles more than
+    a distinct on the key column.
+    """
+
+    def check(table: str, name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(table).alias("table_name"),
+            F.lit(name).alias("check_name"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("pass"),
+        )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+    docs = load_table(spark, "documents", sf_dir)
+
+    def pk_unique(df: DataFrame, table: str, key: str) -> DataFrame:
+        return check(
+            table,
+            "pk_unique",
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(key) - F.countDistinct(key)).alias("n_violations"),
+            ),
+        )
+
+    def orphans(
+        fact: DataFrame, dim: DataFrame, fk: str, pk: str, table: str, name: str
+    ) -> DataFrame:
+        # broadcast anti-join: the dim key set is the small side at every
+        # scale ratio the schema implies; one pass over the fact. No
+        # .distinct() on the build side — left_anti semantics are
+        # identical either way and the distinct would cost a shuffle
+        n_orphans = (
+            fact.filter(F.col(fk).isNotNull())
+            .join(
+                F.broadcast(dim.select(F.col(pk).alias(fk))),
+                fk,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+        return check(
+            table,
+            name,
+            fact.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(n_orphans),
+        )
+
+    def predicate(
+        df: DataFrame, cond, table: str, name: str
+    ) -> DataFrame:
+        return check(
+            table,
+            name,
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_if(~cond | cond.isNull()).alias("n_violations"),
+            ),
+        )
+
+    reports = [
+        pk_unique(orders, "orders", "o_orderkey"),
+        pk_unique(customer, "customer", "c_custkey"),
+        pk_unique(part, "part", "p_partkey"),
+        orphans(orders, customer, "o_custkey", "c_custkey", "orders",
+                "fk_customer_orphans"),
+        orphans(li, orders, "l_orderkey", "o_orderkey", "lineitem",
+                "fk_orders_orphans"),
+        predicate(li, F.col("l_quantity") > 0, "lineitem", "qty_positive"),
+        predicate(
+            li,
+            (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+            "lineitem",
+            "discount_in_unit_range",
+        ),
+        predicate(events, F.col("value").isNotNull(), "events",
+                  "value_present"),
+        predicate(
+            docs,
+            F.col("text").isNotNull() & (F.length("text") > 0),
+            "documents",
+            "text_nonempty",
+        ),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+register(
+    QuerySpec(
+        name="data_quality_report",
+        description="Deequ-style expectation census: pk uniqueness, fk "
+        "orphans, ranges, required fields — one row per check",
+        spark=q_data_quality,
+        oracle="""
+            SELECT 'orders' AS table_name, 'pk_unique' AS check_name,
+                   count(*) AS n_rows,
+                   count(o_orderkey) - count(DISTINCT o_orderkey)
+                     AS n_violations,
+                   count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+                     AS pass
+            FROM orders
+            UNION ALL
+            SELECT 'customer', 'pk_unique', count(*),
+                   count(c_custkey) - count(DISTINCT c_custkey),
+                   count(c_custkey) - count(DISTINCT c_custkey) = 0
+            FROM customer
+            UNION ALL
+            SELECT 'part', 'pk_unique', count(*),
+                   count(p_partkey) - count(DISTINCT p_partkey),
+                   count(p_partkey) - count(DISTINCT p_partkey) = 0
+            FROM part
+            UNION ALL
+            SELECT 'orders', 'fk_customer_orphans',
+                   (SELECT count(*) FROM orders),
+                   count(*), count(*) = 0
+            FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'lineitem', 'fk_orders_orphans',
+                   (SELECT count(*) FROM lineitem),
+                   count(*), count(*) = 0
+            FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL
+            SELECT 'lineitem', 'qty_positive', count(*),
+                   count(*) FILTER (WHERE l_quantity IS NULL
+                                       OR NOT (l_quantity > 0)),
+                   count(*) FILTER (WHERE l_quantity IS NULL
+                                       OR NOT (l_quantity > 0)) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem', 'discount_in_unit_range', count(*),
+                   count(*) FILTER (WHERE l_discount IS NULL
+                                       OR NOT (l_discount >= 0
+                                               AND l_discount <= 1)),
+                   count(*) FILTER (WHERE l_discount IS NULL
+                                       OR NOT (l_discount >= 0
+                                               AND l_discount <= 1)) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'events', 'value_present', count(*),
+                   count(*) FILTER (WHERE value IS NULL),
+                   count(*) FILTER (WHERE value IS NULL) = 0
+            FROM events
+            UNION ALL
+            SELECT 'documents', 'text_nonempty', count(*),
+                   count(*) FILTER (WHERE text IS NULL
+                                       OR length(text) = 0),
+                   count(*) FILTER (WHERE text IS NULL
+                                       OR length(text) = 0) = 0
+            FROM documents
+        """,
+    )
+)

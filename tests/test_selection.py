@@ -458,3 +458,25 @@ def test_rfm_segments_cover_all_customers(spark, sf_dir):
     # quartiles must actually split: more than one distinct tile per axis
     assert len({r["r_q"] for r in rows}) > 1
     assert len({r["m_q"] for r in rows}) > 1
+
+
+def test_data_quality_report_all_checks_present(spark, sf_dir):
+    rows = [
+        r.asDict()
+        for r in REGISTRY["data_quality_report"].spark(spark, sf_dir).collect()
+    ]
+    assert len(rows) == 9
+    by_key = {(r["table_name"], r["check_name"]): r for r in rows}
+    # the generated testdata honors its own contracts: pk/fk checks pass
+    for key in [
+        ("orders", "pk_unique"),
+        ("customer", "pk_unique"),
+        ("part", "pk_unique"),
+        ("orders", "fk_customer_orphans"),
+        ("lineitem", "fk_orders_orphans"),
+    ]:
+        assert by_key[key]["pass"] is True, key
+    for r in rows:
+        assert r["n_rows"] > 0
+        assert 0 <= r["n_violations"] <= r["n_rows"]
+        assert r["pass"] == (r["n_violations"] == 0)
