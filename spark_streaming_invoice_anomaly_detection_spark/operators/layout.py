@@ -393,3 +393,27 @@ def compact_parquet(
     )
     out.write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def idempotent_backfill(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Re-run-safe backfill: overwrite ONLY the directory partitions
+    present in ``df``, leaving every other partition untouched (dynamic
+    partition overwrite). The daily-pipeline contract — re-running a
+    failed day replaces that day exactly, never truncates the table —
+    without a lakehouse format: Spark's INSERT OVERWRITE semantics on
+    plain parquet directories.
+
+    STATIC overwrite mode (Spark's default) would drop the whole table
+    first; the conf is set per-write here so the session default is
+    never mutated for other writers.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

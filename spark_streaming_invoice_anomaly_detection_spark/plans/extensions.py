@@ -3948,3 +3948,110 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splits: assign train/val/test by GROUP, never by document
+# ---------------------------------------------------------------------------
+
+
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that cannot leak duplicates across
+    splits: the split hash is taken on each document's exact-dup
+    CANONICAL id, so every copy of a document lands in the same split
+    (hash the doc_id instead and an eval-set document's twin sits in
+    train — the contamination the split exists to prevent). Verbatim
+    copies are planted so the guard provably binds.
+
+    Output: per (split) doc/group counts plus ``groups_split_across``,
+    which is 0 BY CONSTRUCTION here and >0 for the naive per-doc hash —
+    the invariant is the point, and the oracle checks it end-to-end.
+    90/5/5 via the same multiplicative-hash unit interval as
+    corpus_splits (deterministic, engine-reproducible).
+
+    Scale: the canonical id comes from the sha256 groupBy (one shuffle);
+    the census is one more hash agg. Near-dup (MinHash) grouping slots in
+    by swapping the canonical-id source for neardup_keep_best's survivor
+    map — same shape, costlier candidates.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.select((F.col("doc_id") + _AUG_OFFSET).alias("doc_id"), "text")
+    )
+    hashed = aug.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_hash")
+    )
+    canon = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    u = (F.col("canonical_id") * F.lit(_MIX)) % F.lit(_U_DENOM)
+    frac = u.cast("double") / F.lit(float(_U_DENOM))
+    split = (
+        F.when(frac < 0.9, F.lit("train"))
+        .when(frac < 0.95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = hashed.join(canon, "content_hash").select(
+        "doc_id", "content_hash", split.alias("split")
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("content_hash").alias("n_groups"),
+    )
+    across = (
+        assigned.groupBy("content_hash")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.count_if(F.col("n_splits") > 1).alias("groups_split_across")
+        )
+    )
+    return per_split.crossJoin(F.broadcast(across))
+
+
+register(
+    QuerySpec(
+        name="leakage_safe_splits",
+        description="train/val/test by canonical-id hash: dup groups "
+        "never straddle splits (violations column pinned 0)",
+        spark=q_leakage_safe_splits,
+        oracle=f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + {_AUG_OFFSET}, text FROM documents
+            ),
+            hashed AS (
+                SELECT doc_id, sha256(text) AS content_hash FROM aug
+            ),
+            canon AS (
+                SELECT content_hash, min(doc_id) AS canonical_id
+                FROM hashed GROUP BY content_hash
+            ),
+            assigned AS (
+                SELECT h.doc_id, h.content_hash,
+                       CASE WHEN CAST((c.canonical_id * {_MIX}) % {_U_DENOM}
+                                      AS DOUBLE) / {float(_U_DENOM)!r} < 0.9
+                            THEN 'train'
+                            WHEN CAST((c.canonical_id * {_MIX}) % {_U_DENOM}
+                                      AS DOUBLE) / {float(_U_DENOM)!r} < 0.95
+                            THEN 'val'
+                            ELSE 'test' END AS split
+                FROM hashed h JOIN canon c USING (content_hash)
+            ),
+            per_split AS (
+                SELECT split, count(*) AS n_docs,
+                       count(DISTINCT content_hash) AS n_groups
+                FROM assigned GROUP BY split
+            ),
+            across AS (
+                SELECT count(*) FILTER (WHERE n_splits > 1)
+                         AS groups_split_across
+                FROM (SELECT content_hash,
+                             count(DISTINCT split) AS n_splits
+                      FROM assigned GROUP BY content_hash)
+            )
+            SELECT split, n_docs, n_groups, groups_split_across
+            FROM per_split, across
+        """,
+    )
+)

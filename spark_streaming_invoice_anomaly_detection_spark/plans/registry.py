@@ -56,6 +56,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "event_transition_matrix",
     "rfm_segments",
     "data_quality_report",
+    "leakage_safe_splits",
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",

@@ -334,3 +334,45 @@ class TestSchemaEvolution:
         rows = {r.id: r for r in df.collect()}
         assert rows[1].b_added_later is None  # pre-evolution file -> null
         assert rows[3].b_added_later == 9
+
+
+class TestIdempotentBackfill:
+    def test_overwrites_only_touched_partitions(self, spark, tmp_path):
+        from spark_streaming_invoice_anomaly_detection_spark.operators.layout import (
+            idempotent_backfill,
+        )
+
+        path = str(tmp_path / "t")
+        full = spark.createDataFrame(
+            [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+             ("2024-01-02", 3, 30.0)],
+            "day string, id int, v double",
+        )
+        idempotent_backfill(full, path, ["day"])
+        assert spark.read.parquet(path).count() == 3
+
+        # re-run day 1 with corrected data: day 2 must survive
+        fix = spark.createDataFrame(
+            [("2024-01-01", 1, 11.0)], "day string, id int, v double"
+        )
+        idempotent_backfill(fix, path, ["day"])
+        # partition values read back type-inferred (string -> date)
+        got = {
+            (str(r.day), r.id): r.v
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {("2024-01-01", 1): 11.0, ("2024-01-02", 3): 30.0}
+
+    def test_rerun_same_batch_is_idempotent(self, spark, tmp_path):
+        from spark_streaming_invoice_anomaly_detection_spark.operators.layout import (
+            idempotent_backfill,
+        )
+
+        path = str(tmp_path / "t2")
+        batch = spark.createDataFrame(
+            [("2024-02-01", i, float(i)) for i in range(5)],
+            "day string, id int, v double",
+        )
+        idempotent_backfill(batch, path, ["day"])
+        idempotent_backfill(batch, path, ["day"])
+        assert spark.read.parquet(path).count() == 5

@@ -480,3 +480,19 @@ def test_data_quality_report_all_checks_present(spark, sf_dir):
         assert r["n_rows"] > 0
         assert 0 <= r["n_violations"] <= r["n_rows"]
         assert r["pass"] == (r["n_violations"] == 0)
+
+
+def test_leakage_safe_splits_invariants(spark, sf_dir):
+    rows = [
+        r.asDict()
+        for r in REGISTRY["leakage_safe_splits"].spark(spark, sf_dir).collect()
+    ]
+    assert rows and len(rows) <= 3
+    for r in rows:
+        assert r["groups_split_across"] == 0  # the guard binds
+        # planted verbatim copies: every group has exactly 2 members
+        assert r["n_docs"] == 2 * r["n_groups"]
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    total = sum(r["n_docs"] for r in rows)
+    train = next(r["n_docs"] for r in rows if r["split"] == "train")
+    assert train / total > 0.7  # 90% target, small-sample slack
