@@ -57,6 +57,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "rfm_segments",
     "data_quality_report",
     "leakage_safe_splits",
+    "basket_lift_pairs",
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",

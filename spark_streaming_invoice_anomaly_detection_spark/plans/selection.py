@@ -705,3 +705,144 @@ register(
         oracle=_kl_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket lift: frequently-bought-together with exact log2 lift
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 2
+_BASKET_TOP_K = 20
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs by basket lift: lift(a,b) =
+    P(a,b) / (P(a) P(b)) over orders, reported as exact fixed-point
+    log2 — "frequently bought together", the association-rule census.
+
+    Pairs are generated per order from the sorted distinct-part array
+    (two nested transforms + flatten), never a row-level self-join: an
+    order holds at most a handful of parts, so the pair fan-out is
+    bounded per order while a self-join's worst case is quadratic in the
+    hottest order. The per-order sets are checkpointed once for the pair
+    and marginal branches (persist() instead at cluster scale). Log-lift
+    uses the factored fp_log2 form (every argument <= order count), the
+    support filter keeps noise pairs out, and top-k is a TakeOrdered
+    with full tiebreak (lift, support, pa, pb) — no global sort, no
+    window.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    )
+    sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint()
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ps"), i + 2, F.greatest(F.size("ps"), F.lit(1))
+                ),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    marg = (
+        sets.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_part"))
+    )
+    n_orders = sets.agg(F.count(F.lit(1)).alias("n_orders"))
+    hoisted = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("pk").alias("pa"),
+                                    F.col("n_part").alias("n_a"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("pk").alias("pb"),
+                                    F.col("n_part").alias("n_b"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa", "pb", "n_ab", "n_a", "n_b", "n_orders",
+        )
+    )
+    lift_fp = (fp_log2("n_ab") + fp_log2("n_orders")) - (
+        fp_log2("n_a") + fp_log2("n_b")
+    )
+    return (
+        hoisted.select(
+            "pa", "pb", "n_ab", "n_a", "n_b", "n_orders",
+            lift_fp.alias("lift_fp"),
+            (lift_fp.cast("double") / F.lit(256.0)).alias("lift_bits"),
+        )
+        .orderBy(
+            F.desc("lift_fp"), F.desc("n_ab"), F.asc("pa"), F.asc("pb")
+        )
+        .limit(_BASKET_TOP_K)
+    )
+
+
+def _basket_oracle() -> str:
+    l_ab = fp_log2_sql("n_ab", "duckdb")
+    l_n = fp_log2_sql("n_orders", "duckdb")
+    l_a = fp_log2_sql("n_a", "duckdb")
+    l_b = fp_log2_sql("n_b", "duckdb")
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   count(*) AS n_ab
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY pa, pb
+            HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+        ),
+        marg AS (
+            SELECT l_partkey AS pk, count(*) AS n_part
+            FROM items GROUP BY l_partkey
+        ),
+        tot AS (
+            SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+        ),
+        hoisted AS (
+            SELECT p.pa, p.pb, p.n_ab,
+                   ma.n_part AS n_a, mb.n_part AS n_b, t.n_orders
+            FROM pairs p
+            JOIN marg ma ON p.pa = ma.pk
+            JOIN marg mb ON p.pb = mb.pk, tot t
+        )
+        SELECT pa, pb, n_ab, n_a, n_b, n_orders,
+               ({l_ab} + {l_n}) - ({l_a} + {l_b}) AS lift_fp,
+               CAST(({l_ab} + {l_n}) - ({l_a} + {l_b}) AS DOUBLE) / 256.0
+                 AS lift_bits
+        FROM hoisted
+        ORDER BY lift_fp DESC, n_ab DESC, pa ASC, pb ASC
+        LIMIT {_BASKET_TOP_K}
+    """
+
+
+register(
+    QuerySpec(
+        name="basket_lift_pairs",
+        description="top-20 frequently-bought-together part pairs by "
+        "exact fixed-point log2 lift (bounded per-order pair fan-out)",
+        spark=q_basket_lift,
+        oracle=_basket_oracle(),
+    )
+)

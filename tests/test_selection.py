@@ -496,3 +496,23 @@ def test_leakage_safe_splits_invariants(spark, sf_dir):
     total = sum(r["n_docs"] for r in rows)
     train = next(r["n_docs"] for r in rows if r["split"] == "train")
     assert train / total > 0.7  # 90% target, small-sample slack
+
+
+def test_basket_lift_semantics(spark, sf_dir):
+    """Top-k is exactly k (or all qualifying pairs), support holds, and
+    the fp log-lift tracks the true float lift within the error envelope."""
+    rows = [
+        r.asDict()
+        for r in REGISTRY["basket_lift_pairs"].spark(spark, sf_dir).collect()
+    ]
+    assert 0 < len(rows) <= 20
+    lifts = [r["lift_fp"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["pa"] < r["pb"]
+        assert r["n_ab"] >= 2
+        assert r["n_ab"] <= min(r["n_a"], r["n_b"])
+        true_lift = math.log2(
+            (r["n_ab"] * r["n_orders"]) / (r["n_a"] * r["n_b"])
+        )
+        assert abs(r["lift_bits"] - true_lift) < 0.04
