@@ -14,6 +14,10 @@ all oracle-checked bit-for-bit:
   dimensionality-reduction sanity check run before ANN index builds.
 - ``source_pmi_keywords`` — top tokens per source by pointwise mutual
   information, the source-characterization / domain-tagging probe.
+- ``source_token_kl`` — KL(source || corpus) over hashed token buckets,
+  the distribution-level domain-shift score behind mixture weighting.
+- ``basket_lift_pairs`` — frequently-bought-together part pairs by
+  exact log2 lift (association rules; bounded per-order pair fan-out).
 
 Logarithms use :mod:`..functions.fplog2` (exact fixed-point log2 in
 1/256-bit units): runtime libm logs diverge between the JVM and DuckDB by
