@@ -3955,6 +3955,9 @@ register(
 # ---------------------------------------------------------------------------
 
 
+_SPLIT_WEIGHTS = {"train": 90, "val": 5, "test": 5}
+
+
 def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment that cannot leak duplicates across
     splits: the split hash is taken on each document's exact-dup
@@ -3966,33 +3969,26 @@ def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per (split) doc/group counts plus ``groups_split_across``,
     which is 0 BY CONSTRUCTION here and >0 for the naive per-doc hash —
     the invariant is the point, and the oracle checks it end-to-end.
-    90/5/5 via the same multiplicative-hash unit interval as
-    corpus_splits (deterministic, engine-reproducible).
+    90/5/5 via the same salted-h60 split primitive as corpus_splits
+    (operators.cleaning.hash_split — one proven Spark+SQL pair, not a
+    second split implementation to keep in sync).
 
-    Scale: the canonical id comes from the sha256 groupBy (one shuffle);
-    the census is one more hash agg. Near-dup (MinHash) grouping slots in
-    by swapping the canonical-id source for neardup_keep_best's survivor
-    map — same shape, costlier candidates.
+    Scale: the canonical id comes from operators.dedup.exact_dedup (the
+    same sha256 groupBy the dedup census runs — one shuffle, and split
+    assignment can never diverge from the census it mirrors). Near-dup
+    (MinHash) grouping slots in by swapping the canonical-id source for
+    neardup_keep_best's survivor map — same shape, costlier candidates.
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     aug = docs.unionByName(
         docs.select((F.col("doc_id") + _AUG_OFFSET).alias("doc_id"), "text")
     )
-    hashed = aug.select(
-        "doc_id", F.sha2(F.col("text"), 256).alias("content_hash")
-    )
-    canon = hashed.groupBy("content_hash").agg(
-        F.min("doc_id").alias("canonical_id")
-    )
-    u = (F.col("canonical_id") * F.lit(_MIX)) % F.lit(_U_DENOM)
-    frac = u.cast("double") / F.lit(float(_U_DENOM))
-    split = (
-        F.when(frac < 0.9, F.lit("train"))
-        .when(frac < 0.95, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    assigned = hashed.join(canon, "content_hash").select(
-        "doc_id", "content_hash", split.alias("split")
+    assigned = D.exact_dedup(aug).select(
+        "doc_id",
+        "content_hash",
+        C.hash_split(
+            "canonical_id", _SPLIT_WEIGHTS, salt="leakage"
+        ).alias("split"),
     )
     per_split = assigned.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -4029,13 +4025,8 @@ register(
             ),
             assigned AS (
                 SELECT h.doc_id, h.content_hash,
-                       CASE WHEN CAST((c.canonical_id * {_MIX}) % {_U_DENOM}
-                                      AS DOUBLE) / {float(_U_DENOM)!r} < 0.9
-                            THEN 'train'
-                            WHEN CAST((c.canonical_id * {_MIX}) % {_U_DENOM}
-                                      AS DOUBLE) / {float(_U_DENOM)!r} < 0.95
-                            THEN 'val'
-                            ELSE 'test' END AS split
+                       {C.hash_split_sql('c.canonical_id', _SPLIT_WEIGHTS,
+                                         salt='leakage')} AS split
                 FROM hashed h JOIN canon c USING (content_hash)
             ),
             per_split AS (

@@ -3063,17 +3063,20 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectation suite a pipeline gates its publishes on (the Deequ/
     expectations pattern expressed as plain aggregations):
 
-    - primary keys unique (orders, customer, part)
+    - primary keys present AND unique (orders, customer, part):
+      violations = rows - distinct non-null keys, so NULL keys count
+      against the contract, not silently for it
     - no orphan foreign keys (orders->customer, lineitem->orders)
-    - value ranges (lineitem quantity/price positive, discount in [0,1])
+    - value ranges (lineitem quantity positive, discount in [0,1])
     - required fields present (events.value, documents.text non-empty)
 
     Output: table_name, check_name, n_rows, n_violations, pass.
 
-    Scale: every check is one aggregation over its own scan — uniqueness
-    via count - count(distinct), orphans via a count over a broadcast-able
-    anti-join — unioned as 1-row frames; nothing here shuffles more than
-    a distinct on the key column.
+    Scale: ONE aggregation per table computes every predicate metric for
+    it (count_if columns), checkpointed as a 1-row frame and unpivoted
+    into check rows — the fact tables are scanned once for their
+    predicate suite plus once as the anti-join probe side, never once
+    per check.
     """
 
     def check(table: str, name: str, df: DataFrame) -> DataFrame:
@@ -3092,18 +3095,56 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     docs = load_table(spark, "documents", sf_dir)
 
+    def pk_violations(key: str):
+        # count(*) - countDistinct: NULL keys are excluded from the
+        # distinct but included in the row count, so they register as
+        # violations — presence is part of the PK contract
+        return (F.count(F.lit(1)) - F.countDistinct(key)).alias("pk_viol")
+
+    def viol(cond, name: str):
+        return F.count_if(~cond | cond.isNull()).alias(name)
+
+    # one metric aggregation per table, checkpointed (1 row) so every
+    # check row derived from it reads the materialized result
+    li_stats = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol(F.col("l_quantity") > 0, "qty_viol"),
+        viol(
+            (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+            "disc_viol",
+        ),
+    ).localCheckpoint()
+    orders_stats = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"), pk_violations("o_orderkey")
+    ).localCheckpoint()
+
+    def from_stats(stats: DataFrame, table: str, name: str, col: str):
+        return check(
+            table,
+            name,
+            stats.select("n_rows", F.col(col).alias("n_violations")),
+        )
+
     def pk_unique(df: DataFrame, table: str, key: str) -> DataFrame:
         return check(
             table,
             "pk_unique",
             df.agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                (F.count(key) - F.countDistinct(key)).alias("n_violations"),
+                (F.count(F.lit(1)) - F.countDistinct(key)).alias(
+                    "n_violations"
+                ),
             ),
         )
 
     def orphans(
-        fact: DataFrame, dim: DataFrame, fk: str, pk: str, table: str, name: str
+        fact: DataFrame,
+        fact_stats: DataFrame,
+        dim: DataFrame,
+        fk: str,
+        pk: str,
+        table: str,
+        name: str,
     ) -> DataFrame:
         # broadcast anti-join: the dim key set is the small side at every
         # scale ratio the schema implies; one pass over the fact. No
@@ -3121,7 +3162,7 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         return check(
             table,
             name,
-            fact.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(n_orphans),
+            fact_stats.select("n_rows").crossJoin(n_orphans),
         )
 
     def predicate(
@@ -3137,20 +3178,16 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     reports = [
-        pk_unique(orders, "orders", "o_orderkey"),
+        from_stats(orders_stats, "orders", "pk_unique", "pk_viol"),
         pk_unique(customer, "customer", "c_custkey"),
         pk_unique(part, "part", "p_partkey"),
-        orphans(orders, customer, "o_custkey", "c_custkey", "orders",
-                "fk_customer_orphans"),
-        orphans(li, orders, "l_orderkey", "o_orderkey", "lineitem",
-                "fk_orders_orphans"),
-        predicate(li, F.col("l_quantity") > 0, "lineitem", "qty_positive"),
-        predicate(
-            li,
-            (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
-            "lineitem",
-            "discount_in_unit_range",
-        ),
+        orphans(orders, orders_stats, customer, "o_custkey", "c_custkey",
+                "orders", "fk_customer_orphans"),
+        orphans(li, li_stats, orders, "l_orderkey", "o_orderkey",
+                "lineitem", "fk_orders_orphans"),
+        from_stats(li_stats, "lineitem", "qty_positive", "qty_viol"),
+        from_stats(li_stats, "lineitem", "discount_in_unit_range",
+                   "disc_viol"),
         predicate(events, F.col("value").isNotNull(), "events",
                   "value_present"),
         predicate(
@@ -3175,20 +3212,20 @@ register(
         oracle="""
             SELECT 'orders' AS table_name, 'pk_unique' AS check_name,
                    count(*) AS n_rows,
-                   count(o_orderkey) - count(DISTINCT o_orderkey)
+                   count(*) - count(DISTINCT o_orderkey)
                      AS n_violations,
-                   count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+                   count(*) - count(DISTINCT o_orderkey) = 0
                      AS pass
             FROM orders
             UNION ALL
             SELECT 'customer', 'pk_unique', count(*),
-                   count(c_custkey) - count(DISTINCT c_custkey),
-                   count(c_custkey) - count(DISTINCT c_custkey) = 0
+                   count(*) - count(DISTINCT c_custkey),
+                   count(*) - count(DISTINCT c_custkey) = 0
             FROM customer
             UNION ALL
             SELECT 'part', 'pk_unique', count(*),
-                   count(p_partkey) - count(DISTINCT p_partkey),
-                   count(p_partkey) - count(DISTINCT p_partkey) = 0
+                   count(*) - count(DISTINCT p_partkey),
+                   count(*) - count(DISTINCT p_partkey) = 0
             FROM part
             UNION ALL
             SELECT 'orders', 'fk_customer_orphans',

@@ -735,8 +735,15 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     with full tiebreak (lift, support, pa, pb) — no global sort, no
     window.
     """
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_partkey"
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        # NULL keys out on BOTH engines: Spark's groupBy would keep a
+        # NULL-order group (and count it in n_orders) while the oracle's
+        # equality self-join drops it — a silent cross-engine divergence
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
     )
     sets = (
         li.groupBy("l_orderkey")
@@ -807,6 +814,7 @@ def _basket_oracle() -> str:
     return f"""
         WITH items AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
         ),
         pairs AS (
             SELECT a.l_partkey AS pa, b.l_partkey AS pb,
