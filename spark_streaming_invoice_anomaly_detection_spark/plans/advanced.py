@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import text as X
+from ..operators.text import h60_sql
 from ..sources.catalog import load_table
 from .registry import QuerySpec, register
 
@@ -2365,5 +2367,158 @@ register(
                    CAST(p.n AS DOUBLE) / CAST(m.n_prev AS DOUBLE) AS p
             FROM pairs p JOIN marg m ON p.prev_type = m.prev_type
         """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap: distributed CI without RNG state
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 100
+
+#: Cumulative Poisson(1) thresholds for the inverse-CDF weight ladder,
+#: computed ONCE in Python and embedded as the same literals in both
+#: engines (the Benford shared-literal discipline — no runtime exp()).
+_POIS_CDF: tuple[float, ...] = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+
+
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value via the
+    Poisson bootstrap (the only bootstrap that distributes: each of B
+    resamples weights every row by an independent Poisson(1) draw, no
+    global sampling pass) — made fully DETERMINISTIC: the draw is the
+    inverse CDF applied to u = h60(orderkey:b)/2^60, so every engine,
+    run, and retry produces the identical resample.
+
+    Exactness: u is an exact int->double conversion and an exponent-
+    shift division; the CDF ladder thresholds are shared build-time
+    literals; per-resample means are ratios of exact int64 sums
+    (weighted cents / weights); the interval is order statistics 3 and
+    98 of the B=100 sorted means (~2.5%/97.5%), exact on both engines.
+
+    Scale: the B-fold explode is the bootstrap's honest cost; weighted
+    sums map-side combine to B rows per task, so the one shuffle carries
+    B rows per partition regardless of input size.
+    """
+    from ..functions.exactmath import scaled_long
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", scaled_long("o_totalprice", 2).alias("cents")
+    )
+    u = (
+        X.h60(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    w = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    per_b = (
+        orders.select(
+            "o_orderkey",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        .select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wc"),
+            F.sum("w").alias("ws"),
+        )
+        .select(
+            "b",
+            (
+                F.col("wc").cast("double") / F.col("ws").cast("double")
+            ).alias("mean_b"),
+        )
+    )
+    booted = per_b.agg(
+        F.array_sort(F.collect_list("mean_b")).alias("ms")
+    )
+    full = orders.agg(
+        F.sum("cents").alias("tc"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        booted.crossJoin(F.broadcast(full))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.lit(_BOOT_B).alias("n_boot"),
+            (
+                F.col("tc").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(100.0)
+            ).alias("mean_value"),
+            (F.element_at("ms", 3) / F.lit(100.0)).alias("ci_lo"),
+            (F.element_at("ms", 98) / F.lit(100.0)).alias("ci_hi"),
+        )
+    )
+
+
+def _bootstrap_oracle() -> str:
+    ladder = f"{len(_POIS_CDF)}"
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        ladder = f"CASE WHEN u < {_POIS_CDF[k]!r} THEN {k} ELSE {ladder} END"
+    return f"""
+        WITH o AS (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                     AS cents
+            FROM orders
+        ),
+        ex AS (
+            SELECT o_orderkey, cents, unnest(range(0, {_BOOT_B})) AS b
+            FROM o
+        ),
+        uw AS (
+            SELECT b, cents,
+                   CAST({h60_sql(
+                       "CAST(o_orderkey AS VARCHAR) || ':' "
+                       "|| CAST(b AS VARCHAR)"
+                   )} AS DOUBLE) / {float(1 << 60)!r} AS u
+            FROM ex
+        ),
+        wt AS (SELECT b, cents, ({ladder}) AS w FROM uw),
+        per_b AS (
+            SELECT b,
+                   CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS mean_b
+            FROM wt GROUP BY b
+        ),
+        booted AS (
+            SELECT list(mean_b ORDER BY mean_b) AS ms FROM per_b
+        ),
+        full_ AS (
+            SELECT CAST(sum(cents) AS BIGINT) AS tc, count(*) AS n FROM o
+        )
+        SELECT n AS n_orders, {_BOOT_B} AS n_boot,
+               CAST(tc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                 AS mean_value,
+               ms[3] / 100.0 AS ci_lo,
+               ms[98] / 100.0 AS ci_hi
+        FROM booted, full_
+    """
+
+
+register(
+    QuerySpec(
+        name="bootstrap_mean_ci",
+        description="95% CI for mean order value via deterministic "
+        "Poisson bootstrap (hash-derived weights, exact order statistics)",
+        spark=q_bootstrap_mean_ci,
+        oracle=_bootstrap_oracle(),
     )
 )

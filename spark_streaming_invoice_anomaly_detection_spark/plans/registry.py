@@ -58,6 +58,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "data_quality_report",
     "leakage_safe_splits",
     "basket_lift_pairs",
+    "bootstrap_mean_ci",
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",

@@ -516,3 +516,53 @@ def test_basket_lift_semantics(spark, sf_dir):
             (r["n_ab"] * r["n_orders"]) / (r["n_a"] * r["n_b"])
         )
         assert abs(r["lift_bits"] - true_lift) < 0.04
+
+
+def test_bootstrap_ci_exact_python_reproduction(spark, sf_dir):
+    """Recompute all 100 deterministic Poisson resamples in Python and
+    pin the CI order statistics bit-exactly; plus the bracket sanity."""
+    import hashlib
+
+    from spark_streaming_invoice_anomaly_detection_spark.plans.advanced import (
+        _POIS_CDF,
+    )
+    from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+        load_table,
+    )
+
+    row = REGISTRY["bootstrap_mean_ci"].spark(spark, sf_dir).first()
+    assert row["n_boot"] == 100
+    assert row["ci_lo"] <= row["mean_value"] <= row["ci_hi"]
+    assert row["ci_lo"] < row["ci_hi"]
+    assert (row["ci_hi"] - row["ci_lo"]) < row["mean_value"]
+
+    orders = [
+        (r["o_orderkey"], int(r["c"]))
+        for r in load_table(spark, "orders", sf_dir)
+        .selectExpr(
+            "o_orderkey",
+            "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c",
+        )
+        .collect()
+    ]
+
+    def weight(key, b):
+        h = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:15], 16)
+        u = float(h) / float(1 << 60)
+        for k, t in enumerate(_POIS_CDF):
+            if u < t:
+                return k
+        return len(_POIS_CDF)
+
+    means = []
+    for b in range(100):
+        wc = ws = 0
+        for key, c in orders:
+            w = weight(key, b)
+            wc += w * c
+            ws += w
+        means.append(float(wc) / float(ws))
+    means.sort()
+    assert row["ci_lo"] == means[2] / 100.0  # element_at is 1-indexed
+    assert row["ci_hi"] == means[97] / 100.0
+    assert row["n_orders"] == len(orders)
