@@ -2522,3 +2522,76 @@ register(
         oracle=_bootstrap_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival quartiles: arrival-process health per event type
+# ---------------------------------------------------------------------------
+
+
+def q_interarrival_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles of the inter-arrival gap (seconds) between consecutive
+    events of each type — the arrival-process health check behind rate
+    alarms and capacity planning (a fattening p75 is the early sign of a
+    stalling producer; the reference's only arrival model is its
+    5-10 ms replay pacing, BASELINE.md).
+
+    Gaps are exact integer micros from a lag window ordered by
+    (ts, event_id) with NULL keys excluded (cross-engine NULL sort order,
+    as pinned by event_transition_matrix); quartiles come from the GK
+    sketch in its exact regime (licensed by approx_quantiles_by_type) and
+    equal DuckDB's quantile_disc; the only float op is the final /1e6.
+
+    Scale: one shuffle to order per type, one map-side-combined sketch
+    agg — the sort is per event type, never global.
+    """
+    from .relational import _GK_ACCURACY
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select("event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    q = F.percentile_approx("gap_us", [0.25, 0.5, 0.75], _GK_ACCURACY)
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.element_at(q, 1).cast("double") / 1000000.0).alias("p25_s"),
+        (F.element_at(q, 2).cast("double") / 1000000.0).alias("p50_s"),
+        (F.element_at(q, 3).cast("double") / 1000000.0).alias("p75_s"),
+    )
+
+
+register(
+    QuerySpec(
+        name="interarrival_quartiles",
+        description="per-type inter-arrival gap quartiles (exact micros, "
+        "GK exact regime) — arrival-process health",
+        spark=q_interarrival_quartiles,
+        oracle="""
+            WITH seq AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events
+                WHERE ts IS NOT NULL AND event_id IS NOT NULL
+            )
+            SELECT event_type, count(*) AS n_gaps,
+                   CAST(quantile_disc(gap_us, 0.25) AS DOUBLE) / 1000000.0
+                     AS p25_s,
+                   CAST(quantile_disc(gap_us, 0.5) AS DOUBLE) / 1000000.0
+                     AS p50_s,
+                   CAST(quantile_disc(gap_us, 0.75) AS DOUBLE) / 1000000.0
+                     AS p75_s
+            FROM seq WHERE gap_us IS NOT NULL
+            GROUP BY event_type
+        """,
+    )
+)

@@ -59,6 +59,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "leakage_safe_splits",
     "basket_lift_pairs",
     "bootstrap_mean_ci",
+    "interarrival_quartiles",
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",

@@ -566,3 +566,14 @@ def test_bootstrap_ci_exact_python_reproduction(spark, sf_dir):
     assert row["ci_lo"] == means[2] / 100.0  # element_at is 1-indexed
     assert row["ci_hi"] == means[97] / 100.0
     assert row["n_orders"] == len(orders)
+
+
+def test_interarrival_quartiles_semantics(spark, sf_dir):
+    rows = [
+        r.asDict()
+        for r in REGISTRY["interarrival_quartiles"].spark(spark, sf_dir).collect()
+    ]
+    assert rows
+    for r in rows:
+        assert r["n_gaps"] > 0
+        assert 0 <= r["p25_s"] <= r["p50_s"] <= r["p75_s"]
