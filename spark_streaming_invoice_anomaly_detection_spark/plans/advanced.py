@@ -15,6 +15,8 @@ Exchange, reused by AQE).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2376,6 +2378,12 @@ register(
 # ---------------------------------------------------------------------------
 
 _BOOT_B = 100
+#: order statistics of the sorted resample means for a 95% interval
+#: (1-indexed): derived from _BOOT_B so changing B keeps the coverage.
+#: ceil for the lower bound (never round(), whose banker's mode turns
+#: 2.5 into 2), upper by symmetry.
+_BOOT_LO = max(1, math.ceil(0.025 * _BOOT_B))
+_BOOT_HI = _BOOT_B + 1 - _BOOT_LO
 
 #: Cumulative Poisson(1) thresholds for the inverse-CDF weight ladder,
 #: computed ONCE in Python and embedded as the same literals in both
@@ -2399,8 +2407,10 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverse CDF applied to u = h60(orderkey:b)/2^60, so every engine,
     run, and retry produces the identical resample.
 
-    Exactness: u is an exact int->double conversion and an exponent-
-    shift division; the CDF ladder thresholds are shared build-time
+    Exactness: u is a correctly-rounded int->double conversion —
+    identical rounding in Spark, DuckDB, and Python (values above 2^53
+    round, but identically everywhere) — and an exponent-shift division;
+    the CDF ladder thresholds are shared build-time
     literals; per-resample means are ratios of exact int64 sums
     (weighted cents / weights); the interval is order statistics 3 and
     98 of the B=100 sorted means (~2.5%/97.5%), exact on both engines.
@@ -2462,8 +2472,8 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n").cast("double")
                 / F.lit(100.0)
             ).alias("mean_value"),
-            (F.element_at("ms", 3) / F.lit(100.0)).alias("ci_lo"),
-            (F.element_at("ms", 98) / F.lit(100.0)).alias("ci_hi"),
+            (F.element_at("ms", _BOOT_LO) / F.lit(100.0)).alias("ci_lo"),
+            (F.element_at("ms", _BOOT_HI) / F.lit(100.0)).alias("ci_hi"),
         )
     )
 
@@ -2507,8 +2517,8 @@ def _bootstrap_oracle() -> str:
         SELECT n AS n_orders, {_BOOT_B} AS n_boot,
                CAST(tc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
                  AS mean_value,
-               ms[3] / 100.0 AS ci_lo,
-               ms[98] / 100.0 AS ci_hi
+               ms[{_BOOT_LO}] / 100.0 AS ci_lo,
+               ms[{_BOOT_HI}] / 100.0 AS ci_hi
         FROM booted, full_
     """
 

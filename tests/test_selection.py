@@ -524,6 +524,8 @@ def test_bootstrap_ci_exact_python_reproduction(spark, sf_dir):
     import hashlib
 
     from spark_streaming_invoice_anomaly_detection_spark.plans.advanced import (
+        _BOOT_HI,
+        _BOOT_LO,
         _POIS_CDF,
     )
     from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
@@ -563,8 +565,9 @@ def test_bootstrap_ci_exact_python_reproduction(spark, sf_dir):
             ws += w
         means.append(float(wc) / float(ws))
     means.sort()
-    assert row["ci_lo"] == means[2] / 100.0  # element_at is 1-indexed
-    assert row["ci_hi"] == means[97] / 100.0
+    # element_at is 1-indexed -> python offset -1
+    assert row["ci_lo"] == means[_BOOT_LO - 1] / 100.0
+    assert row["ci_hi"] == means[_BOOT_HI - 1] / 100.0
     assert row["n_orders"] == len(orders)
 
 
