@@ -2605,3 +2605,76 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day median: windowed GK sketch over a RANGE frame
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day median of event value per type, one row per
+    (type, day) — rolling ROBUST level tracking, the median twin of
+    trailing_week_revenue's sum and the robust companion to
+    ewma_daily_level (a fat-tailed burst moves the mean and the EWMA;
+    the rolling median shrugs it off).
+
+    The GK sketch runs as a WINDOW aggregate over a day-ranged frame
+    (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW on the epoch-day
+    number) — each frame holds at most 7 days of one type's events,
+    comfortably inside the sketch's exact regime, where its result
+    equals DuckDB's quantile_disc over the identical frame (the
+    licensing approx_quantiles_by_type pinned). Frames are bounded by
+    the calendar, so no partition ever holds more than the type's
+    7-day row count regardless of corpus size.
+    """
+    from .relational import _GK_ACCURACY
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("epoch_day"),
+            "value",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, 0)
+    )
+    return ev.select(
+        "event_type",
+        "epoch_day",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.percentile_approx("value", 0.5, _GK_ACCURACY)
+        .over(w)
+        .alias("p50_value"),
+    ).distinct()
+
+
+register(
+    QuerySpec(
+        name="rolling_median_7d",
+        description="trailing-7-day median of event value per type "
+        "(windowed GK sketch over a day-RANGE frame, exact regime)",
+        spark=q_rolling_median_7d,
+        oracle="""
+            SELECT DISTINCT event_type, epoch_day,
+                   count(*) OVER w AS n_window,
+                   quantile_disc(value, 0.5) OVER w AS p50_value
+            FROM (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                         AS epoch_day,
+                       value
+                FROM events WHERE value IS NOT NULL
+            )
+            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+    )
+)

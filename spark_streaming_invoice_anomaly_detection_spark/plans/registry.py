@@ -60,6 +60,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "basket_lift_pairs",
     "bootstrap_mean_ci",
     "interarrival_quartiles",
+    "rolling_median_7d",
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",

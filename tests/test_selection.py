@@ -580,3 +580,47 @@ def test_interarrival_quartiles_semantics(spark, sf_dir):
     for r in rows:
         assert r["n_gaps"] > 0
         assert 0 <= r["p25_s"] <= r["p50_s"] <= r["p75_s"]
+
+
+def test_rolling_median_semantics(spark, sf_dir):
+    """One row per (type, day); window counts grow then plateau; the
+    median recomputes exactly in Python for a handful of frames."""
+    from collections import defaultdict
+
+    from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = [
+        r.asDict()
+        for r in REGISTRY["rolling_median_7d"].spark(spark, sf_dir).collect()
+    ]
+    assert rows
+    keys = [(r["event_type"], r["epoch_day"]) for r in rows]
+    assert len(keys) == len(set(keys))
+
+    ev = defaultdict(list)
+    for r in (
+        load_table(spark, "events", sf_dir)
+        .filter("value IS NOT NULL")
+        .selectExpr(
+            "event_type",
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+            " AS d",
+            "value",
+        )
+        .collect()
+    ):
+        ev[r["event_type"]].append((r["d"], r["value"]))
+    by_key = {(r["event_type"], r["epoch_day"]): r for r in rows}
+    import statistics
+
+    checked = 0
+    for (et, day), r in sorted(by_key.items())[:10]:
+        frame = [v for d, v in ev[et] if day - 6 <= d <= day]
+        assert r["n_window"] == len(frame)
+        # quantile_disc: the lower median element, not the interpolated mid
+        frame.sort()
+        assert r["p50_value"] == frame[(len(frame) - 1) // 2]
+        checked += 1
+    assert checked > 0
