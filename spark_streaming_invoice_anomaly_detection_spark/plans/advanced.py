@@ -2678,3 +2678,83 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean: robust level after clipping tails at p05/p95
+# ---------------------------------------------------------------------------
+
+
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized mean of event value: clip at the type's
+    p05/p95 (GK exact regime, cuts on exact micros) and average the
+    clipped values — the robust mean that keeps tail rows (unlike
+    trimming) but caps their influence; reported next to the raw mean
+    and the fraction clipped.
+
+    Everything except the final divisions is exact int64: values are
+    scaled micros, clipping is least/greatest on integers, sums are
+    integer sums — so the winsorized mean is a ratio of exact integers,
+    bit-identical across engines (the plain-mean comparison too).
+    """
+    from ..functions.exactmath import scaled_long
+    from .relational import _GK_ACCURACY
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", scaled_long("value", 6).alias("vm"))
+    )
+    q = F.percentile_approx("vm", [0.05, 0.95], _GK_ACCURACY)
+    cuts = ev.groupBy("event_type").agg(
+        F.element_at(q, 1).alias("c05"), F.element_at(q, 2).alias("c95")
+    )
+    j = ev.join(F.broadcast(cuts), "event_type")
+    clipped = F.least(F.greatest(F.col("vm"), F.col("c05")), F.col("c95"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("vm").cast("double") / F.count(F.lit(1)).cast("double")
+         / F.lit(1000000.0)).alias("mean_raw"),
+        (F.sum(clipped).cast("double") / F.count(F.lit(1)).cast("double")
+         / F.lit(1000000.0)).alias("mean_winsorized"),
+        (
+            F.count_if((F.col("vm") < F.col("c05"))
+                       | (F.col("vm") > F.col("c95"))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("clipped_frac"),
+    )
+
+
+register(
+    QuerySpec(
+        name="winsorized_mean_by_type",
+        description="per-type winsorized mean (p05/p95 clip on exact "
+        "micros) vs raw mean, with clipped fraction",
+        spark=q_winsorized_mean,
+        oracle="""
+            WITH ev AS (
+                SELECT event_type,
+                       CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+                FROM events WHERE value IS NOT NULL
+            ),
+            cuts AS (
+                SELECT event_type,
+                       quantile_disc(vm, 0.05) AS c05,
+                       quantile_disc(vm, 0.95) AS c95
+                FROM ev GROUP BY event_type
+            )
+            SELECT e.event_type, count(*) AS n,
+                   CAST(CAST(sum(vm) AS BIGINT) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean_raw,
+                   CAST(CAST(sum(least(greatest(vm, c05), c95)) AS BIGINT)
+                        AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 1000000.0
+                     AS mean_winsorized,
+                   CAST(count(*) FILTER (WHERE vm < c05 OR vm > c95)
+                        AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS clipped_frac
+            FROM ev e JOIN cuts c ON e.event_type = c.event_type
+            GROUP BY e.event_type
+        """,
+    )
+)

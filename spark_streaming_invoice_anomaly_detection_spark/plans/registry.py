@@ -61,6 +61,7 @@ _FIXED_THIS_ROUND: tuple[str, ...] = (
     "bootstrap_mean_ci",
     "interarrival_quartiles",
     "rolling_median_7d",
+    "winsorized_mean_by_type",
     "bloom_pruned_revenue",
     "vocab_coverage",
     "curriculum_quota_sample",

@@ -624,3 +624,16 @@ def test_rolling_median_semantics(spark, sf_dir):
         assert r["p50_value"] == frame[(len(frame) - 1) // 2]
         checked += 1
     assert checked > 0
+
+
+def test_winsorized_mean_invariants(spark, sf_dir):
+    rows = [
+        r.asDict()
+        for r in REGISTRY["winsorized_mean_by_type"].spark(spark, sf_dir).collect()
+    ]
+    assert rows
+    for r in rows:
+        assert r["n"] > 0
+        # clipping can only pull the mean toward the body
+        assert 0.0 <= r["clipped_frac"] <= 0.15  # ~10% tails by design
+        assert r["clipped_frac"] > 0  # the cuts actually bind
