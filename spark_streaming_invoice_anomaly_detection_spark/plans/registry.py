@@ -41,116 +41,90 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 # The driver samples ~50 queries per round walking the registry in
 # iteration order under a wall-clock budget, so ordering is the only lever
-# for getting external verification onto the long tail. Priority: queries
-# changed this round (need a fresh row), then queries never sampled in any
-# CORRECTNESS file (63 after r2), then the already-green ones.
-_FIXED_THIS_ROUND: tuple[str, ...] = (
-    "dsir_importance_weights",
-    "token_entropy_census",
-    "jl_projection_distortion",
-    "value_drift_psi",
-    "source_pmi_keywords",
-    "ewma_daily_level",
-    "weekly_seasonality_index",
-    "source_token_kl",
-    "event_transition_matrix",
-    "rfm_segments",
-    "data_quality_report",
-    "leakage_safe_splits",
-    "basket_lift_pairs",
-    "bootstrap_mean_ci",
-    "interarrival_quartiles",
-    "rolling_median_7d",
-    "winsorized_mean_by_type",
-    "bloom_pruned_revenue",
-    "vocab_coverage",
-    "curriculum_quota_sample",
-    "mad_outlier_census",
-    "mmr_diversified_topk",
-    "ks_drift_by_type",
-    "quality_calibration_map",
-    "benford_first_digit",
-    "ivf_cell_occupancy",
-    "important_part_value",
-    "approx_quantiles_by_type",
-    "nation_market_share",
-    "nation_profit",
-    "part_supplier_diversity",
-    "arrow_text_stats",
-    "spearman_qty_price",
-)
+# for getting external verification onto the long tail. The order is fully
+# DERIVED from the CORRECTNESS_r*.json files the driver itself writes
+# (round-3 VERDICT "What's wrong" #1/#2: a hardcoded prefix went stale and
+# would have wasted ~33 of round 4's slots re-checking green queries):
+#   1. queries whose LATEST driver row failed (need a re-check to prove
+#      the fix — e.g. multimodal_decode_stats after its r1 hash-fail),
+#   2. queries never sampled in any round,
+#   3. green queries, oldest round first (stalest verification re-checked
+#      before fresher ones).
 
-def _driver_checked_names() -> frozenset[str]:
-    """Names with any CORRECTNESS_r*.json row, read from the repo root at
-    import time — self-updating when a new round's file lands, so the
-    rotation never re-prioritizes already-green queries because a
-    hardcoded list went stale. Falls back to the r1+r2 literal when the
-    files aren't alongside the package (e.g. an installed wheel)."""
+
+def _driver_history() -> dict[str, tuple[int, bool]]:
+    """name -> (latest_round_sampled, latest_row_passed), parsed from the
+    repo-root CORRECTNESS_r*.json files at import time — self-updating
+    when a new round's file lands.
+
+    A row passes when none of rows/schema/hash-match is False and err is
+    either absent or the by-design ``no_oracle`` marker with a non-null
+    spark row count (the driver's rows-only check)."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    names: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    hist: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
-                names.update(json.load(f).keys())
-        except (OSError, json.JSONDecodeError, AttributeError):
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
             continue
-    return frozenset(names) or _DRIVER_CHECKED_R1R2
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            if err is None or err == "no_oracle":
+                ok = (
+                    row.get("rows_match") is not False
+                    and row.get("schema_match") is not False
+                    and row.get("hash_match") is not False
+                    and row.get("spark_rows") is not None
+                )
+            else:
+                ok = False
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, ok)
+    return hist
 
 
-# Union of query names appearing in CORRECTNESS_r01.json + CORRECTNESS_r02.json
-# (fallback only; the live set is derived from the json files above).
-_DRIVER_CHECKED_R1R2: frozenset[str] = frozenset({
-    "approx_quantiles_by_type", "array_agg_funcs", "asof_join_last_click",
-    "bisecting_invoice_anomalies", "cancellation_split",
-    "centroid_distance_score", "conditional_bucketing", "count_distinct",
-    "cube_orders", "date_funcs", "disjunctive_predicate_revenue",
-    "doc_fingerprint", "embedding_neardup_pairs", "exact_correlation",
-    "exact_dedup_groups", "exists_subquery", "explode_wordcount",
-    "forecast_revenue_change", "grouping_sets", "hour_extraction",
-    "invoice_featurize", "invoice_featurize_valid", "join_anti",
-    "join_broadcast_dims", "join_fact_fact_revenue", "join_five_way_volume",
-    "join_left_outer", "join_salted_skew", "join_semi", "json_extract",
-    "kmeans_invoice_anomalies", "late_shipment_priority", "map_type_ops",
-    "minhash_lsh_neardups", "multimodal_decode_stats", "ngram_jaccard_pairs",
-    "order_count_distribution", "order_limit", "percentile_quartiles",
-    "pivot_status", "pricing_summary", "promo_revenue_percent",
-    "regex_extract_groups", "revenue_share_by_nation", "rollup_qty",
-    "scalar_subquery_agg", "sessionize_events", "set_except", "set_ops",
-    "set_ops_all", "simhash_signatures", "similarity_topk_bruteforce",
-    "similarity_topk_lsh", "skew_diagnostics", "sliding_window_count",
-    "stats_agg", "string_funcs", "text_lang_id", "text_quality_score",
-    "threshold_topk", "top_returning_customers", "topk_per_group",
-    "union_distinct", "validation_cascade", "video_frame_counts",
-    "window_lag_delta", "window_rank_by_value", "window_running_sum",
-})
-
-_DRIVER_CHECKED: frozenset[str] = _driver_checked_names()
+_DRIVER_HISTORY: dict[str, tuple[int, bool]] = _driver_history()
 
 
-# Queries measured >10 s under the driver-faithful sf0.01 sim (iterative
-# graph propagation, ML training sweeps). Deferred WITHIN their tier so the
-# driver's wall-clock budget buys the maximum number of fresh rows before
-# it spends a minute on three queries.
+# Queries that cost multiple Spark jobs each. Round-3 VERDICT "Next round"
+# #3: the old 7-query deferral meant the graph family was NEVER sampled.
+# Re-profiled at the driver's sf0.01 on a warm session: neardup_components
+# 2.0 s, pagerank 1.4 s, keep_best 1.9 s, contamination_closure 2.1 s,
+# triangle_census 0.6 s — cheap enough to ride their natural tier. Only the
+# two k=1..20 ML training sweeps (~9-10 s each, already green rows-only in
+# r2) stay sorted last within their tier.
 _COSTLY: frozenset[str] = frozenset({
-    "neardup_components", "neardup_keep_best", "pagerank_neardup_graph",
     "kmeans_invoice_anomalies", "bisecting_invoice_anomalies",
-    "contamination_closure", "neardup_triangle_census",
 })
 
 
 def _ordered_names() -> list[str]:
-    fixed = [n for n in _FIXED_THIS_ROUND if n in REGISTRY]
-    tail = [n for n in REGISTRY if n not in fixed]
-    never = [n for n in tail if n not in _DRIVER_CHECKED]
-    green = [n for n in tail if n in _DRIVER_CHECKED]
+    hist = _DRIVER_HISTORY
+    failed = [n for n in REGISTRY if n in hist and not hist[n][1]]
+    never = [n for n in REGISTRY if n not in hist]
+    green = [n for n in REGISTRY if n in hist and hist[n][1]]
     cheap_first = lambda names: sorted(names, key=lambda n: n in _COSTLY)
-    return fixed + cheap_first(never) + cheap_first(green)
+    # Green tier: stalest external verification first, cheap before costly
+    # within the same round.
+    green.sort(key=lambda n: (hist[n][0], n in _COSTLY))
+    return cheap_first(failed) + cheap_first(never) + green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
