@@ -5,9 +5,11 @@ needs the same contracts evaluated CONTINUOUSLY — null-rate spikes, range
 violations, and schema drift arrive mid-stream, not at publish time. This
 module scores every event-time window of a stream against a declared
 expectation suite, one stateful aggregation for ALL checks (each
-expectation is one conditional-count column, map-side combined), then
+expectation is one conditional-count column, map-side combined), then a
+STATELESS explode of an array-of-structs built from the aggregated row
 unpivots to the familiar one-row-per-check shape with an alarm flag when
-a check's violation RATE crosses its tolerance.
+a check's violation RATE crosses its tolerance. The physical plan holds
+exactly one StateStoreSave regardless of the number of checks.
 
 Tolerances are rates, not absolute counts, because a stream's window
 population varies — 3 bad rows in 10 is an incident, in 10 million it is
@@ -61,29 +63,41 @@ def windowed_expectations(
             for i, e in enumerate(expectations)
         ],
     )
-    per_check = [
+    # Unpivot STATELESSLY after the one aggregation: an array-of-structs
+    # explode over the already-aggregated row. The earlier unionByName over
+    # N selects of the agg subtree planned one StateStoreSave PER check —
+    # N stateful copies of the full per-window state and N reads of the
+    # source (round-3 ADVICE). This shape keeps exactly one.
+    checks = F.array(
+        *[
+            F.struct(
+                F.lit(e.name).alias("check_name"),
+                F.col(f"__v_{i}").alias("n_violations"),
+                F.lit(float(e.tolerance)).alias("tolerance"),
+            )
+            for i, e in enumerate(expectations)
+        ]
+    )
+    rate = F.col("c.n_violations").cast("double") / F.col("n_rows").cast(
+        "double"
+    )
+    return (
         agg.select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
-            F.lit(e.name).alias("check_name"),
             F.col("__n").alias("n_rows"),
-            F.col(f"__v_{i}").alias("n_violations"),
-            (
-                F.col(f"__v_{i}").cast("double")
-                / F.col("__n").cast("double")
-            ).alias("violation_rate"),
-            (
-                F.col(f"__v_{i}").cast("double")
-                / F.col("__n").cast("double")
-                > F.lit(float(e.tolerance))
-            ).alias("alarm"),
+            F.explode(checks).alias("c"),
         )
-        for i, e in enumerate(expectations)
-    ]
-    out = per_check[0]
-    for df in per_check[1:]:
-        out = out.unionByName(df)
-    return out
+        .select(
+            "window_start",
+            "window_end",
+            F.col("c.check_name").alias("check_name"),
+            "n_rows",
+            F.col("c.n_violations").alias("n_violations"),
+            rate.alias("violation_rate"),
+            (rate > F.col("c.tolerance")).alias("alarm"),
+        )
+    )
 
 
 __all__ = ["Expectation", "windowed_expectations"]

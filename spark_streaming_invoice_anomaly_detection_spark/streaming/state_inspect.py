@@ -61,15 +61,18 @@ def state_census(
         .groupBy("partition_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # coalesce: an EMPTY store (all sessions expired) must read n_keys=0,
-    # not a row of NULLs — the leak check watches this number over time
+    # coalesce: an EMPTY store (all sessions expired) must read n_keys=0
+    # and skew_ratio=1.0 (perfectly spread, vacuously), not a row of NULLs
+    # — consumers poll this one-row summary over time, so every column
+    # must be well-defined in the empty case
     return per_part.agg(
         F.coalesce(F.sum("n"), F.lit(0)).alias("n_keys"),
         F.count(F.lit(1)).alias("n_partitions_used"),
         F.coalesce(F.max("n"), F.lit(0)).alias("max_partition_keys"),
-        (
+        F.coalesce(
             F.max("n").cast("double")
-            / (F.sum("n").cast("double") / F.count(F.lit(1)).cast("double"))
+            / (F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")),
+            F.lit(1.0),
         ).alias("skew_ratio"),
     )
 

@@ -79,3 +79,45 @@ def test_expectations_validate_inputs(spark):
     ]
     with pytest.raises(ValueError, match="duplicate"):
         windowed_expectations(df, dup, "ts")
+
+
+def test_expectations_plan_has_single_stateful_agg(spark, tmp_path):
+    """The unpivot must be stateless: N checks, ONE StateStoreSave.
+
+    Round-3 advice caught the union-per-check shape planning one stateful
+    windowed aggregation per expectation (3 StateStoreSave for 3 checks),
+    multiplying state N-fold. Pin the fixed contract on the physical plan.
+    """
+    from spark_streaming_invoice_anomaly_detection_spark.streaming.expectations import (
+        Expectation,
+        windowed_expectations,
+    )
+
+    raw = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .withColumn("v", F.col("value").cast("double"))
+    )
+    checks = [
+        Expectation("a", F.col("v").isNotNull()),
+        Expectation("b", F.col("v") >= 0),
+        Expectation("c", F.col("v") < 1e9, tolerance=0.1),
+    ]
+    out = windowed_expectations(raw, checks, "timestamp", window="1 minute")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline and not q.lastProgress:
+            time.sleep(0.5)
+        plan = q._jsq.explainInternal(False)
+    finally:
+        q.stop()
+    n_saves = plan.count("StateStoreSave")
+    assert n_saves == 1, f"expected 1 StateStoreSave, got {n_saves}\n{plan}"
