@@ -102,6 +102,7 @@ __all__ = [
     "label_centroids_deterministic",
     "l2_normalize",
     "label_top_eigenvalue",
+    "label_spectrum_checked",
 ]
 
 
@@ -145,6 +146,85 @@ def label_top_eigenvalue(
                     "dim": mat.shape[1],
                     "top_eigenvalue": top,
                     "explained_share": top / total,
+                }
+            ]
+        )
+
+    return emb.groupBy(label_col).applyInPandas(spectrum, out_schema)
+
+
+def label_spectrum_checked(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Externally-checkable face of the per-label eigensolve.
+
+    The eigenvalues themselves aren't SQL, but the covariance TRACE is:
+    trace = sum over dims of the per-dim sample variance, and with the
+    house deterministic-fold idiom (values sorted by vec_id, 0.0-seeded
+    left fold for the mean, then for the squared deviations, then a
+    dim-ordered fold across dims) the double is bit-reproducible in
+    DuckDB. The eigensolve is then verified per group against its own
+    trace: sum(eigvals) must equal the fold trace to 1e-8 relative and
+    the top eigenvalue must sit in [trace/dim, trace]. Output:
+    ``label, n_vectors, dim, trace, spectrum_ok`` — every column has an
+    exact DuckDB twin (spectrum_ok's twin is literal TRUE; a wrong
+    eigensolve flips it and fails the hash).
+
+    Scale: same applyInPandas shape as ``label_top_eigenvalue`` — one
+    Arrow batch per label, one output row per label. The fold loops cost
+    O(n*dim) Python-side per group; they exist for bit-reproducibility,
+    so at 100 TB you'd keep the numpy path and tolerance-check instead.
+    """
+    out_schema = (
+        f"{label_col} int, n_vectors long, dim int, "
+        "trace double, spectrum_ok boolean"
+    )
+
+    def spectrum(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        n, dim = mat.shape
+        denom = max(n - 1, 1)
+        # Deterministic per-dim variance: left folds in vec_id order.
+        variances = []
+        for d in range(dim):
+            col = mat[:, d]
+            s = 0.0
+            for x in col:
+                s += x
+            m = s / n
+            sq = 0.0
+            for x in col:
+                sq += (x - m) * (x - m)
+            variances.append(sq / denom)
+        trace = 0.0
+        for v in variances:  # dim-ordered fold
+            trace += v
+        # Independent numpy eigensolve, checked against the fold trace.
+        centered = mat - mat.mean(axis=0, keepdims=True)
+        cov = (centered.T @ centered) / denom
+        eig = np.linalg.eigvalsh(cov)
+        top, total = float(eig[-1]), float(eig.sum())
+        tol = 1e-8 * max(abs(trace), 1e-30)
+        ok = (
+            abs(total - trace) <= tol
+            and top <= trace + tol
+            and top >= trace / dim - tol
+        )
+        return pd.DataFrame(
+            [
+                {
+                    label_col: int(pdf[label_col].iloc[0]),
+                    "n_vectors": n,
+                    "dim": dim,
+                    "trace": trace,
+                    "spectrum_ok": bool(ok),
                 }
             ]
         )

@@ -516,33 +516,57 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct (HLL sketch) — rows-only: sketch estimates are
-# implementation-specific, so the driver check is row-shape; the error
-# bound vs exact distinct is pinned in tests/test_advanced_ops.py.
+# Approximate distinct (HLL sketch). Sketch ESTIMATES are engine-specific
+# (no DuckDB twin), so the externally-checked output carries the exact
+# distinct count (oracle-exact) plus a within-bound flag whose twin is
+# literal TRUE: if Spark's HLL ever drifts past the envelope the flag
+# flips and the value hash fails. The raw estimate stays pytest-pinned.
 # ---------------------------------------------------------------------------
+
+#: HLL++ rsd requested, and the error envelope the check licenses (3x rsd
+#: — the estimate is deterministic per dataset; measured error on the
+#: sf0.001/0.01/0.1 events tables is < 2 rsd, so 3x holds with margin).
+_HLL_RSD = 0.02
+_HLL_BOUND = 3 * _HLL_RSD
 
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-user estimate per event type (rsd 2%).
+    """HyperLogLog++ distinct-user estimate per event type (rsd 2%),
+    verified in-query against the exact count.
 
     The sketch is the 100 TB path for COUNT(DISTINCT): partial sketches
     merge associatively map-side, so the shuffle carries one ~kB sketch per
     (partition, group) instead of every distinct key — contrast with
-    `count_distinct`'s exact two-phase expansion.
+    `count_distinct`'s exact two-phase expansion. The exact twin column
+    here is the VERIFICATION harness (it pays the exact expansion once so
+    the driver can hash it); the production path reads the sketch alone.
     """
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=_HLL_RSD).cast("double")
+                - F.count_distinct("user_id").cast("double")
+            )
+            <= F.lit(_HLL_BOUND) * F.count_distinct("user_id").cast("double")
+        ).alias("hll_within_bound"),
     )
 
 
 register(
     QuerySpec(
         name="approx_distinct_users",
-        description="HLL++ approx distinct users per event_type (rows-only: "
-        "sketch values are engine-specific; bound pinned in pytest)",
+        description="HLL++ approx distinct users per event_type, checked "
+        "in-query: exact twin column + within-3rsd flag (estimate itself "
+        "is engine-specific; its value is pinned in pytest)",
         spark=q_approx_distinct_users,
-        oracle=None,
+        oracle="""
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   TRUE AS hll_within_bound
+            FROM events GROUP BY event_type
+        """,
     )
 )
 

@@ -2024,21 +2024,68 @@ register(
 
 def q_label_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding covariance head (applyInPandas + numpy): the
-    grouped dense-linear-algebra surface. Rows-only — eigensolves aren't
-    SQL; the numpy ground truth is pytest-pinned."""
-    from ..operators.vectors import label_top_eigenvalue
+    grouped dense-linear-algebra surface, in its externally-checkable
+    form. The eigensolve isn't SQL, but the covariance trace is (sum of
+    per-dim sample variances, deterministic-fold idiom), and sum(eigvals)
+    == trace pins the eigensolve to it via the spectrum_ok flag whose
+    oracle twin is literal TRUE. The raw top-eigenvalue surface stays on
+    operators.vectors.label_top_eigenvalue (numpy ground truth
+    pytest-pinned in tests/test_round2_ops.py)."""
+    from ..operators.vectors import label_spectrum_checked
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return label_top_eigenvalue(emb)
+    return label_spectrum_checked(emb)
 
 
 register(
     QuerySpec(
         name="label_embedding_spectrum",
-        description="per-label covariance top eigenvalue via grouped "
-        "Arrow-batched numpy (applyInPandas); rows-only",
+        description="per-label covariance trace (deterministic fold) + "
+        "eigensolve self-check via grouped Arrow-batched numpy "
+        "(applyInPandas)",
         spark=q_label_spectrum,
-        oracle=None,
+        oracle="""
+            WITH base AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ),
+            expl AS (
+                SELECT label, vec_id,
+                       generate_subscripts(e, 1) AS dim, unnest(e) AS val
+                FROM base
+            ),
+            means AS (
+                SELECT label, dim, count(*) AS n,
+                       list_reduce(
+                           list_prepend(0.0, list(val ORDER BY vec_id)),
+                           (a, b) -> a + b
+                       ) / CAST(count(*) AS DOUBLE) AS m
+                FROM expl GROUP BY label, dim
+            ),
+            vars AS (
+                SELECT e.label, e.dim, any_value(m.n) AS n,
+                       list_reduce(
+                           list_prepend(
+                               0.0,
+                               list((e.val - m.m) * (e.val - m.m)
+                                    ORDER BY e.vec_id)
+                           ),
+                           (a, b) -> a + b
+                       ) / greatest(any_value(m.n) - 1, 1) AS var
+                FROM expl e
+                JOIN means m ON e.label = m.label AND e.dim = m.dim
+                GROUP BY e.label, e.dim
+            )
+            SELECT label,
+                   CAST(any_value(n) AS BIGINT) AS n_vectors,
+                   CAST(count(*) AS INT) AS dim,
+                   list_reduce(
+                       list_prepend(0.0, list(var ORDER BY dim)),
+                       (a, b) -> a + b
+                   ) AS trace,
+                   TRUE AS spectrum_ok
+            FROM vars GROUP BY label
+        """,
     )
 )
 

@@ -20,16 +20,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+#: Error envelope the rollup check licenses: DataSketches HLL at the
+#: default lg_k=12 has rsd ~1.6%; 5% = ~3 sigma, same bound the pytest
+#: accuracy pin has held across all SFs since round 2.
+_ROLLUP_BOUND = 0.05
+
+
 def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type distinct users via stored per-day HLL sketches.
+    """Per-event-type distinct users via stored per-day HLL sketches,
+    verified in-query against the exact count.
 
     Two grains from ONE pass over events: build (event_type, day) sketches
     — the storable partial a real deployment would persist — then union
     per type. Shuffle volume after the partial agg is one ~4 KiB sketch
-    per (type, day), independent of row count. Rows-only registration:
-    HLL estimates are implementation-specific (no DuckDB twin); accuracy
-    vs exact distinct and union-exactness are pinned in
-    tests/test_sketches.py.
+    per (type, day), independent of row count. Sketch estimates are
+    implementation-specific (no DuckDB twin), so the externally-checked
+    output joins the tiny per-type rollup against an exact-distinct twin
+    (verification harness only — the production path stops at the rollup)
+    and hashes exact_users + a within-5% flag whose oracle twin is literal
+    TRUE. Union-exactness (merged partials == direct sketch) stays pinned
+    in tests/test_sketches.py.
     """
     ev = _t(spark, sf_dir, "events")
     daily = sk.distinct_sketches(
@@ -38,17 +48,39 @@ def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     per_type = sk.rollup_distinct(daily, ["event_type"], estimate_col="approx_users")
-    return per_type.withColumn("approx_users", F.col("approx_users").cast("long"))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        per_type.join(exact, "event_type")  # both sides one row per type
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(
+                    F.col("approx_users").cast("double")
+                    - F.col("exact_users").cast("double")
+                )
+                <= F.lit(_ROLLUP_BOUND) * F.col("exact_users").cast("double")
+            ).alias("rollup_within_bound"),
+        )
+    )
 
 
 register(
     QuerySpec(
         name="hll_distinct_rollup",
         description="per-type distinct users by unioning stored per-day "
-        "DataSketches HLL sketches (rows-only: estimates are "
-        "engine-specific; bounds pinned in pytest)",
+        "DataSketches HLL sketches, checked in-query: exact twin column + "
+        "within-5pct flag (estimates are engine-specific; union-exactness "
+        "pinned in pytest)",
         spark=q_hll_distinct_rollup,
-        oracle=None,
+        oracle="""
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   TRUE AS rollup_within_bound
+            FROM events GROUP BY event_type
+        """,
     )
 )
 

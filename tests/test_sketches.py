@@ -17,18 +17,22 @@ from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import load
 
 def test_hll_rollup_within_error_bound(spark, sf_dir):
     """Union-of-daily-sketches estimate lands within the lg_k=12 error
-    envelope (rsd ~1.6%; assert 3 sigma = 5%) of the exact distinct."""
+    envelope (rsd ~1.6%; assert 3 sigma = 5%) of the exact distinct —
+    both via the query's self-check flag and via a direct re-derivation
+    of the rollup estimate against countDistinct."""
+    rows = q_hll_distinct_rollup(spark, sf_dir).collect()
+    assert rows and all(r["rollup_within_bound"] for r in rows)
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = sk.distinct_sketches(ev, ["event_type", "day"], "user_id")
     est = {
-        r["event_type"]: r["approx_users"]
-        for r in q_hll_distinct_rollup(spark, sf_dir).collect()
+        r["event_type"]: r["est"]
+        for r in sk.rollup_distinct(
+            daily, ["event_type"], estimate_col="est"
+        ).collect()
     }
-    exact = {
-        r["event_type"]: r["n"]
-        for r in load_table(spark, "events", sf_dir)
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
+    exact = {r["event_type"]: r["exact_users"] for r in rows}
     assert set(est) == set(exact)
     for t, n in exact.items():
         assert abs(est[t] - n) <= max(1, 0.05 * n), (t, est[t], n)
