@@ -2605,8 +2605,10 @@ def q_interarrival_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     QuerySpec(
         name="interarrival_quartiles",
-        description="per-type inter-arrival gap quartiles (exact micros, "
-        "GK exact regime) — arrival-process health",
+        description="per-type inter-arrival gap quartiles (exact micros; "
+        "GK sketch exact while per-type rows <= 50k accuracy — bound "
+        "asserted per-SF in tests/test_properties.py) — arrival-process "
+        "health",
         spark=q_interarrival_quartiles,
         oracle="""
             WITH seq AS (
@@ -2684,7 +2686,9 @@ register(
     QuerySpec(
         name="rolling_median_7d",
         description="trailing-7-day median of event value per type "
-        "(windowed GK sketch over a day-RANGE frame, exact regime)",
+        "(windowed GK sketch over a day-RANGE frame; exact while any "
+        "7-day frame holds <= 50k accuracy rows — bound asserted per-SF "
+        "in tests/test_properties.py)",
         spark=q_rolling_median_7d,
         oracle="""
             SELECT DISTINCT event_type, epoch_day,
@@ -2753,7 +2757,9 @@ register(
     QuerySpec(
         name="winsorized_mean_by_type",
         description="per-type winsorized mean (p05/p95 clip on exact "
-        "micros) vs raw mean, with clipped fraction",
+        "micros; GK cuts exact while per-type rows <= 50k accuracy — "
+        "bound asserted per-SF in tests/test_properties.py) vs raw mean, "
+        "with clipped fraction",
         spark=q_winsorized_mean,
         oracle="""
             WITH ev AS (

@@ -259,3 +259,159 @@ class TestGKDecileExactRegime:
                 ).fetchone()
             )
             assert got[k] == want, (k, len(vals), got[k], want)
+
+
+class TestGKExactRegimeBoundary:
+    """Adversarial licensing tests for every percentile_approx oracle
+    (round-3 VERDICT #7): the hash oracles are licensed by the GK
+    sketch's EXACT regime (per-group/frame rows <= accuracy). These
+    generative tests prove (a) inside the regime the sketch equals
+    DuckDB's quantile_disc on arbitrary generated data, (b) past the
+    regime it really does deviate — the bound is load-bearing, not
+    folklore — and (c) the driver's actual scale factors sit inside the
+    regime with headroom, so parity cannot silently break at a SF bump
+    (the failure mode round-3 ADVICE warned about for rolling_median_7d
+    and friends)."""
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_subnormal=False,
+            ),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    def test_within_regime_matches_quantile_disc(self, spark, vals):
+        import duckdb
+
+        from spark_streaming_invoice_anomaly_detection_spark.plans.relational import (
+            _GK_ACCURACY,
+        )
+
+        # accuracy exactly as the production queries set it: the license
+        # is n << accuracy (rank error n/accuracy < 1), NOT n == accuracy
+        # — at accuracy == n the sketch may already be off by one rank
+        # (verified: [0.0, -1.0, 0.0] at accuracy 3 returns -1.0 for the
+        # median where quantile_disc returns 0.0).
+        got = (
+            spark.createDataFrame([(v,) for v in vals], "v double")
+            .agg(
+                F.percentile_approx(
+                    "v", [0.25, 0.5, 0.75], _GK_ACCURACY
+                ).alias("qs")
+            )
+            .first()["qs"]
+        )
+        lit = ", ".join(f"({v!r})" for v in vals)
+        want = list(
+            duckdb.connect()
+            .execute(
+                "SELECT quantile_disc(v, 0.25), quantile_disc(v, 0.5), "
+                "quantile_disc(v, 0.75) FROM "
+                f"(SELECT CAST(x AS DOUBLE) v FROM (VALUES {lit}) t(x))"
+            )
+            .fetchone()
+        )
+        assert got == want, (len(vals), got, want)
+
+    def test_past_regime_deviates_somewhere(self, spark):
+        """With accuracy far below n, at least one quartile must differ
+        from quantile_disc across a battery of seeded heavy-tailed groups
+        — demonstrating the exact-regime precondition is what protects
+        oracle parity (if this ever passes exactly, the license text is
+        stale and the precondition test below is dead weight)."""
+        import duckdb
+
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        mismatch = 0
+        for _case in range(8):
+            vals = np.round(rng.lognormal(0, 3, size=4000), 3).tolist()
+            got = (
+                spark.createDataFrame([(v,) for v in vals], "v double")
+                .agg(
+                    F.percentile_approx(
+                        "v", [0.25, 0.5, 0.75], 16
+                    ).alias("qs")
+                )
+                .first()["qs"]
+            )
+            lit = ", ".join(f"({v!r})" for v in vals)
+            want = list(
+                duckdb.connect()
+                .execute(
+                    "SELECT quantile_disc(v, 0.25), quantile_disc(v, 0.5),"
+                    " quantile_disc(v, 0.75) FROM "
+                    f"(SELECT CAST(x AS DOUBLE) v FROM (VALUES {lit}) t(x))"
+                )
+                .fetchone()
+            )
+            mismatch += got != want
+        assert mismatch > 0, (
+            "GK at accuracy 16 matched quantile_disc on every 4000-row "
+            "heavy-tailed group — exact-regime licensing may be obsolete"
+        )
+
+
+class TestGKPreconditionAtSF:
+    """The row-count-vs-accuracy precondition, asserted on the ACTIVE
+    test scale factor (sf0.001 default; the once-per-round
+    SPARK_GRAFT_TEST_SF_DIR=sf0.1 sweep re-checks it at the largest
+    driver SF). 2x headroom so a generator tweak trips this test before
+    it trips the regime boundary itself."""
+
+    def test_group_and_frame_sizes_within_exact_regime(self, spark, sf_dir):
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            _CAL_ACCURACY,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.plans.relational import (
+            _GK_ACCURACY,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+
+        ev = load_table(spark, "events", sf_dir)
+        docs = load_table(spark, "documents", sf_dir)
+
+        # Per-event-type groups: approx_quantiles_by_type,
+        # interarrival_quartiles, winsorized_mean_by_type.
+        max_type = (
+            ev.groupBy("event_type").count().agg(F.max("count")).first()[0]
+        )
+        assert max_type <= _GK_ACCURACY // 2, (max_type, _GK_ACCURACY)
+
+        # 7-day RANGE frames per type: rolling_median_7d. The largest
+        # frame is bounded by the largest (type, trailing-7-day) count.
+        from pyspark.sql import Window
+
+        day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("epoch_day")
+            .rangeBetween(-6, 0)
+        )
+        max_frame = (
+            ev.filter(F.col("value").isNotNull())
+            .select("event_type", day.alias("epoch_day"))
+            .select(F.count(F.lit(1)).over(w).alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        )
+        assert max_frame <= _GK_ACCURACY // 2, (max_frame, _GK_ACCURACY)
+
+        # Per-source documents: curriculum_quota_sample, arrow_text_stats.
+        max_source = (
+            docs.groupBy("source").count().agg(F.max("count")).first()[0]
+        )
+        assert max_source <= _GK_ACCURACY // 2, (max_source, _GK_ACCURACY)
+
+        # Global corpus sketch: quality_calibration_map's grand-total grid.
+        n_docs = docs.count()
+        assert n_docs <= _CAL_ACCURACY // 2, (n_docs, _CAL_ACCURACY)
