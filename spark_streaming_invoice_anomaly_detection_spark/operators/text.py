@@ -43,11 +43,34 @@ def h60_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+#: ASCII case-fold tables. Tokenization folds case with translate() over
+#: these, NOT lower(): full Unicode case mapping is library-dependent
+#: (Java/ICU lowers U+0130 'İ' to "i"+U+0307 — minting an ASCII 'i' —
+#: where DuckDB's utf8proc maps it to plain "i"), so any lower() before
+#: an ASCII token extraction silently diverges across engines on
+#: non-ASCII input (caught by tests/test_unicode_sweep.py). translate()
+#: maps listed codepoints only, identically everywhere, and is a no-op on
+#: every non-ASCII character — deterministic by construction.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column | str) -> Column:
+    """Fold A-Z to a-z, leave every other codepoint untouched."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _ASCII_UPPER, _ASCII_LOWER)
+
+
+def ascii_lower_sql(expr: str) -> str:
+    """DuckDB twin of :func:`ascii_lower`."""
+    return f"translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
 def tokenize(col: Column | str, lowercase: bool = True) -> Column:
-    """ASCII word tokens (regexp_extract_all)."""
+    """ASCII word tokens (regexp_extract_all), ASCII-case-folded."""
     c = F.col(col) if isinstance(col, str) else col
     if lowercase:
-        c = F.lower(c)
+        c = ascii_lower(c)
     return F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), F.lit(0))
 
 
@@ -229,7 +252,7 @@ def gopher_flags_sql(expr: str) -> dict[str, str]:
     n_alpha = f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
     alpha_ratio = f"(CAST({n_alpha} AS DOUBLE) / {denom_w})"
     req = "[" + ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS) + "]"
-    toks = f"regexp_extract_all(lower({expr}), '{TOKEN_PATTERN}')"
+    toks = f"regexp_extract_all({ascii_lower_sql(expr)}, '{TOKEN_PATTERN}')"
     n_required = f"len(list_intersect(list_distinct({toks}), {req}))"
     flags = {
         "n_words": f"CAST({n_words} AS INT)",

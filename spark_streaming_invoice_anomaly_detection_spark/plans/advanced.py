@@ -86,7 +86,7 @@ def q_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        docs.select(F.explode(F.split(X.ascii_lower("text"), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("n"))
@@ -103,7 +103,7 @@ register(
         oracle=r"""
             SELECT word, count(*) AS n
             FROM (
-                SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+                SELECT unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS word
                 FROM documents
             )
             WHERE word <> ''

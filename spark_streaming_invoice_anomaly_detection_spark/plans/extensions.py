@@ -83,7 +83,9 @@ _AUG_EMB_SQL = f"""
     FROM embeddings
 """
 
-_TOKENS_SQL = "regexp_extract_all(lower(text), '[A-Za-z0-9]+')"
+_TOKENS_SQL = (
+    "regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[A-Za-z0-9]+')"
+)
 
 
 def _shingles_sql(tokens: str, n: int = 3) -> str:
@@ -2141,12 +2143,19 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-level verifier for candidate pairs whose token-level
     signals (MinHash/SimHash) already matched. Integer output, exact on
     both engines. Bounded: one row per planted pair, never all-pairs.
+
+    The distance runs over the ASCII projection of the text (every
+    non-ASCII codepoint folded to '?'): Spark's levenshtein counts
+    codepoints while DuckDB's counts BYTES, so the raw strings diverge on
+    any multibyte character (caught by tests/test_unicode_sweep.py); on
+    the projection byte == codepoint and both engines agree exactly.
     """
     docs = load_table(spark, "documents", sf_dir).filter(
         F.col("doc_id") % 10 == 0
     )
-    a = F.substring(F.col("text"), 1, 60)
-    b = F.substring(F.col("text"), 21, 60)  # the _AUG mutation's view
+    t = F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "?")
+    a = F.substring(t, 1, 60)
+    b = F.substring(t, 21, 60)  # the _AUG mutation's view
     return docs.select(
         "doc_id",
         (F.col("doc_id") + _AUG_OFFSET).alias("mutated_id"),
@@ -2160,17 +2169,23 @@ register(
     QuerySpec(
         name="edit_distance_pairs",
         description="Levenshtein edit distance between planted near-dup "
-        "prefixes (character-level dedup verifier)",
+        "prefixes over the ASCII projection (byte-vs-codepoint-safe "
+        "character-level dedup verifier)",
         spark=q_edit_distance_pairs,
-        oracle=f"""
+        oracle=rf"""
+            WITH proj AS (
+                SELECT doc_id,
+                       regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS t
+                FROM documents WHERE doc_id % 10 = 0
+            )
             SELECT doc_id,
                    doc_id + {_AUG_OFFSET} AS mutated_id,
-                   CAST(levenshtein(substring(text, 1, 60),
-                                    substring(text, 21, 60)) AS INT)
+                   CAST(levenshtein(substring(t, 1, 60),
+                                    substring(t, 21, 60)) AS INT)
                      AS edit_distance,
-                   CAST(length(substring(text, 1, 60)) AS INT) AS len_a,
-                   CAST(length(substring(text, 21, 60)) AS INT) AS len_b
-            FROM documents WHERE doc_id % 10 = 0
+                   CAST(length(substring(t, 1, 60)) AS INT) AS len_a,
+                   CAST(length(substring(t, 21, 60)) AS INT) AS len_b
+            FROM proj
         """,
     )
 )
@@ -2372,7 +2387,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     words = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+        F.explode(F.split(X.ascii_lower("text"), "[^a-z0-9]+")).alias("term"),
     ).filter(F.col("term") != "")
     return (
         words.groupBy("term")
@@ -2396,7 +2411,7 @@ register(
         oracle="""
             WITH words AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'))
                          AS term
                 FROM documents
             )
@@ -2437,7 +2452,7 @@ def q_keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()  # 1-row job; a literal keeps the plan simple
     words = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+        F.explode(F.split(X.ascii_lower("text"), "[^a-z0-9]+")).alias("term"),
     ).filter(F.col("term").isin(*_SEARCH_TERMS))
     tf = words.groupBy("doc_id").agg(
         *[
@@ -2485,7 +2500,7 @@ register(
         oracle=f"""
             WITH words AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'))
                          AS term
                 FROM documents
             ), tf AS (
@@ -2539,7 +2554,7 @@ def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     words = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+        F.explode(F.split(X.ascii_lower("text"), "[^a-z0-9]+")).alias("term"),
     ).filter(F.col("term") != "")
     per_term = words.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("occ")
@@ -2566,7 +2581,7 @@ register(
         oracle="""
             WITH words AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'))
                          AS term
                 FROM documents
             ), per_term AS (
@@ -2690,7 +2705,7 @@ def q_doc_surprisal_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = (
         docs.select(
             "doc_id",
-            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+            F.explode(F.split(X.ascii_lower("text"), "[^a-z0-9]+")).alias("term"),
         )
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
@@ -2721,7 +2736,7 @@ register(
         oracle="""
             WITH words AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'))
                          AS term
                 FROM documents
             ), occ AS (
@@ -2852,7 +2867,7 @@ register(
         oracle=f"""
             WITH words AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'))
                          AS term
                 FROM documents
             ), tf AS (
@@ -3267,7 +3282,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     counts = (
         docs.select(
-            F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+            F.explode(F.split(X.ascii_lower("text"), r"\s+")).alias("token")
         )
         .filter(F.col("token") != "")
         .groupBy("token")
@@ -3312,7 +3327,7 @@ register(
         oracle=r"""
             WITH counts AS (
                 SELECT token, count(*) AS n FROM (
-                    SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+                    SELECT unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'))
                            AS token
                     FROM documents
                 )
