@@ -248,14 +248,18 @@ class TestGKDecileExactRegime:
             .collect()
         }
         con = duckdb.connect()
+        # Bind values as parameters: DuckDB binds Python floats as DOUBLE
+        # directly. Interpolating float reprs as SQL literals is WRONG —
+        # a 17-significant-digit decimal literal is typed DECIMAL and the
+        # DOUBLE cast can land 1 ulp off (round-4 VERDICT finding #1).
         decile_sql = ", ".join(
             f"quantile_disc(v, {d!r})" for d in _CAL_DECILES
         )
         for k, vals in cases.items():
-            lit = ", ".join(f"({v!r})" for v in vals)
             want = list(
                 con.execute(
-                    f"SELECT {decile_sql} FROM (VALUES {lit}) t(v)"
+                    f"SELECT {decile_sql} FROM (SELECT unnest(?) AS v) t",
+                    [vals],
                 ).fetchone()
             )
             assert got[k] == want, (k, len(vals), got[k], want)
@@ -307,13 +311,18 @@ class TestGKExactRegimeBoundary:
             )
             .first()["qs"]
         )
-        lit = ", ".join(f"({v!r})" for v in vals)
+        # Parameter-bound, NOT interpolated literals: DuckDB types a
+        # 17-significant-digit VALUES literal as DECIMAL and its DOUBLE
+        # cast can be 1 ulp off the exact double Spark received (the
+        # round-4 red test: vals=[1.9999999998835847]). Binding the list
+        # hands DuckDB the bit-exact doubles.
         want = list(
             duckdb.connect()
             .execute(
                 "SELECT quantile_disc(v, 0.25), quantile_disc(v, 0.5), "
                 "quantile_disc(v, 0.75) FROM "
-                f"(SELECT CAST(x AS DOUBLE) v FROM (VALUES {lit}) t(x))"
+                "(SELECT unnest(?) AS v) t",
+                [vals],
             )
             .fetchone()
         )
@@ -342,13 +351,13 @@ class TestGKExactRegimeBoundary:
                 )
                 .first()["qs"]
             )
-            lit = ", ".join(f"({v!r})" for v in vals)
             want = list(
                 duckdb.connect()
                 .execute(
                     "SELECT quantile_disc(v, 0.25), quantile_disc(v, 0.5),"
                     " quantile_disc(v, 0.75) FROM "
-                    f"(SELECT CAST(x AS DOUBLE) v FROM (VALUES {lit}) t(x))"
+                    "(SELECT unnest(?) AS v) t",
+                    [vals],
                 )
                 .fetchone()
             )
