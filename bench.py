@@ -63,12 +63,13 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Three timed reps, min per query: the host is shared, so single-shot
+    # Five timed reps, min per query: the host is shared, so single-shot
     # timings see multi-second noise spikes from co-tenant processes
     # (r2's pricing_summary "+16% regression" was min-of-2 measurement
-    # noise; min-of-3 tightens the floor).
+    # noise; r4's uniform "+7%" read as host load — min-of-5 plus the
+    # calibration probe below make such shifts measurable and separable).
     timings: dict[str, float] = {}
-    for _rep in range(3):
+    for _rep in range(5):
         for name in headline:
             if name in PRE_REP:
                 PRE_REP[name]()
@@ -98,10 +99,17 @@ def main() -> None:
         # stateful operator (cumulative numInputRows), so the fixed
         # expiry-timeout tail doesn't dilute the throughput number.
         "sessionizer_lines_per_sec": _sessionizer_rate(spark),
+        # Host-load calibration: a data-free, IO-free, shuffle-light probe
+        # (sum over a codegen'd range) whose cost depends only on CPU
+        # availability. Round-over-round query-time drift that tracks
+        # this number is co-tenant load, not a plan regression.
+        "calibration_range_sum_sec": _calibration_probe(spark),
         # Scaling evidence: the most expensive headline queries re-timed at
         # a 10x smaller SF. ratio = t(sf)/t(sf/10); ideal < 10 with fixed
         # overheads — a super-linear ratio flags a plan that won't survive
-        # the next 10x.
+        # the next 10x. ITERATIVE_QUERIES adds the graph family (join
+        # count scales with iterations — the most plausible super-linear
+        # risk) even though they are not in the headline set.
         "sf_scaling": _sf_scaling(spark, REGISTRY, timings, sf_dir),
     }
     print(json.dumps(line))
@@ -125,7 +133,56 @@ def _reset_pairs_cache() -> None:
         cache.clear()
 
 
-PRE_REP = {"minhash_lsh_neardups": _reset_pairs_cache}
+PRE_REP = {
+    "minhash_lsh_neardups": _reset_pairs_cache,
+    # The graph family shares the memoized LSH pair / PageRank edge
+    # caches; drop them so each timed run measures the real work.
+    "neardup_components": _reset_pairs_cache,
+    "pagerank_neardup_graph": _reset_pairs_cache,
+}
+
+#: Iterative / multi-round queries whose join count scales with the
+#: iteration count — the most plausible super-linear scaling risk
+#: (round-4 VERDICT #4). Not headline-timed, but always in sf_scaling.
+ITERATIVE_QUERIES = (
+    "pagerank_neardup_graph",
+    "neardup_components",
+    "decontamination_overlap",
+)
+
+
+def _calibration_probe(spark, reps: int = 3) -> float:
+    """Fixed-cost host-load probe: min-of-reps seconds to sum a 400M-row
+    codegen'd range. No IO, no data dependence, one tiny final agg — its
+    runtime moves only with CPU availability on the shared host."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _rep in range(reps + 1):  # +1: first pass is codegen warm-up
+        t0 = time.perf_counter()
+        spark.range(400_000_000).agg(F.sum("id")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        if _rep > 0:
+            best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def _time_query(spark, build, name: str, sf_dir: str, reps: int = 2):
+    """Warm-up + min-of-reps wall time for one registered query at one SF."""
+    if name in PRE_REP:
+        PRE_REP[name]()
+    build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    best = None
+    for _rep in range(reps):
+        if name in PRE_REP:
+            PRE_REP[name]()
+        t0 = time.perf_counter()
+        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def _sf_scaling(
@@ -135,8 +192,9 @@ def _sf_scaling(
     sf_dir: str,
     n_queries: int = 5,
 ) -> dict:
-    """Re-time the n most expensive headline queries at the next SF down
-    (sf/10) and report the runtime ratio alongside the main-SF wall time."""
+    """Re-time the n most expensive headline queries plus the iterative
+    graph family at the next SF down (sf/10) and report the runtime ratio
+    alongside the main-SF wall time."""
     m = re.search(r"sf([0-9.]+)", sf_dir)
     if not m:
         return {}
@@ -147,26 +205,22 @@ def _sf_scaling(
     if small_dir == sf_dir or not os.path.isdir(small_dir):
         return {}
     worst = sorted(timings, key=timings.get, reverse=True)[:n_queries]
+    extras = [
+        q for q in ITERATIVE_QUERIES if q in registry and q not in worst
+    ]
     out: dict[str, dict] = {}
-    for name in worst:
+    for name in worst + extras:
         build = registry[name].spark
-        if name in PRE_REP:
-            PRE_REP[name]()
-        build(spark, small_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()  # warm-up: plan/codegen for the small-SF paths
-        best = None
-        for _rep in range(2):
-            if name in PRE_REP:
-                PRE_REP[name]()
-            t0 = time.perf_counter()
-            build(spark, small_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        ratio = timings[name] / best if best and best > 0 else -1.0
+        if name in timings:
+            big = timings[name]
+        else:
+            # iterative extras are not headline-timed: measure at the
+            # main SF here (same warm-up + min-of-2 protocol)
+            big = _time_query(spark, build, name, sf_dir)
+        best = _time_query(spark, build, name, small_dir)
+        ratio = big / best if best and best > 0 else -1.0
         out[name] = {
+            "big_sec": round(big, 3),
             "small_sec": round(best, 3),
             "ratio": round(ratio, 2),
         }
@@ -218,18 +272,23 @@ def _sessionizer_rate(spark, n_lines: int = 100_000) -> int:
         )
         t0 = time.perf_counter()
         deadline = t0 + 240
-        absorbed = 0
+        # Accumulate numInputRows per batchId across polls: Spark retains
+        # only the last ~100 recentProgress entries, so re-summing the
+        # capped list undercounts once the burst spans >100 triggers
+        # (round-4 ADVICE). The 0.2 s poll against 1 s triggers never
+        # lets >100 new entries land between reads.
+        rows_by_batch: dict[int, int] = {}
         try:
             while time.perf_counter() < deadline:
-                absorbed = sum(
-                    p["numInputRows"] for p in q.recentProgress
-                )
-                if absorbed >= n_lines:
+                for p in q.recentProgress:
+                    rows_by_batch[p["batchId"]] = p["numInputRows"]
+                if sum(rows_by_batch.values()) >= n_lines:
                     break
                 time.sleep(0.2)
             dt = time.perf_counter() - t0
         finally:
             q.stop()
+        absorbed = sum(rows_by_batch.values())
         return int(n_lines / dt) if absorbed >= n_lines and dt > 0 else -1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

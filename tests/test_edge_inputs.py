@@ -189,6 +189,43 @@ class TestNgramUDTF:
         )
         assert spark.sql("SELECT * FROM ngrams('a b c', 0)").count() == 0
 
+    def test_non_ascii_case_fold_matches_native(self, spark):
+        """UDTF tokenization must use ASCII-only folding like
+        operators/text.tokenize — Python str.lower() would map 'İ' to
+        'i'+combining-dot and mint tokens the native path never emits
+        (round-4 ADVICE)."""
+        from spark_streaming_invoice_anomaly_detection_spark.functions.udtfs import (
+            register_udtfs,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.operators.text import (
+            tokenize,
+            word_ngrams,
+        )
+
+        register_udtfs(spark)
+        # Turkish dotted-İ, German ß/SS, fullwidth ＡＢＣ, Cyrillic — all
+        # must be left unfolded; only ASCII A-Z folds.
+        text = "İstanbul GROSSE Straße ＡＢＣ МОСКВА Mixed CASE abc"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        df.createOrReplaceTempView("udtf_unicode_docs")
+        udtf_grams = {
+            r.gram
+            for r in spark.sql(
+                "SELECT g.gram FROM udtf_unicode_docs d, "
+                "LATERAL ngrams(d.text, 2) g"
+            ).collect()
+        }
+        native_grams = set(
+            df.select(
+                word_ngrams(tokenize(F.col("text")), 2).alias("g")
+            ).first()["g"]
+        )
+        assert udtf_grams == native_grams
+        # and the fold really was ASCII-only: 'İstanbul' keeps its İ so
+        # the token is 'stanbul' (İ is non-ASCII, splits the run)
+        assert any("stanbul" in g for g in udtf_grams)
+        assert not any("istanbul" in g for g in udtf_grams)
+
 
 class TestClusterConf:
     def test_sizing_arithmetic(self):
