@@ -21,16 +21,18 @@ _FLAGSHIP_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    """Composite flagship on /root/testdata/sf0.001; driver checks rows>0.
 
     Invoice featurization (SURVEY.md A1/F2, reference Clustering.scala:45-58)
-    re-expressed over lineitem: one hash aggregation with map-side combine.
+    — one hash aggregation with map-side combine — joined to orders and a
+    broadcast customer dim, then ranked per customer with a window: the
+    smoke check exercises agg + join + broadcast + window in one plan.
     """
     from spark_streaming_invoice_anomaly_detection_spark.plans.reference_queries import (
-        q_invoice_featurize,
+        q_invoice_featurize_ranked,
     )
 
-    return q_invoice_featurize(spark, _FLAGSHIP_SF_DIR)
+    return q_invoice_featurize_ranked(spark, _FLAGSHIP_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

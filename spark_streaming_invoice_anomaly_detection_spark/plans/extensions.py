@@ -3163,10 +3163,13 @@ register(
                 SELECT doc_id, n_tokens,
                        row_number() OVER (ORDER BY h, doc_id)
                            AS shuffle_rank,
-                       COALESCE(SUM(n_tokens) OVER (
+                       -- CAST: DuckDB types SUM(BIGINT) as HUGEINT, which
+                       -- pandas renders float64 and the driver's value hash
+                       -- then diverges from Spark's int64 (r5 hash-fail)
+                       CAST(COALESCE(SUM(n_tokens) OVER (
                            ORDER BY h, doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                       ), 0) AS cum_before
+                       ), 0) AS BIGINT) AS cum_before
                 FROM t
             )
             SELECT doc_id, n_tokens, shuffle_rank, cum_before

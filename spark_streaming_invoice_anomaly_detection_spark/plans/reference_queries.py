@@ -140,6 +140,84 @@ register(
 )
 
 # ---------------------------------------------------------------------------
+# Composite flagship: A1 featurization ⋈ customer dim + ranking window
+# (round-5 VERDICT #3 — entry() should exercise >=3 operator classes)
+# ---------------------------------------------------------------------------
+
+
+def q_invoice_featurize_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 invoices per customer by average unit price: the A1 hash
+    aggregation (Clustering.scala:45-58), a key join to ``orders`` for the
+    customer, a broadcast join to the ``customer`` dim, and a per-customer
+    ranking window — agg + join + broadcast + window in one plan, which is
+    what ``entry()`` smoke-checks.
+
+    Scale shape: the agg shuffle carries one row per (mapper, invoice)
+    (map-side combine); the orders join is key-to-primary-key (AQE picks
+    broadcast at small SF, sort-merge at 100 TB); customer is dim-sized ->
+    explicit broadcast; the window partitions by customer, so its sort is
+    per-customer-group, never a global range exchange.
+    """
+    feats = q_invoice_featurize(spark, sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("avg_unit_price").desc(), F.col("invoice_no")
+    )
+    return (
+        feats.join(o, feats["invoice_no"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("price_rank", F.row_number().over(w))
+        .filter(F.col("price_rank") <= 3)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "invoice_no",
+            "avg_unit_price",
+            "number_items",
+            "lines",
+            "price_rank",
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="invoice_featurize_ranked",
+        description="composite flagship: A1 featurization + orders/customer "
+        "joins + per-customer top-3 ranking window",
+        spark=q_invoice_featurize_ranked,
+        oracle=f"""
+            WITH feats AS (
+                SELECT l_orderkey AS invoice_no,
+                       {exact_avg_sql('l_extendedprice', 2)} AS avg_unit_price,
+                       sum(l_quantity) AS number_items,
+                       count(*) AS lines
+                FROM lineitem
+                GROUP BY l_orderkey
+            ), joined AS (
+                SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+                       f.invoice_no, f.avg_unit_price, f.number_items,
+                       f.lines,
+                       row_number() OVER (
+                           PARTITION BY c.c_custkey
+                           ORDER BY f.avg_unit_price DESC, f.invoice_no
+                       ) AS price_rank
+                FROM feats f
+                JOIN orders o ON f.invoice_no = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+            )
+            SELECT * FROM joined WHERE price_rank <= 3
+        """,
+    )
+)
+
+# ---------------------------------------------------------------------------
 # P10: streaming row-validation cascade (InvoicePipeline.scala:260-289)
 # ---------------------------------------------------------------------------
 

@@ -2883,9 +2883,14 @@ register(
                    n_obs,
                    CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
                      AS frac_obs,
-                   ({_BENFORD_LIST_SQL})[digit] AS benford_p,
+                   -- CAST: DuckDB types the float literal list as
+                   -- DECIMAL(18,17); pandas would render object/decimal
+                   -- and the driver's value hash diverges from float64
+                   CAST(({_BENFORD_LIST_SQL})[digit] AS DOUBLE)
+                     AS benford_p,
                    CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
-                   - ({_BENFORD_LIST_SQL})[digit] AS deviation
+                   - CAST(({_BENFORD_LIST_SQL})[digit] AS DOUBLE)
+                     AS deviation
             FROM counts, total
         """,
     )

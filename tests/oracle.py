@@ -69,6 +69,19 @@ def assert_matches_oracle(
     )
     assert len(got) == len(want), f"[{name}] row count: spark={len(got)} duckdb={len(want)}"
     for c in got.columns:
+        # Dtype parity (round-5 VERDICT #2): the driver hashes pandas
+        # REPRESENTATIONS, so int64-vs-float64 on the same column (e.g. a
+        # DuckDB HUGEINT rendering 83 as 83.0) hash-fails at the driver
+        # even when every value compares equal.  _normalize already folds
+        # int widths to int64 and float widths to float64, so any
+        # remaining dtype difference is a real representation divergence.
+        gd, wd = got[c].dtype, want[c].dtype
+        assert gd == wd, (
+            f"[{name}] dtype mismatch on '{c}': spark={gd} duckdb={wd} — "
+            f"values may still compare equal, but the driver's value hash "
+            f"diverges on representation (HUGEINT/DECIMAL oracle output?)"
+        )
+    for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             g = pd.to_numeric(g, errors="coerce").astype("float64")

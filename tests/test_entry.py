@@ -24,6 +24,19 @@ def test_entry_returns_rows(spark):
     assert "invoice_no" in df.columns
 
 
+def test_entry_plan_is_composite(spark):
+    """Round-5 VERDICT #3: entry()'s plan must show a join AND a window
+    (on top of the A1 hash aggregation) so the driver smoke check
+    exercises >=3 operator classes."""
+    mod = _load_entry_module()
+    plan = mod.entry(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan, plan
+    assert "Window" in plan, plan
+    assert "HashAggregate" in plan, plan
+    # the customer dim side must be broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 def test_queries_and_oracles_aligned():
     mod = _load_entry_module()
     qs = mod.queries()
