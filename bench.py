@@ -63,6 +63,11 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # Calibration brackets the timed window (r5 ADVICE: a single probe run
+    # minutes after the headline loop can miss a co-tenant spike confined
+    # to it): one probe immediately before, one after; both reported.
+    cal_pre = _calibration_probe(spark)
+
     # Five timed reps, min per query: the host is shared, so single-shot
     # timings see multi-second noise spikes from co-tenant processes
     # (r2's pricing_summary "+16% regression" was min-of-2 measurement
@@ -79,6 +84,7 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
+    cal_post = _calibration_probe(spark)
     total = round(sum(timings.values()), 3)
     line = {
         "metric": "headline_queries_total_runtime",
@@ -102,8 +108,12 @@ def main() -> None:
         # Host-load calibration: a data-free, IO-free, shuffle-light probe
         # (sum over a codegen'd range) whose cost depends only on CPU
         # availability. Round-over-round query-time drift that tracks
-        # this number is co-tenant load, not a plan regression.
-        "calibration_range_sum_sec": _calibration_probe(spark),
+        # this number is co-tenant load, not a plan regression. Two probes
+        # BRACKET the headline loop (pre/post); the headline key stays the
+        # min of both so its round-over-round series remains comparable.
+        "calibration_range_sum_sec": min(cal_pre, cal_post),
+        "calibration_pre_sec": cal_pre,
+        "calibration_post_sec": cal_post,
         # Scaling evidence: the most expensive headline queries re-timed at
         # a 10x smaller SF. ratio = t(sf)/t(sf/10); ideal < 10 with fixed
         # overheads — a super-linear ratio flags a plan that won't survive
@@ -169,8 +179,13 @@ def _calibration_probe(spark, reps: int = 3) -> float:
     return round(best, 3)
 
 
-def _time_query(spark, build, name: str, sf_dir: str, reps: int = 2):
-    """Warm-up + min-of-reps wall time for one registered query at one SF."""
+def _time_query(spark, build, name: str, sf_dir: str, reps: int = 5):
+    """Warm-up + min-of-reps wall time for one registered query at one SF.
+
+    reps defaults to 5 to MATCH the headline loop's min-of-5 (r5 ADVICE:
+    sf-scaling ratios previously mixed protocols — headline big_sec was
+    min-of-5 but small_sec min-of-2, so a noisy small-SF rep inflated the
+    very ratio used to flag super-linear scaling)."""
     if name in PRE_REP:
         PRE_REP[name]()
     build(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -215,7 +230,7 @@ def _sf_scaling(
             big = timings[name]
         else:
             # iterative extras are not headline-timed: measure at the
-            # main SF here (same warm-up + min-of-2 protocol)
+            # main SF here (same warm-up + min-of-5 protocol)
             big = _time_query(spark, build, name, sf_dir)
         best = _time_query(spark, build, name, small_dir)
         ratio = big / best if best and best > 0 else -1.0
@@ -235,7 +250,23 @@ def _sessionizer_rate(spark, n_lines: int = 100_000) -> int:
     .claude/skills/verify/SKILL.md), so the query runs on a processingTime
     trigger and the clock stops when cumulative numInputRows reaches the
     burst size — input fully absorbed by the stateful operator.
+
+    Since r6 the first (cold) run is an untimed warm-up, matching the
+    headline loop's policy: streaming-query startup + Python-worker spinup
+    + codegen are one-time costs a long-running pipeline amortizes. The
+    r6 warm numbers are therefore NOT comparable to r1-r5's cold ones
+    (profiled cold-vs-warm gap: ~25k vs ~27.5k lines/s stateful, ~49k vs
+    ~123k stateless).
     """
+    best = -1
+    for rep in range(2):  # rep 0 = untimed warm-up
+        rate = _sessionizer_rate_once(spark, n_lines)
+        if rep > 0:
+            best = max(best, rate)
+    return best
+
+
+def _sessionizer_rate_once(spark, n_lines: int) -> int:
     import shutil
     import tempfile
 
@@ -281,7 +312,15 @@ def _sessionizer_rate(spark, n_lines: int = 100_000) -> int:
         try:
             while time.perf_counter() < deadline:
                 for p in q.recentProgress:
-                    rows_by_batch[p["batchId"]] = p["numInputRows"]
+                    # max(), not overwrite (r5 ADVICE): on Spark builds
+                    # that emit zero-row idle progress reusing the last
+                    # batchId (pre-3.4), an overwrite would clobber a real
+                    # batch's count with 0. This build emits
+                    # QueryIdleEvent instead, but don't rely on that.
+                    bid = p["batchId"]
+                    rows_by_batch[bid] = max(
+                        rows_by_batch.get(bid, 0), p["numInputRows"]
+                    )
                 if sum(rows_by_batch.values()) >= n_lines:
                     break
                 time.sleep(0.2)
@@ -296,7 +335,18 @@ def _sessionizer_rate(spark, n_lines: int = 100_000) -> int:
 
 def _streaming_parse_rate(spark, n_lines: int = 100_000) -> int:
     """Lines/sec draining a burst through parse_purchase_lines+route_events
-    with an availableNow trigger (terminates deterministically)."""
+    with an availableNow trigger (terminates deterministically).
+
+    First run is an untimed warm-up since r6 (see _sessionizer_rate)."""
+    best = -1
+    for rep in range(2):  # rep 0 = untimed warm-up
+        rate = _streaming_parse_rate_once(spark, n_lines)
+        if rep > 0:
+            best = max(best, rate)
+    return best
+
+
+def _streaming_parse_rate_once(spark, n_lines: int) -> int:
     import shutil
     import tempfile
 

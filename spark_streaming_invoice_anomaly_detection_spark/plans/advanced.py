@@ -1521,13 +1521,19 @@ def q_value_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n1",
             "n2",
-            (
+            # NULL when either half has no observations (e.g. an event
+            # type introduced mid-window): drift vs "no data" is
+            # undefined, and the unguarded division is a hard error
+            # under ANSI mode. CASE short-circuits, so the division
+            # never evaluates with a zero denominator.
+            F.when(
+                (F.col("n1") > 0) & (F.col("n2") > 0),
                 F.col("num").cast("double")
                 / (
                     F.lit(2.0)
                     * F.col("n1").cast("double")
                     * F.col("n2").cast("double")
-                )
+                ),
             ).alias("tv_distance"),
         )
     )
@@ -1554,10 +1560,11 @@ register(
                 GROUP BY event_type
             )
             SELECT p.event_type, n1, n2,
-                   CAST(sum(abs(CAST(c1 AS HUGEINT) * n2
-                                - CAST(c2 AS HUGEINT) * n1)) AS DOUBLE)
-                   / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
-                     AS tv_distance
+                   CASE WHEN n1 > 0 AND n2 > 0 THEN
+                       CAST(sum(abs(CAST(c1 AS HUGEINT) * n2
+                                    - CAST(c2 AS HUGEINT) * n1)) AS DOUBLE)
+                       / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                   END AS tv_distance
             FROM per_bin p JOIN totals t ON p.event_type = t.event_type
             GROUP BY p.event_type, n1, n2
         """,

@@ -151,7 +151,18 @@ def make_update_fn(timeout_ms: int):
             state.remove()
             return
 
-        batch = _pd.concat(list(pdfs), ignore_index=True)
+        # Hot path: runs once per live group per trigger (~20k groups/batch
+        # in the bench), so per-group pandas overhead is the engine's own
+        # share of the stateful cost (measured ~30 us/group vs a ~110 us
+        # framework floor — see README runbook). Single-chunk batches skip
+        # the concat, and the no-error case (overwhelmingly common) skips
+        # the second mask/filter entirely.
+        chunks = list(pdfs)
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else _pd.concat(chunks, ignore_index=True)
+        )
         prev = state.get if state.exists else ([], [], [], [], [], None)
         quantities, dates, prices, customers, countries, error_reason = (
             list(prev[0]),
@@ -162,21 +173,23 @@ def make_update_fn(timeout_ms: int):
             prev[5],
         )
 
-        errors = batch[batch["error_reason"].notna()]
-        if len(errors):
+        err_na = batch["error_reason"].isna()
+        if not err_na.all():
             # parse error wins the batch: record reason, reset clock,
             # discard this batch's goods (reference :210-219)
-            error_reason = str(errors["error_reason"].iloc[0])
+            error_reason = str(batch["error_reason"][~err_na].iloc[0])
         else:
-            goods = batch[batch["error_reason"].isna()]
-            quantities += [int(q) for q in goods["quantity"]]
-            dates += [d for d in goods["invoice_date"]]
-            prices += [float(p) for p in goods["unit_price"]]
+            # every row is a good line: the batch IS the goods frame
+            quantities += [int(q) for q in batch["quantity"].tolist()]
+            dates += batch["invoice_date"].tolist()
+            prices += [float(p) for p in batch["unit_price"].tolist()]
             customers += [
-                None if _pd.isna(c) else str(c) for c in goods["customer_id"]
+                None if _pd.isna(c) else str(c)
+                for c in batch["customer_id"].tolist()
             ]
             countries += [
-                None if _pd.isna(c) else str(c) for c in goods["country"]
+                None if _pd.isna(c) else str(c)
+                for c in batch["country"].tolist()
             ]
 
         state.update((quantities, dates, prices, customers, countries, error_reason))
