@@ -33,6 +33,7 @@ def main() -> None:
 
     headline = [
         "invoice_featurize",        # flagship hash agg (A1)
+        "invoice_featurize_ranked", # composite flagship: agg+joins+window
         "invoice_featurize_valid",  # agg + join + filter (A1+P8)
         "validation_cascade",       # codegen'd CASE cascade (P10)
         "sliding_window_count",     # 8x window expansion + agg (T4)

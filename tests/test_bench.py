@@ -31,7 +31,7 @@ def test_bench_prints_contract_json():
     assert rec["unit"] == "sec"
     assert rec["value"] > 0
     assert rec["sf"] == 0.001
-    assert len(rec["queries"]) == 17
+    assert len(rec["queries"]) == 18
     assert all(v >= 0 for v in rec["queries"].values())
     # streaming drain rate: positive, and far above the reference
     # simulator's ~200 rec/s ceiling (-1 = did-not-drain sentinel)
