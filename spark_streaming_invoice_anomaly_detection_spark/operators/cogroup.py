@@ -60,13 +60,22 @@ def event_attribution(events: DataFrame, orders: DataFrame) -> DataFrame:
             {"o_orderkey": orders_pdf["o_orderkey"].to_numpy(), "n_events_7d": n}
         )
 
+    # Explicit width on both cogroup inputs: the cost of this stage is
+    # per-GROUP Python dispatch, not shuffle bytes, and AQE's byte-based
+    # coalescing is blind to that — it squeezed 15k pandas groups onto 3
+    # of 32 cores at sf0.1 (measured 23.5 s; ~3 s with the pin). A
+    # user-specified repartition is exempt from AQE coalescing, and a
+    # matching hash partitioning on the cogroup keys satisfies the
+    # operator's required distribution, so no further exchange follows.
+    n = events.sparkSession.sparkContext.defaultParallelism
     return (
         events.select("user_id", "ts")
+        .repartition(n, "user_id")
         .groupBy("user_id")
         .cogroup(
-            orders.select("o_custkey", "o_orderkey", "o_orderdate").groupBy(
-                "o_custkey"
-            )
+            orders.select("o_custkey", "o_orderkey", "o_orderdate")
+            .repartition(n, "o_custkey")
+            .groupBy("o_custkey")
         )
         .applyInPandas(count_recent, schema=_OUT_SCHEMA)
     )

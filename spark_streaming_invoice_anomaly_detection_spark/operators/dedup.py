@@ -293,6 +293,11 @@ def ngram_jaccard_pairs(
     column (a language) is NOT a valid block at 100 TB; for unblocked
     recall use the MinHash-LSH path above and keep this as the verifier.
     """
+    # tokenize/shingle is per-row CPU; a one-file scan runs it on one core
+    # (same guard as minhash_near_dups — measured 12.1 s -> ~2 s at sf0.1)
+    from .layout import spread_if_narrow
+
+    df = spread_if_narrow(df)
     parts = [F.col(block_col).cast("string")]
     parts += [F.col(c).cast("string") for c in extra_block_cols]
     if length_bucket_width:
@@ -373,6 +378,11 @@ def embedding_near_dups(
     Output ids only — the membership test is robust to last-ulp cosine
     differences across engines; the scores live in the rows-only variants.
     """
+    # the RP-LSH signature + pairwise cosine folds are per-row/per-pair
+    # CPU; don't let a one-file embedding scan serialize them
+    from .layout import spread_if_narrow
+
+    df = spread_if_narrow(df)
     cols = [F.col(id_col), F.col(vec_col)]
     block_parts = []
     if block_col:
@@ -387,6 +397,13 @@ def embedding_near_dups(
         cols.append(F.concat_ws("|", *block_parts).alias("block"))
         block_col = "block"  # downstream joins on the composite
     base = df.select(*cols)
+    if block_col:
+        # Pin the verify-join's width: its cost is the per-pair cosine
+        # fold, not shuffle bytes, and AQE's byte-based coalescing would
+        # squeeze it onto 1-2 cores. A user repartition on the join key is
+        # AQE-exempt and satisfies both join children's distribution.
+        n = df.sparkSession.sparkContext.defaultParallelism
+        base = base.repartition(n, "block")
     a = base.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),
@@ -447,8 +464,12 @@ def semantic_dedup_census(
     same-direction near-dups, so sub-blocking costs recall only at the
     decision boundary, exactly like embedding_near_dups' bucketing.
     """
+    from .layout import spread_if_narrow
     from .similarity import ivf_cell_cosine, rp_lsh_signature
 
+    # the per-row cell assignment is |centroids| 64-dim folds: CPU-bound
+    # map work that a one-file scan would serialize
+    df = spread_if_narrow(df)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucket = (
         rp_lsh_signature(F.col(vec_col), sub_planes, dim)
@@ -481,6 +502,13 @@ def semantic_dedup_census(
         F.collect_list(
             F.struct(F.col("_id"), F.col("_v"), F.col("_n"))
         ).alias("members")
+    )
+    # The O(b^2) in-block exists-check below is per-BLOCK CPU, invisible
+    # to AQE's byte-based coalescing (which would pack every block onto
+    # one core). A user repartition is AQE-exempt and spreads blocks
+    # across the cluster; block count is bounded (cells x 2^sub_planes).
+    blocks = blocks.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
     dominated = F.size(
         F.filter(

@@ -2451,8 +2451,13 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     B rows per partition regardless of input size.
     """
     from ..functions.exactmath import scaled_long
+    from ..operators.layout import spread_if_narrow
 
-    orders = _t(spark, sf_dir, "orders").select(
+    # The B-fold explode feeds B md5 evaluations per order into the SCAN
+    # stage, whose width is the file-split count — a one-file sf0.1 scan
+    # ran 15M hashes on 1 core (measured 25 s; ~2 s spread). Same guard
+    # as every other CPU-heavy map stage.
+    orders = spread_if_narrow(_t(spark, sf_dir, "orders")).select(
         "o_orderkey", scaled_long("o_totalprice", 2).alias("cents")
     )
     u = (

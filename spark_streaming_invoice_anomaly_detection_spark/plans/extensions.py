@@ -23,6 +23,7 @@ from ..operators import dedup as D
 from ..operators import graph as G
 from ..operators import similarity as S
 from ..operators import text as X
+from ..operators.layout import spread_if_narrow
 from ..operators.text import h60_sql
 from ..sources.catalog import load_table
 from .registry import QuerySpec, register
@@ -663,7 +664,8 @@ register(
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    # per-row rolling-hash fold over every token: CPU-bound map work
+    docs = spread_if_narrow(load_table(spark, "documents", sf_dir))
     return docs.select(
         "doc_id", X.doc_fingerprint(F.col("text"), n=5).alias("fingerprint")
     )
@@ -1233,9 +1235,10 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the eval side is the benchmark suite — thousands of docs,
     not billions — so its exploded gram set broadcasts; the training side
     streams through map-side explode + one broadcast hash join + one
-    aggregation. No shuffle of the corpus itself.
+    aggregation. No shuffle of the corpus itself (the spread guard is a
+    one-time narrow shuffle of raw rows, not the gram explosion).
     """
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread_if_narrow(load_table(spark, "documents", sf_dir))
     ev = docs.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + _AUG_OFFSET).alias("eval_id"),
         F.substring(F.col("text"), 21, 1_000_000).alias("text"),
@@ -1510,7 +1513,8 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum is an exact integer sum; the error reuses the fold ==
     list_dot_product equivalence proven by the cosine family.
     """
-    emb = load_table(spark, "embeddings", sf_dir)
+    # three 64-element folds per row: CPU-bound map work on a narrow scan
+    emb = spread_if_narrow(load_table(spark, "embeddings", sf_dir))
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(vd, F.abs))
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
@@ -1764,7 +1768,7 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies), deterministic total order (count desc, bigram asc) so
     the limit is stable. TakeOrderedAndProject: no global sort.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread_if_narrow(load_table(spark, "documents", sf_dir))
     toks = X.tokenize(F.col("text"))
     n = F.size(toks)
     grams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
@@ -1981,7 +1985,7 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     first — map-side combine does the heavy lifting), so the cross join
     of per-source sets is a join between compact aggregates, not facts.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread_if_narrow(load_table(spark, "documents", sf_dir))
     grams = (
         docs.select(
             "source",
@@ -2955,12 +2959,18 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     you'd multi-probe neighboring buckets exactly like similarity_topk_lsh
     rather than widen to all-pairs.
     """
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = spread_if_narrow(load_table(spark, "embeddings", sf_dir))
     b = emb.select(
         "vec_id",
         "label",
         "embedding",
         S.rp_lsh_signature("embedding", _LSH_PLANES, 64).alias("bucket"),
+    )
+    # pin the verify-join's width: per-pair cosine cost, not shuffle
+    # bytes, drives this stage — AQE's byte-based coalescing would
+    # serialize it (user repartition on the join key is AQE-exempt)
+    b = b.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "bucket"
     )
     a = b.select(
         F.col("vec_id").alias("id_a"),
