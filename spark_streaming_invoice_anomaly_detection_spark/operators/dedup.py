@@ -396,6 +396,17 @@ def embedding_near_dups(
     if block_parts:
         cols.append(F.concat_ws("|", *block_parts).alias("block"))
         block_col = "block"  # downstream joins on the composite
+    # per-row inverse norm, computed once before the pair join: the
+    # in-pair check is then a single dot fold, not three (the oracle
+    # mirrors the exact arithmetic (dot * inv_a) * inv_b; NULL for a
+    # zero vector, which the >= filter then drops on both engines)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    self_dot = F.aggregate(
+        F.transform(vd, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+    cols.append(
+        F.when(self_dot > 0, F.lit(1.0) / F.sqrt(self_dot)).alias("inv_n")
+    )
     base = df.select(*cols)
     if block_col:
         # Pin the verify-join's width: its cost is the per-pair cosine
@@ -407,19 +418,30 @@ def embedding_near_dups(
     a = base.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),
+        F.col("inv_n").alias("inv_a"),
         *([F.col("block")] if block_col else []),
     )
     b = base.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("v_b"),
+        F.col("inv_n").alias("inv_b"),
         *([F.col("block").alias("block_b")] if block_col else []),
     )
     cond = F.col("id_a") < F.col("id_b")
     if block_col:
         cond = cond & (F.col("block") == F.col("block_b"))
+    dot_ab = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("v_a"), lambda x: x.cast("double")),
+            F.transform(F.col("v_b"), lambda x: x.cast("double")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         a.join(b, cond)
-        .filter(cosine(F.col("v_a"), F.col("v_b")) >= F.lit(threshold))
+        .filter((dot_ab * F.col("inv_a")) * F.col("inv_b") >= F.lit(threshold))
         .select("id_a", "id_b")
     )
 

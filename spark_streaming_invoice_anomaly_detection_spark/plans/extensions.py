@@ -382,19 +382,22 @@ register(
             WITH aug AS ({_AUG_EMB_SQL}),
             bucketed AS (
                 SELECT vec_id, embedding, label,
-                       {_EMB_SIG_SQL} AS bucket
+                       {_EMB_SIG_SQL} AS bucket,
+                       -- per-row inverse norm (NULL for zero vectors),
+                       -- mirroring the engine's precompute; the sim is
+                       -- then (dot * inv_a) * inv_b in the same order
+                       CASE WHEN list_dot_product(embedding, embedding) > 0
+                            THEN 1.0 / sqrt(list_dot_product(embedding,
+                                                             embedding))
+                       END AS inv_n
                 FROM aug
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM bucketed a JOIN bucketed b
               ON a.label = b.label AND a.bucket = b.bucket
                  AND a.vec_id < b.vec_id
-            WHERE (sqrt(list_dot_product(a.embedding, a.embedding))
-                   * sqrt(list_dot_product(b.embedding, b.embedding))) > 0
-              AND list_dot_product(a.embedding, b.embedding)
-                  / (sqrt(list_dot_product(a.embedding, a.embedding))
-                     * sqrt(list_dot_product(b.embedding, b.embedding)))
-                  >= {_EMB_THRESHOLD!r}
+            WHERE (list_dot_product(a.embedding, b.embedding)
+                   * a.inv_n) * b.inv_n >= {_EMB_THRESHOLD!r}
         """,
     )
 )
@@ -2960,11 +2963,22 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than widen to all-pairs.
     """
     emb = spread_if_narrow(load_table(spark, "embeddings", sf_dir))
+    # per-row inverse norm, computed ONCE before the pair join: the
+    # in-pair cosine is then a single dot fold instead of three (dot +
+    # both norms), cutting the verify stage's fold work ~3x. NULL for a
+    # zero vector (no direction) — propagates through the product, and
+    # both engines rank NULLS LAST under the DESC window order. The
+    # oracle mirrors the exact arithmetic: (dot * inv_a) * inv_b.
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    self_dot = F.aggregate(
+        F.transform(vd, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
     b = emb.select(
         "vec_id",
         "label",
         "embedding",
         S.rp_lsh_signature("embedding", _LSH_PLANES, 64).alias("bucket"),
+        F.when(self_dot > 0, F.lit(1.0) / F.sqrt(self_dot)).alias("inv_n"),
     )
     # pin the verify-join's width: per-pair cosine cost, not shuffle
     # bytes, drives this stage — AQE's byte-based coalescing would
@@ -2976,18 +2990,29 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("label_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("inv_n").alias("inv_a"),
         "bucket",
     )
     c = b.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("inv_n").alias("inv_b"),
         F.col("bucket").alias("bucket_b"),
     )
     pairs = a.join(
         c,
         (F.col("bucket") == F.col("bucket_b"))
         & (F.col("label_a") != F.col("label_b")),
+    )
+    dot_ab = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("emb_a"), lambda x: x.cast("double")),
+            F.transform(F.col("emb_b"), lambda x: x.cast("double")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     w = Window.partitionBy("id_a").orderBy(
         F.desc("hard_neg_sim"), F.asc("id_b")
@@ -2998,7 +3023,9 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_a",
             "id_b",
             "label_b",
-            D.cosine(F.col("emb_a"), F.col("emb_b")).alias("hard_neg_sim"),
+            ((dot_ab * F.col("inv_a")) * F.col("inv_b")).alias(
+                "hard_neg_sim"
+            ),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -3019,25 +3046,23 @@ register(
                 FROM embeddings
             ), sigs AS (
                 SELECT vec_id, label, embedding,
-                       {_LSH_SIG_SQL} AS bucket
+                       {_LSH_SIG_SQL} AS bucket,
+                       -- per-row inverse norm, NULL for a zero vector
+                       -- (mirrors Spark: the NULL propagates through the
+                       -- sim product and ranks last under DESC; never
+                       -- 0/0 = NaN, which DuckDB would rank FIRST)
+                       CASE WHEN list_dot_product(embedding, embedding) > 0
+                            THEN 1.0 / sqrt(list_dot_product(embedding,
+                                                             embedding))
+                       END AS inv_n
                 FROM base
             ), pairs AS (
                 SELECT a.vec_id AS id_a, a.label AS label_a,
                        b.vec_id AS id_b, b.label AS label_b,
-                       -- zero-norm guard mirrors Spark's cosine(): NULL,
-                       -- never 0/0 = NaN (which DuckDB would rank FIRST
-                       -- under DESC while Spark ranks NULL last)
-                       CASE WHEN (sqrt(list_dot_product(a.embedding,
-                                                        a.embedding))
-                                  * sqrt(list_dot_product(b.embedding,
-                                                          b.embedding)))
-                                 > 0
-                            THEN list_dot_product(a.embedding, b.embedding)
-                                 / (sqrt(list_dot_product(a.embedding,
-                                                          a.embedding))
-                                    * sqrt(list_dot_product(b.embedding,
-                                                            b.embedding)))
-                       END AS hard_neg_sim
+                       -- same association as the Spark side:
+                       -- (dot * inv_a) * inv_b
+                       (list_dot_product(a.embedding, b.embedding)
+                        * a.inv_n) * b.inv_n AS hard_neg_sim
                 FROM sigs a JOIN sigs b
                   ON a.bucket = b.bucket AND a.label <> b.label
             )
