@@ -144,6 +144,28 @@ class TestRound2Shapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_cpu_heavy_stages_pin_their_width(self, spark, sf_dir, q):
+        """Round-6 fix class: stages whose cost is per-GROUP Python
+        dispatch or per-PAIR folds must carry a user repartition
+        (REPARTITION_BY_NUM — AQE-exempt), because AQE's byte-based
+        coalescing serialized them (cogroup 23.5 s -> 3.0 s at sf0.1,
+        hard negatives 9.9 -> 3.5 s). The spread guard on one-file scans
+        shows up as the same marker via RoundRobinPartitioning."""
+        for name in (
+            "cogroup_event_attribution",   # groupBy().cogroup() widths
+            "hard_negative_mining",        # bucket-join verify width
+            "bootstrap_mean_ci",           # B-fold md5 ladder spread
+            "ngram_jaccard_pairs",         # shingle spread
+            "decontamination_overlap",     # corpus gram-explode spread
+        ):
+            plan = plan_of(q[name](spark, sf_dir))
+            assert "REPARTITION_BY_NUM" in plan, name
+        # dsir's spread sits above its localCheckpoint, which truncates
+        # lineage — the checkpointed per-(doc,bucket) histogram is what
+        # the plan must show instead (Scan ExistingRDD)
+        plan = plan_of(q["dsir_importance_weights"](spark, sf_dir))
+        assert "ExistingRDD" in plan
+
 
 class TestAQESkewJoin:
     def test_skewed_partition_gets_split(self, spark):
