@@ -23,9 +23,14 @@ from .text import h60
 
 
 def cosine_to_query(vec_col: Column | str, query: list[float]) -> Column:
-    """Cosine between each row's vector and a fixed query vector literal."""
+    """Cosine between each row's vector and a fixed query vector literal.
+
+    The literal is ONE F.lit(list) call, not 64 element-wise F.lit calls:
+    driver-side py4j round-trips were the dominant cost of building the
+    embedding family's plans (similarity_topk_lsh spent 3.2 s building vs
+    0.3 s executing at sf0.1); the array literal is value-identical."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = F.lit([float(x) for x in query])
     return cosine(c, q)
 
 
@@ -63,12 +68,18 @@ def rp_lsh_signature(
     vec_col: Column | str, num_planes: int, dim: int
 ) -> Column:
     """Random-projection sign signature packed into an int (bit p = sign of
-    dot(vec, plane_p))."""
+    dot(vec, plane_p)).
+
+    Planes are emitted as whole-array literals from rp_plane_values
+    (bit-identical to the per-component Catalyst folding, see its
+    docstring) — one py4j call per plane instead of ~6 per COMPONENT,
+    which dominated the driver-side build time of every plan using this
+    signature."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     vd = F.transform(v, lambda x: x.cast("double"))
     sig = None
-    for p in range(num_planes):
-        plane = F.array(*[_hyperplane_component(p, d) for d in range(dim)])
+    for p, vals in enumerate(rp_plane_values(num_planes, dim)):
+        plane = F.lit(vals)
         dot = F.aggregate(
             F.zip_with(vd, plane, lambda x, y: x * y),
             F.lit(0.0),
@@ -129,7 +140,8 @@ def dot_py(a: list[float], b: list[float]) -> float:
 
 
 def _dot_const(vd: Column, c: list[float]) -> Column:
-    arr = F.array(*[F.lit(float(x)) for x in c])
+    # one F.lit(list) call, not len(c) element-wise ones (py4j build cost)
+    arr = F.lit([float(x) for x in c])
     return F.aggregate(
         F.zip_with(vd, arr, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
     )

@@ -3574,7 +3574,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             sims = [
                 cosine(
                     F.col("embedding"),
-                    F.array(*[F.lit(float(x)) for x in vec]),
+                    F.lit([float(x) for x in vec]),
                 )
                 for _, vec in picked
             ]
