@@ -18,7 +18,16 @@ join-shape per round; the per-round dataflow below (edges ⋈ labels →
 min-agg → join-back) is deliberately that same shape.
 
 Scale notes: state per round is one (node, comp) table partitioned by
-node — each round is two shuffles of |edges| + |nodes|. Lineage is cut
+node. Propagation is FRONTIER-driven (the delta-iteration shape of
+Flink's iterate-delta and Pregel's vote-to-halt): only labels that
+changed last round send messages, so round k's edge join touches
+|edges incident to the frontier|, not |edges|. Labels only decrease,
+and every decrease is re-sent, so each node has always seen the current
+label of every neighbor — the fixpoint is identical to full
+re-propagation. After round 1 the frontier collapses to the few nodes
+still converging, AQE sees the runtime size of the checkpointed
+frontier and broadcasts it, and the per-round cost drops from
+O(|edges|) shuffled to O(frontier-incident edges). Lineage is cut
 every round with localCheckpoint so the plan doesn't grow with the
 iteration count (a driver-loop requirement Catalyst can't see past).
 This is one of the two driver-loop iterative ops in the engine (with the
@@ -57,9 +66,14 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    # Round 1's frontier is every node (everyone announces its own label);
+    # afterwards only nodes whose label just dropped re-announce. Any
+    # neighbor that did NOT change this round already announced its
+    # current label in an earlier round, so skipping it loses nothing.
+    frontier = labels
     for _ in range(max_iter):
         nbr_min = (
-            edges.join(labels, edges.v == labels.node)
+            edges.join(frontier, edges.v == frontier.node)
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
         )
@@ -80,6 +94,10 @@ def connected_components(
             .localCheckpoint()
         )
         changed = new_labels.filter("changed").limit(1).count()
+        # Both views are filters over the frame just checkpointed — no
+        # recomputation, and the frontier's runtime row count is visible
+        # to AQE for the next round's join-strategy choice.
+        frontier = new_labels.filter("changed").drop("changed")
         labels = new_labels.drop("changed")
         if changed == 0:
             edges.unpersist()
