@@ -55,3 +55,47 @@ def test_components_raises_without_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(pairs, max_iter=1)
+
+
+def test_components_random_graphs_match_union_find(spark):
+    # Frontier-driven propagation (only changed labels re-announce) must
+    # reach the same fixpoint as full re-propagation on every topology.
+    # Long chains are the adversarial case: the min label crosses the
+    # chain one hop per round, so rounds 2+ run entirely off the frontier
+    # — a bug that under-sends from it shows up as a wrong (too-high)
+    # label at the far end, which union-find catches.
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(4):
+        n = 60
+        edges = [(i, i + 1) for i in range(1, 25)]  # 25-node chain
+        edges += [
+            (rng.randrange(30, n), rng.randrange(30, n)) for _ in range(40)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        rng.shuffle(edges)
+
+        parent = list(range(n + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted({x for e in edges for x in e})
+        # canonical = min node id in the component, matching min-label
+        comp_min: dict[int, int] = {}
+        for x in nodes:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        want = {x: comp_min[find(x)] for x in nodes}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.comp for r in connected_components(pairs).collect()}
+        assert got == want, f"trial {trial}"
