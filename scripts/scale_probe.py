@@ -1,0 +1,197 @@
+"""Scale probe: replicate the sf0.1 corpus N-fold at CONSTANT duplicate
+density and time the dedup/graph/embedding family on it.
+
+The per-round bench measures sf0.01 -> sf0.1 scaling ratios; this probe
+extends that curve one more decade (a simulated sf1) without touching the
+read-only testdata. The replication is designed so the near-dup structure
+scales LINEARLY — the property a 100 TB corpus has and a naive
+UNION-ALL-N-copies does not:
+
+- documents: copy k shifts doc_id by k * 10,000,000 (clear of the dedup
+  family's +1e6 augmentation offset). Copy 0 is byte-identical to the
+  base; copies k >= 1 get a deterministic per-document word shuffle
+  (seeded by (k, doc_id)), which destroys the word-3-gram shingles shared
+  with every other copy (cross-copy Jaccard ~ 0) while the within-copy
+  near-dup structure (the +1e6 20-char-drop augmentation) is preserved.
+  Naive identical copies would instead put every doc in a 10-clique —
+  candidate pairs would grow ~N^2 and the probe would measure a corpus
+  100x denser in duplicates than the base, not a 10x bigger corpus.
+- embeddings: copy k shifts vec_id by the same offset and applies one
+  random permutation of the 64 dimensions (seeded by k, identity for
+  copy 0). A coordinate permutation is an isometry: norms and all
+  WITHIN-copy cosines/distances are bit-preserved (the probe corpus has
+  exactly N times the base's semantic-dup structure), while cross-copy
+  cosines scatter to ~0.
+- all other tables are symlinked from the base directory unchanged.
+
+Usage:
+    python scripts/scale_probe.py --copies 10 [--base /root/testdata/sf0.1]
+        [--out /tmp/scale_probe] [--reps 3]
+
+Prints one JSON line: {"copies": N, "queries": {name: {"sec": s, "rows": r}}}.
+Run with --copies 1 first for the like-for-like baseline (same generated
+layout, same timing protocol), then ratio = sec(N) / sec(1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+#: Clear of the +1_000_000 augmentation offset for any base with ids < 9e6.
+COPY_OFFSET = 10_000_000
+
+#: Dedup / graph / embedding queries whose cost is corpus-size-driven.
+PROBE_QUERIES = (
+    "exact_dedup_groups",
+    "minhash_lsh_neardups",
+    "neardup_components",
+    "pagerank_neardup_graph",
+    "simhash_signatures",
+    "embedding_neardup_pairs",
+    "semantic_dedup_census",
+    "similarity_topk_lsh",
+)
+
+
+def _shuffled_words(text: str, rng: random.Random) -> str:
+    words = text.split()
+    rng.shuffle(words)
+    return " ".join(words)
+
+
+def build_documents(base_dir: str, out_dir: str, copies: int) -> int:
+    t = pq.read_table(os.path.join(base_dir, "documents.parquet"))
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    sources = t.column("source").to_pylist()
+
+    out_id: list[int] = []
+    out_text: list[str] = []
+    out_lang: list[str] = []
+    out_source: list[str] = []
+    for k in range(copies):
+        for d, txt, lg, src in zip(doc_ids, texts, langs, sources):
+            out_id.append(d + k * COPY_OFFSET)
+            if k == 0 or txt is None:
+                new_txt = txt
+            else:
+                new_txt = _shuffled_words(txt, random.Random((k << 32) ^ d))
+            out_text.append(new_txt)
+            out_lang.append(lg)
+            out_source.append(src)
+    out = pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+            "lang": pa.array(out_lang, pa.string()),
+            "source": pa.array(out_source, pa.string()),
+            "n_chars": pa.array(
+                [len(x) if x is not None else None for x in out_text], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(out, os.path.join(out_dir, "documents.parquet"))
+    return out.num_rows
+
+
+def build_embeddings(base_dir: str, out_dir: str, copies: int) -> int:
+    t = pq.read_table(os.path.join(base_dir, "embeddings.parquet"))
+    vec_ids = t.column("vec_id").to_pylist()
+    embs = t.column("embedding").to_pylist()
+    labels = t.column("label").to_pylist()
+    dim = len(embs[0])
+
+    out_id: list[int] = []
+    out_emb: list[list[float]] = []
+    out_label: list[int] = []
+    for k in range(copies):
+        perm = list(range(dim))
+        if k > 0:
+            random.Random(k).shuffle(perm)
+        for v, e, lb in zip(vec_ids, embs, labels):
+            out_id.append(v + k * COPY_OFFSET)
+            out_emb.append([e[p] for p in perm] if k > 0 else e)
+            out_label.append(lb)
+    out = pa.table(
+        {
+            "vec_id": pa.array(out_id, pa.int64()),
+            "embedding": pa.array(out_emb, pa.list_(pa.float32())),
+            "label": pa.array(out_label, pa.int32()),
+        }
+    )
+    pq.write_table(out, os.path.join(out_dir, "embeddings.parquet"))
+    return out.num_rows
+
+
+def build_corpus(base_dir: str, out_dir: str, copies: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    n_docs = build_documents(base_dir, out_dir, copies)
+    n_vecs = build_embeddings(base_dir, out_dir, copies)
+    for fname in os.listdir(base_dir):
+        if not fname.endswith(".parquet"):
+            continue
+        if fname in ("documents.parquet", "embeddings.parquet"):
+            continue
+        dst = os.path.join(out_dir, fname)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(base_dir, fname), dst)
+    print(
+        f"built {out_dir}: {n_docs} docs, {n_vecs} vecs ({copies} copies)",
+        file=sys.stderr,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/scale_probe")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    sim_dir = os.path.join(args.out, f"x{args.copies}")
+    build_corpus(args.base, sim_dir, args.copies)
+
+    import bench  # repo-root bench: reuse its cache-reset hooks (PRE_REP)
+    from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
+        REGISTRY,
+        queries,
+    )
+    from spark_streaming_invoice_anomaly_detection_spark.session import get_spark
+
+    queries()
+    spark = get_spark(app_name=f"scale-probe-x{args.copies}")
+
+    results: dict[str, dict[str, float]] = {}
+    for name in PROBE_QUERIES:
+        fn = REGISTRY[name].spark
+        fn(spark, sim_dir).write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(args.reps):
+            if name in bench.PRE_REP:
+                bench.PRE_REP[name]()
+            t0 = time.perf_counter()
+            fn(spark, sim_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        rows = fn(spark, sim_dir).count()
+        results[name] = {"sec": round(best, 3), "rows": rows}
+        print(f"{name}: {best:.3f}s rows={rows}", file=sys.stderr)
+
+    print(json.dumps({"copies": args.copies, "queries": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -462,6 +462,7 @@ def semantic_dedup_census(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_block: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup census (Abbas et al. 2023,
     arXiv:2303.09540): coarse-quantize every embedding to its nearest
@@ -488,6 +489,21 @@ def semantic_dedup_census(
     cells further at scale — a sign hyperplane can never separate
     same-direction near-dups, so sub-blocking costs recall only at the
     decision boundary, exactly like embedding_near_dups' bucketing.
+
+    ``target_block`` > 0 makes the sub-blocking ADAPTIVE: ``sub_planes``
+    becomes the plane budget (the full signature is computed once per
+    row) and the bucket keeps only its low ``p`` bits, where ``p`` is the
+    smallest integer with  N <= len(centroids) * target_block * 2**p  —
+    i.e. the expected block size stays <= ``target_block`` as the corpus
+    grows, so the O(block^2) in-block pair work scales LINEARLY with N
+    instead of quadratically (a fixed plane count holds the block COUNT
+    constant while block SIZE grows with the corpus — at 10x data that is
+    100x pair work, measured 15.6x wall on the x10 scale probe). N rides
+    in on a broadcast one-row count, and the p ladder is exact integer
+    CASE arithmetic so an ANSI oracle can reproduce the bucket bit-for-bit
+    (no log2 / libm). Masking low bits means a corpus that stays small
+    keeps p = 0 (one bucket per cell: full recall inside the cell) and a
+    growing corpus sheds borderline pairs only as it must.
     """
     from .layout import spread_if_narrow
     from .similarity import ivf_cell_cosine, rp_lsh_signature
@@ -523,6 +539,29 @@ def semantic_dedup_census(
         ivf_cell_cosine(F.col(vec_col), centroids).alias("cell"),
         bucket.alias("bucket"),
     )
+    if target_block > 0 and sub_planes > 0:
+        # Adaptive masking: keep the low p signature bits, p = smallest
+        # integer with N <= cap << p (ascending WHEN ladder: first match
+        # wins). The count joins in as a broadcast 1-row aggregate — no
+        # driver round-trip, and the plan stays fully declarative so the
+        # oracle can mirror the arithmetic exactly.
+        cap = len(centroids) * target_block
+        cnt = df.agg(F.count(F.lit(1)).alias("_corpus_n"))
+        # ladder yields the modulus 2**p directly (shiftleft needs a
+        # literal shift count, and 2**p fits comfortably in int32)
+        mod_expr = F.when(F.col("_corpus_n") <= F.lit(cap), F.lit(1))
+        for p in range(1, sub_planes):
+            mod_expr = mod_expr.when(
+                F.col("_corpus_n") <= F.lit(cap << p), F.lit(1 << p)
+            )
+        mod_expr = mod_expr.otherwise(F.lit(1 << sub_planes))
+        base = base.crossJoin(F.broadcast(cnt)).select(
+            "_id",
+            "_v",
+            "_n",
+            "cell",
+            (F.col("bucket") % mod_expr).alias("bucket"),
+        )
     blocks = base.groupBy("cell", "bucket").agg(
         F.collect_list(
             F.struct(F.col("_id"), F.col("_v"), F.col("_n"))

@@ -329,6 +329,11 @@ register(
 _EMB_THRESHOLD = 0.8
 _EMB_PLANES, _EMB_DIM = 4, 64
 
+#: Plane pool size: must cover the largest plane budget any oracle in this
+#: module enumerates (embedding_neardups uses 4, the adaptive SemDeDup
+#: census budget is 8).
+_EMB_PLANE_POOL = 8
+
 
 def _h60_py(s: str) -> int:
     """Driver-side twin of operators.text.h60 (md5 first 15 hex digits)."""
@@ -343,7 +348,7 @@ def _h60_py(s: str) -> int:
 #: literals below are bit-identical to what Catalyst constant-folds).
 _EMB_PLANE_VALS = [
     [_h60_py(f"rp:{p}:{d}") / float(1 << 59) - 1.0 for d in range(_EMB_DIM)]
-    for p in range(_EMB_PLANES)
+    for p in range(_EMB_PLANE_POOL)
 ]
 
 
@@ -3960,7 +3965,19 @@ register(
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_THRESHOLD = 0.9
-_SEMDEDUP_PLANES = 2
+#: Adaptive sub-blocking: plane BUDGET (max signature bits) and the target
+#: expected rows per (cell x bucket) block. The bucket keeps the low p bits
+#: of the 8-plane signature, p = smallest integer with
+#: N <= _IVF_CELLS * _SEMDEDUP_TARGET_BLOCK << p — expected block size
+#: stays <= 125 as the corpus grows, so in-block O(b^2) pair work scales
+#: linearly with N (a fixed plane count measured 15.6x wall at 10x data on
+#: the scale probe: constant block COUNT means block SIZE grows with N and
+#: pair work grows as N^2). At sf0.001/0.01 (N=1000 augmented) p=0 — one
+#: bucket per cell, full in-cell recall; at sf0.1 (N=4000) p=2; at the x10
+#: probe (N=40000) p=6. Both engines compute p from the same exact integer
+#: ladder (no libm).
+_SEMDEDUP_PMAX = 8
+_SEMDEDUP_TARGET_BLOCK = 125
 
 
 def q_semantic_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3975,8 +3992,9 @@ def q_semantic_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         _augmented_embeddings(spark, sf_dir),
         _IVF_CENTROIDS,
         threshold=_SEMDEDUP_THRESHOLD,
-        sub_planes=_SEMDEDUP_PLANES,
+        sub_planes=_SEMDEDUP_PMAX,
         dim=64,
+        target_block=_SEMDEDUP_TARGET_BLOCK,
     )
 
 
@@ -3984,7 +4002,19 @@ _SEMDEDUP_SIG_SQL = " + ".join(
     f"(CASE WHEN list_dot_product(embedding, "
     f"[{', '.join(repr(x) for x in _EMB_PLANE_VALS[p])}]) >= 0 "
     f"THEN {1 << p} ELSE 0 END)"
-    for p in range(_SEMDEDUP_PLANES)
+    for p in range(_SEMDEDUP_PMAX)
+)
+
+#: p ladder (ascending: first match wins), the SQL twin of the operator's
+#: chained F.when — shared integer thresholds, exact on both engines.
+_SEMDEDUP_P_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN corpus_n <= {(_IVF_CELLS * _SEMDEDUP_TARGET_BLOCK) << p} "
+        f"THEN {p}"
+        for p in range(_SEMDEDUP_PMAX)
+    )
+    + f" ELSE {_SEMDEDUP_PMAX} END"
 )
 
 #: Spherical assignment twin of similarity.ivf_cell_cosine: score_i =
@@ -4013,14 +4043,21 @@ register(
             WITH aug AS ({_AUG_EMB_SQL}),
             scores AS (SELECT vec_id, embedding, {_SEM_SCORE_COLS} FROM aug),
             cells AS MATERIALIZED (
-                SELECT vec_id, embedding, {_SEM_CELL_CASE} AS cell,
-                       {_SEMDEDUP_SIG_SQL} AS bucket,
-                       CASE WHEN list_dot_product(embedding, embedding) > 0
-                            THEN 1.0
-                                 / sqrt(list_dot_product(embedding,
-                                                         embedding))
-                       END AS inv_n
-                FROM (SELECT *, {_SEM_GREATEST} AS g FROM scores)
+                SELECT vec_id, embedding, cell,
+                       sig % (1 << ({_SEMDEDUP_P_SQL})) AS bucket,
+                       inv_n
+                FROM (
+                    SELECT vec_id, embedding, {_SEM_CELL_CASE} AS cell,
+                           {_SEMDEDUP_SIG_SQL} AS sig,
+                           CASE WHEN list_dot_product(embedding,
+                                                      embedding) > 0
+                                THEN 1.0
+                                     / sqrt(list_dot_product(embedding,
+                                                             embedding))
+                           END AS inv_n
+                    FROM (SELECT *, {_SEM_GREATEST} AS g FROM scores)
+                )
+                CROSS JOIN (SELECT count(*) AS corpus_n FROM aug)
             ),
             dropped AS (
                 SELECT DISTINCT a.vec_id, a.cell
