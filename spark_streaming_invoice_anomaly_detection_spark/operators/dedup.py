@@ -365,6 +365,7 @@ def embedding_near_dups(
     threshold: float = 0.9,
     lsh_planes: int = 0,
     lsh_dim: int = 64,
+    target_block: int = 0,
 ) -> DataFrame:
     """Pairs of vectors with cosine >= threshold, blocked to bound the join.
 
@@ -377,6 +378,18 @@ def embedding_near_dups(
     vector keep its direction, hence its bucket, so true near-dups are never
     split). More planes => smaller buckets at the usual recall cost near the
     decision boundary.
+
+    ``target_block`` > 0 makes the bucketing ADAPTIVE (same scheme as
+    semantic_dedup_census): ``lsh_planes`` becomes the plane budget and
+    the bucket keeps only the low p signature bits, p = smallest integer
+    with  N <= n_base_blocks * target_block * 2**p  (n_base_blocks =
+    count(DISTINCT block_col), or 1 without one). A fixed plane count
+    holds block COUNT constant while block SIZE grows with the corpus, so
+    candidate pairs grow as N^2; the adaptive mask holds expected block
+    SIZE constant instead, making pair work linear in N. Both the corpus
+    count and the base-block count ride in on one broadcast 1-row
+    aggregate, and the ladder is exact integer arithmetic an ANSI oracle
+    reproduces bit-for-bit.
 
     Output ids only — the membership test is robust to last-ulp cosine
     differences across engines; the scores live in the rows-only variants.
@@ -393,9 +406,30 @@ def embedding_near_dups(
     if lsh_planes > 0:
         from .similarity import rp_lsh_signature
 
-        block_parts.append(
-            rp_lsh_signature(F.col(vec_col), lsh_planes, lsh_dim).cast("string")
-        )
+        sig_col = rp_lsh_signature(F.col(vec_col), lsh_planes, lsh_dim)
+        if target_block > 0:
+            agg_exprs = [F.count(F.lit(1)).alias("_corpus_n")]
+            if block_col:
+                agg_exprs.append(
+                    F.countDistinct(block_col).alias("_base_blocks")
+                )
+            cnt = df.agg(*agg_exprs)
+            if not block_col:
+                cnt = cnt.withColumn("_base_blocks", F.lit(1))
+            # ladder yields the modulus 2**p directly (ascending WHENs,
+            # first match wins); cap grows with the observed base-block
+            # cardinality so a finer block_col relaxes the mask
+            cap = F.col("_base_blocks") * F.lit(target_block)
+            mod = F.when(F.col("_corpus_n") <= cap, F.lit(1))
+            for p in range(1, lsh_planes):
+                mod = mod.when(
+                    F.col("_corpus_n") <= cap * F.lit(1 << p),
+                    F.lit(1 << p),
+                )
+            mod = mod.otherwise(F.lit(1 << lsh_planes))
+            df = df.crossJoin(F.broadcast(cnt))
+            sig_col = sig_col % mod
+        block_parts.append(sig_col.cast("string"))
     if block_parts:
         cols.append(F.concat_ws("|", *block_parts).alias("block"))
         block_col = "block"  # downstream joins on the composite

@@ -330,9 +330,18 @@ _EMB_THRESHOLD = 0.8
 _EMB_PLANES, _EMB_DIM = 4, 64
 
 #: Plane pool size: must cover the largest plane budget any oracle in this
-#: module enumerates (embedding_neardups uses 4, the adaptive SemDeDup
-#: census budget is 8).
+#: module enumerates (the adaptive budgets below are 8).
 _EMB_PLANE_POOL = 8
+
+#: Adaptive RP-LSH sub-blocking for embedding_neardup_pairs: plane budget
+#: and target expected rows per (label x bucket) block. p = smallest
+#: integer with N <= n_labels * 25 << p, so at sf0.001/0.01 (N=1000
+#: augmented, 10 labels) p=2, at sf0.1 (N=4000) p=4 — identical blocks to
+#: the previous fixed-4-plane scheme — and at the x10 probe (N=40000) p=8:
+#: expected block size stays ~25 and pair work stays linear in N (the
+#: fixed scheme measured 6.8x wall at 10x data; pair candidates grow N^2).
+_EMB_PMAX = 8
+_EMB_TARGET_BLOCK = 25
 
 
 def _h60_py(s: str) -> int:
@@ -362,8 +371,9 @@ def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         _augmented_embeddings(spark, sf_dir),
         block_col="label",
         threshold=_EMB_THRESHOLD,
-        lsh_planes=_EMB_PLANES,
+        lsh_planes=_EMB_PMAX,
         lsh_dim=_EMB_DIM,
+        target_block=_EMB_TARGET_BLOCK,
     )
 
 
@@ -374,7 +384,21 @@ def _plane_sql(p: int) -> str:
 _EMB_SIG_SQL = " + ".join(
     f"(CASE WHEN list_dot_product(embedding, {_plane_sql(p)}) >= 0 "
     f"THEN {1 << p} ELSE 0 END)"
-    for p in range(_EMB_PLANES)
+    for p in range(_EMB_PMAX)
+)
+
+#: Modulus ladder (ascending: first match wins), the SQL twin of the
+#: operator's chained F.when — shared integer thresholds, exact on both
+#: engines. n_blocks = count(DISTINCT label) rides in on the same 1-row
+#: cross join as corpus_n.
+_EMB_MOD_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN corpus_n <= n_blocks * {_EMB_TARGET_BLOCK << p} "
+        f"THEN {1 << p}"
+        for p in range(_EMB_PMAX)
+    )
+    + f" ELSE {1 << _EMB_PMAX} END"
 )
 
 register(
@@ -387,15 +411,25 @@ register(
             WITH aug AS ({_AUG_EMB_SQL}),
             bucketed AS (
                 SELECT vec_id, embedding, label,
-                       {_EMB_SIG_SQL} AS bucket,
-                       -- per-row inverse norm (NULL for zero vectors),
-                       -- mirroring the engine's precompute; the sim is
-                       -- then (dot * inv_a) * inv_b in the same order
-                       CASE WHEN list_dot_product(embedding, embedding) > 0
-                            THEN 1.0 / sqrt(list_dot_product(embedding,
+                       sig % ({_EMB_MOD_SQL}) AS bucket,
+                       inv_n
+                FROM (
+                    SELECT vec_id, embedding, label,
+                           {_EMB_SIG_SQL} AS sig,
+                           -- per-row inverse norm (NULL for zero vectors),
+                           -- mirroring the engine's precompute; the sim is
+                           -- then (dot * inv_a) * inv_b in the same order
+                           CASE WHEN list_dot_product(embedding,
+                                                      embedding) > 0
+                                THEN 1.0
+                                     / sqrt(list_dot_product(embedding,
                                                              embedding))
-                       END AS inv_n
-                FROM aug
+                           END AS inv_n
+                    FROM aug
+                )
+                CROSS JOIN (SELECT count(*) AS corpus_n,
+                                   count(DISTINCT label) AS n_blocks
+                            FROM aug)
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM bucketed a JOIN bucketed b
