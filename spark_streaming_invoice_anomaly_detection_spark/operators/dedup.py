@@ -408,6 +408,8 @@ def embedding_near_dups(
 
         sig_col = rp_lsh_signature(F.col(vec_col), lsh_planes, lsh_dim)
         if target_block > 0:
+            from .similarity import adaptive_bucket_modulus
+
             agg_exprs = [F.count(F.lit(1)).alias("_corpus_n")]
             if block_col:
                 agg_exprs.append(
@@ -416,19 +418,14 @@ def embedding_near_dups(
             cnt = df.agg(*agg_exprs)
             if not block_col:
                 cnt = cnt.withColumn("_base_blocks", F.lit(1))
-            # ladder yields the modulus 2**p directly (ascending WHENs,
-            # first match wins); cap grows with the observed base-block
-            # cardinality so a finer block_col relaxes the mask
-            cap = F.col("_base_blocks") * F.lit(target_block)
-            mod = F.when(F.col("_corpus_n") <= cap, F.lit(1))
-            for p in range(1, lsh_planes):
-                mod = mod.when(
-                    F.col("_corpus_n") <= cap * F.lit(1 << p),
-                    F.lit(1 << p),
-                )
-            mod = mod.otherwise(F.lit(1 << lsh_planes))
+            # cap grows with the observed base-block cardinality so a
+            # finer block_col relaxes the mask
             df = df.crossJoin(F.broadcast(cnt))
-            sig_col = sig_col % mod
+            sig_col = sig_col % adaptive_bucket_modulus(
+                F.col("_corpus_n"),
+                F.col("_base_blocks") * F.lit(target_block),
+                lsh_planes,
+            )
         block_parts.append(sig_col.cast("string"))
     if block_parts:
         cols.append(F.concat_ws("|", *block_parts).alias("block"))
@@ -579,16 +576,12 @@ def semantic_dedup_census(
         # wins). The count joins in as a broadcast 1-row aggregate — no
         # driver round-trip, and the plan stays fully declarative so the
         # oracle can mirror the arithmetic exactly.
-        cap = len(centroids) * target_block
+        from .similarity import adaptive_bucket_modulus
+
         cnt = df.agg(F.count(F.lit(1)).alias("_corpus_n"))
-        # ladder yields the modulus 2**p directly (shiftleft needs a
-        # literal shift count, and 2**p fits comfortably in int32)
-        mod_expr = F.when(F.col("_corpus_n") <= F.lit(cap), F.lit(1))
-        for p in range(1, sub_planes):
-            mod_expr = mod_expr.when(
-                F.col("_corpus_n") <= F.lit(cap << p), F.lit(1 << p)
-            )
-        mod_expr = mod_expr.otherwise(F.lit(1 << sub_planes))
+        mod_expr = adaptive_bucket_modulus(
+            F.col("_corpus_n"), len(centroids) * target_block, sub_planes
+        )
         base = base.crossJoin(F.broadcast(cnt)).select(
             "_id",
             "_v",

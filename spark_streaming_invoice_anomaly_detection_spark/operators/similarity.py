@@ -90,6 +90,30 @@ def rp_lsh_signature(
     return sig.cast("int")
 
 
+def adaptive_bucket_modulus(
+    corpus_n: Column, cap: Column | int, budget: int
+) -> Column:
+    """Modulus 2**p for adaptive LSH sub-blocking: p = smallest integer
+    with  corpus_n <= cap * 2**p, clamped to [0, budget] — i.e. keeping
+    the low p bits of a ``budget``-plane signature holds the expected
+    block size at ``cap / base_block_count`` as the corpus grows, so
+    in-block O(b^2) pair work stays linear in N. ``cap`` is
+    base_block_count * target_block_rows (an int or a Column when the
+    base-block cardinality is data-dependent).
+
+    Built as an ascending chained CASE (first match wins) over exact
+    integer thresholds — no log2/libm — so an ANSI oracle reproduces the
+    modulus bit-for-bit from the same shared literals. Callers join the
+    corpus count in as a broadcast 1-row aggregate and compute
+    ``signature % modulus``; a corpus that stays small gets modulus 1
+    (one bucket per base block: full in-block recall)."""
+    cap_col = F.lit(cap) if isinstance(cap, int) else cap
+    mod = F.when(corpus_n <= cap_col, F.lit(1))
+    for p in range(1, budget):
+        mod = mod.when(corpus_n <= cap_col * F.lit(1 << p), F.lit(1 << p))
+    return mod.otherwise(F.lit(1 << budget))
+
+
 def lsh_bucket_vectors(
     df: DataFrame,
     num_planes: int = 8,

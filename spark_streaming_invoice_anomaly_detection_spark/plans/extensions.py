@@ -2987,21 +2987,49 @@ register(
 # ---------------------------------------------------------------------------
 
 
+#: Adaptive RP-LSH bucket for hard-negative mining: plane budget and target
+#: expected rows per bucket (no base block column here — the label is a
+#: join-time inequality, not a block key). p=2 at sf0.001/0.01 (N=500),
+#: p=4 at sf0.1 (N=2000, exactly the previous fixed-4-plane blocks), p=8
+#: at the x10 probe (N=20000).
+_HN_PMAX = 8
+_HN_TARGET_BLOCK = 125
+
+#: SQL twin of the modulus ladder (ascending: first match wins).
+_HN_MOD_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN corpus_n <= {_HN_TARGET_BLOCK << p} THEN {1 << p}"
+        for p in range(_HN_PMAX)
+    )
+    + f" ELSE {1 << _HN_PMAX} END"
+)
+
+
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every embedding, its hardest negative — the most similar vector
     carrying a DIFFERENT label — the pair-mining step of contrastive
     training (triplet/InfoNCE batches want negatives near the anchor).
 
-    All-pairs at corpus scale is quadratic, so candidates come from the
-    same 4-plane RP-LSH bucket (the deterministic h60 hyperplanes the
-    oracle reproduces): the self-join keys on (bucket) with label
-    inequality inside the join, cosine only on surviving pairs, and one
-    row_number window per anchor picks the top with (sim desc, id) ties.
-    Vectors whose bucket holds no cross-label vector drop out — at 100 TB
-    you'd multi-probe neighboring buckets exactly like similarity_topk_lsh
-    rather than widen to all-pairs.
+    All-pairs at corpus scale is quadratic, so candidates come from a
+    shared RP-LSH bucket (the deterministic h60 hyperplanes the oracle
+    reproduces): the self-join keys on (bucket) with label inequality
+    inside the join, cosine only on surviving pairs, and one row_number
+    window per anchor picks the top with (sim desc, id) ties. The bucket
+    is ADAPTIVE (adaptive_bucket_modulus ladder, budget 8 planes, target
+    block 125 rows): expected bucket size stays constant as the corpus
+    grows, so the self-join's pair work stays linear in N instead of
+    quadratic — a fixed plane count holds bucket COUNT constant while
+    bucket SIZE grows. Vectors whose bucket holds no cross-label vector
+    drop out — at 100 TB you'd multi-probe neighboring buckets exactly
+    like similarity_topk_lsh rather than widen to all-pairs.
     """
     emb = spread_if_narrow(load_table(spark, "embeddings", sf_dir))
+    cnt = emb.agg(F.count(F.lit(1)).alias("_corpus_n"))
+    emb = emb.crossJoin(F.broadcast(cnt))
+    hn_mod = S.adaptive_bucket_modulus(
+        F.col("_corpus_n"), _HN_TARGET_BLOCK, _HN_PMAX
+    )
     # per-row inverse norm, computed ONCE before the pair join: the
     # in-pair cosine is then a single dot fold instead of three (dot +
     # both norms), cutting the verify stage's fold work ~3x. NULL for a
@@ -3016,7 +3044,9 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "embedding",
-        S.rp_lsh_signature("embedding", _LSH_PLANES, 64).alias("bucket"),
+        (S.rp_lsh_signature("embedding", _HN_PMAX, 64) % hn_mod).alias(
+            "bucket"
+        ),
         F.when(self_dot > 0, F.lit(1.0) / F.sqrt(self_dot)).alias("inv_n"),
     )
     # pin the verify-join's width: per-pair cosine cost, not shuffle
@@ -3085,16 +3115,24 @@ register(
                 FROM embeddings
             ), sigs AS (
                 SELECT vec_id, label, embedding,
-                       {_LSH_SIG_SQL} AS bucket,
-                       -- per-row inverse norm, NULL for a zero vector
-                       -- (mirrors Spark: the NULL propagates through the
-                       -- sim product and ranks last under DESC; never
-                       -- 0/0 = NaN, which DuckDB would rank FIRST)
-                       CASE WHEN list_dot_product(embedding, embedding) > 0
-                            THEN 1.0 / sqrt(list_dot_product(embedding,
+                       sig % ({_HN_MOD_SQL}) AS bucket,
+                       inv_n
+                FROM (
+                    SELECT vec_id, label, embedding,
+                           {_EMB_SIG_SQL} AS sig,
+                           -- per-row inverse norm, NULL for a zero vector
+                           -- (mirrors Spark: the NULL propagates through
+                           -- the sim product and ranks last under DESC;
+                           -- never 0/0 = NaN, which DuckDB ranks FIRST)
+                           CASE WHEN list_dot_product(embedding,
+                                                      embedding) > 0
+                                THEN 1.0
+                                     / sqrt(list_dot_product(embedding,
                                                              embedding))
-                       END AS inv_n
-                FROM base
+                           END AS inv_n
+                    FROM base
+                )
+                CROSS JOIN (SELECT count(*) AS corpus_n FROM base)
             ), pairs AS (
                 SELECT a.vec_id AS id_a, a.label AS label_a,
                        b.vec_id AS id_b, b.label AS label_b,
