@@ -61,6 +61,7 @@ PROBE_QUERIES = (
     "embedding_neardup_pairs",
     "semantic_dedup_census",
     "similarity_topk_lsh",
+    "hard_negative_mining",
 )
 
 
