@@ -424,3 +424,79 @@ class TestGKPreconditionAtSF:
         # Global corpus sketch: quality_calibration_map's grand-total grid.
         n_docs = docs.count()
         assert n_docs <= _CAL_ACCURACY // 2, (n_docs, _CAL_ACCURACY)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive LSH sub-blocking ladder: the modulus actually bounds expected
+# block size, and the Spark expression matches a pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+def _ladder_py(n: int, cap: int, budget: int) -> int:
+    """Reference: 2**p for the smallest p in [0, budget] with
+    n <= cap * 2**p (budget if none)."""
+    for p in range(budget + 1):
+        if n <= cap * (1 << p):
+            return 1 << p
+    return 1 << budget
+
+
+class TestAdaptiveBucketModulus:
+    @given(
+        st.integers(min_value=0, max_value=10_000_000),
+        st.integers(min_value=1, max_value=100_000),
+        st.integers(min_value=1, max_value=12),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_matches_python_reference(self, spark, n, cap, budget):
+        from spark_streaming_invoice_anomaly_detection_spark.operators.similarity import (
+            adaptive_bucket_modulus,
+        )
+
+        got = (
+            spark.range(1)
+            .select(
+                adaptive_bucket_modulus(
+                    F.lit(n).cast("long"), cap, budget
+                ).alias("m")
+            )
+            .first()[0]
+        )
+        assert got == _ladder_py(n, cap, budget), (n, cap, budget)
+
+    def test_bounds_expected_block_size(self):
+        # the invariant the ladder exists for: n / (base_blocks * mod)
+        # <= target for every n below the budget's ceiling
+        target, budget, base_blocks = 125, 8, 10
+        cap = base_blocks * target
+        for n in [0, 1, cap, cap + 1, 10 * cap, cap << budget]:
+            mod = _ladder_py(n, cap, budget)
+            assert n <= cap * mod or mod == 1 << budget
+            if n <= cap << budget:
+                assert n / (base_blocks * mod) <= target
+
+    def test_registered_ladders_at_driver_sfs(self):
+        # the p values the registered queries see at the external
+        # correctness SFs — pinned so a constant change shows up here,
+        # not in a driver hash-fail
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            _EMB_PMAX,
+            _EMB_TARGET_BLOCK,
+            _HN_PMAX,
+            _HN_TARGET_BLOCK,
+            _SEMDEDUP_PMAX,
+            _SEMDEDUP_TARGET_BLOCK,
+            _IVF_CELLS,
+        )
+
+        # semantic census: augmented corpus, 8 cells
+        cap = _IVF_CELLS * _SEMDEDUP_TARGET_BLOCK
+        assert _ladder_py(1000, cap, _SEMDEDUP_PMAX) == 1  # sf0.001/0.01
+        assert _ladder_py(4000, cap, _SEMDEDUP_PMAX) == 4  # sf0.1
+        # embedding near-dups: augmented corpus, 10 labels
+        cap = 10 * _EMB_TARGET_BLOCK
+        assert _ladder_py(1000, cap, _EMB_PMAX) == 4
+        assert _ladder_py(4000, cap, _EMB_PMAX) == 16  # fixed-scheme twin
+        # hard negatives: raw corpus, no base blocks
+        assert _ladder_py(500, _HN_TARGET_BLOCK, _HN_PMAX) == 4
+        assert _ladder_py(2000, _HN_TARGET_BLOCK, _HN_PMAX) == 16
