@@ -62,6 +62,14 @@ PROBE_QUERIES = (
     "semantic_dedup_census",
     "similarity_topk_lsh",
     "hard_negative_mining",
+    "dsir_importance_weights",
+    "decontamination_overlap",
+    "contamination_closure",
+    "neardup_keep_best",
+    "neardup_triangle_census",
+    "doc_surprisal_bits",
+    "token_budget_sample",
+    "corpus_shuffle",
 )
 
 
