@@ -406,9 +406,11 @@ def embedding_near_dups(
     if lsh_planes > 0:
         from .similarity import rp_lsh_signature
 
-        sig_col = rp_lsh_signature(F.col(vec_col), lsh_planes, lsh_dim)
         if target_block > 0:
-            from .similarity import adaptive_bucket_modulus
+            from .similarity import (
+                adaptive_bucket_modulus,
+                rp_lsh_bucket_guarded,
+            )
 
             agg_exprs = [F.count(F.lit(1)).alias("_corpus_n")]
             if block_col:
@@ -419,13 +421,21 @@ def embedding_near_dups(
             if not block_col:
                 cnt = cnt.withColumn("_base_blocks", F.lit(1))
             # cap grows with the observed base-block cardinality so a
-            # finer block_col relaxes the mask
+            # finer block_col relaxes the mask; the guarded signature
+            # only evaluates the plane folds the modulus admits
             df = df.crossJoin(F.broadcast(cnt))
-            sig_col = sig_col % adaptive_bucket_modulus(
-                F.col("_corpus_n"),
-                F.col("_base_blocks") * F.lit(target_block),
+            sig_col = rp_lsh_bucket_guarded(
+                F.col(vec_col),
                 lsh_planes,
+                lsh_dim,
+                adaptive_bucket_modulus(
+                    F.col("_corpus_n"),
+                    F.col("_base_blocks") * F.lit(target_block),
+                    lsh_planes,
+                ),
             )
+        else:
+            sig_col = rp_lsh_signature(F.col(vec_col), lsh_planes, lsh_dim)
         block_parts.append(sig_col.cast("string"))
     if block_parts:
         cols.append(F.concat_ws("|", *block_parts).alias("block"))
@@ -537,17 +547,34 @@ def semantic_dedup_census(
     growing corpus sheds borderline pairs only as it must.
     """
     from .layout import spread_if_narrow
-    from .similarity import ivf_cell_cosine, rp_lsh_signature
+    from .similarity import (
+        adaptive_bucket_modulus,
+        ivf_cell_cosine,
+        rp_lsh_bucket_guarded,
+        rp_lsh_signature,
+    )
 
     # the per-row cell assignment is |centroids| 64-dim folds: CPU-bound
     # map work that a one-file scan would serialize
     df = spread_if_narrow(df)
+    if target_block > 0 and sub_planes > 0:
+        # adaptive: the corpus count rides in on a broadcast 1-row
+        # aggregate, the ladder turns it into a power-of-two modulus,
+        # and the guarded signature only EVALUATES the plane folds the
+        # modulus admits — unused budget planes cost nothing per-row
+        cnt = df.agg(F.count(F.lit(1)).alias("_corpus_n"))
+        df = df.crossJoin(F.broadcast(cnt))
+        mod_expr = adaptive_bucket_modulus(
+            F.col("_corpus_n"), len(centroids) * target_block, sub_planes
+        )
+        bucket = rp_lsh_bucket_guarded(
+            F.col(vec_col), sub_planes, dim, mod_expr
+        )
+    elif sub_planes > 0:
+        bucket = rp_lsh_signature(F.col(vec_col), sub_planes, dim)
+    else:
+        bucket = F.lit(0)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bucket = (
-        rp_lsh_signature(F.col(vec_col), sub_planes, dim)
-        if sub_planes > 0
-        else F.lit(0)
-    )
 
     def dot(a: Column, b: Column) -> Column:
         return F.aggregate(
@@ -570,25 +597,6 @@ def semantic_dedup_census(
         ivf_cell_cosine(F.col(vec_col), centroids).alias("cell"),
         bucket.alias("bucket"),
     )
-    if target_block > 0 and sub_planes > 0:
-        # Adaptive masking: keep the low p signature bits, p = smallest
-        # integer with N <= cap << p (ascending WHEN ladder: first match
-        # wins). The count joins in as a broadcast 1-row aggregate — no
-        # driver round-trip, and the plan stays fully declarative so the
-        # oracle can mirror the arithmetic exactly.
-        from .similarity import adaptive_bucket_modulus
-
-        cnt = df.agg(F.count(F.lit(1)).alias("_corpus_n"))
-        mod_expr = adaptive_bucket_modulus(
-            F.col("_corpus_n"), len(centroids) * target_block, sub_planes
-        )
-        base = base.crossJoin(F.broadcast(cnt)).select(
-            "_id",
-            "_v",
-            "_n",
-            "cell",
-            (F.col("bucket") % mod_expr).alias("bucket"),
-        )
     blocks = base.groupBy("cell", "bucket").agg(
         F.collect_list(
             F.struct(F.col("_id"), F.col("_v"), F.col("_n"))

@@ -90,6 +90,36 @@ def rp_lsh_signature(
     return sig.cast("int")
 
 
+def rp_lsh_bucket_guarded(
+    vec_col: Column | str, budget: int, dim: int, mod_col: Column
+) -> Column:
+    """Adaptive-COST RP-LSH bucket: bit p contributes — and its 64-dim
+    dot fold EVALUATES — only when 2**p < mod (CASE short-circuits
+    per-row in both codegen and interpreted eval), so planes beyond what
+    the current corpus size needs are free. For mod a power of two the
+    guarded sum is bit-identical to ``rp_lsh_signature(...) % mod``:
+    masking keeps exactly the bits with 2**p < mod. This is what lets
+    the plane BUDGET sit far above any tested corpus (the ladder
+    ceiling is where pair work turns quadratic again) without taxing
+    small corpora with unused fold work."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vd = F.transform(v, lambda x: x.cast("double"))
+    sig = None
+    for p, vals in enumerate(rp_plane_values(budget, dim)):
+        plane = F.lit(vals)
+        dot = F.aggregate(
+            F.zip_with(vd, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        term = F.when(
+            F.lit(1 << p) < mod_col,
+            F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)),
+        ).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sig.cast("int")
+
+
 def adaptive_bucket_modulus(
     corpus_n: Column, cap: Column | int, budget: int
 ) -> Column:

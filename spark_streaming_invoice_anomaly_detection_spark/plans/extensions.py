@@ -330,8 +330,10 @@ _EMB_THRESHOLD = 0.8
 _EMB_PLANES, _EMB_DIM = 4, 64
 
 #: Plane pool size: must cover the largest plane budget any oracle in this
-#: module enumerates (the adaptive budgets below are 8).
-_EMB_PLANE_POOL = 8
+#: module enumerates (the adaptive budgets below are 12 — the budget
+#: ceiling is where pair work turns quadratic again, so it sits at
+#: 125 * 2^12 rows per base block, two decades past the x30 probe).
+_EMB_PLANE_POOL = 12
 
 #: Adaptive RP-LSH sub-blocking for embedding_neardup_pairs: plane budget
 #: and target expected rows per (label x bucket) block. p = smallest
@@ -340,7 +342,7 @@ _EMB_PLANE_POOL = 8
 #: the previous fixed-4-plane scheme — and at the x10 probe (N=40000) p=8:
 #: expected block size stays ~25 and pair work stays linear in N (the
 #: fixed scheme measured 6.8x wall at 10x data; pair candidates grow N^2).
-_EMB_PMAX = 8
+_EMB_PMAX = 12
 _EMB_TARGET_BLOCK = 25
 
 
@@ -381,11 +383,21 @@ def _plane_sql(p: int) -> str:
     return "[" + ", ".join(repr(x) for x in _EMB_PLANE_VALS[p]) + "]"
 
 
-_EMB_SIG_SQL = " + ".join(
-    f"(CASE WHEN list_dot_product(embedding, {_plane_sql(p)}) >= 0 "
-    f"THEN {1 << p} ELSE 0 END)"
-    for p in range(_EMB_PMAX)
-)
+def _guarded_sig_sql(budget: int) -> str:
+    """SQL twin of similarity.rp_lsh_bucket_guarded: bit p contributes —
+    and its dot product evaluates (CASE short-circuits in DuckDB too) —
+    only when 2**p < mod_; identical to the full signature % mod_ for a
+    power-of-two mod_. Expects columns ``embedding`` and ``mod_``."""
+    def plane(p: int) -> str:
+        return "[" + ", ".join(repr(x) for x in _EMB_PLANE_VALS[p]) + "]"
+
+    return " + ".join(
+        f"(CASE WHEN {1 << p} < mod_ THEN "
+        f"(CASE WHEN list_dot_product(embedding, {plane(p)}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END) ELSE 0 END)"
+        for p in range(budget)
+    )
+
 
 #: Modulus ladder (ascending: first match wins), the SQL twin of the
 #: operator's chained F.when — shared integer thresholds, exact on both
@@ -411,11 +423,11 @@ register(
             WITH aug AS ({_AUG_EMB_SQL}),
             bucketed AS (
                 SELECT vec_id, embedding, label,
-                       sig % ({_EMB_MOD_SQL}) AS bucket,
+                       {_guarded_sig_sql(_EMB_PMAX)} AS bucket,
                        inv_n
                 FROM (
                     SELECT vec_id, embedding, label,
-                           {_EMB_SIG_SQL} AS sig,
+                           {_EMB_MOD_SQL} AS mod_,
                            -- per-row inverse norm (NULL for zero vectors),
                            -- mirroring the engine's precompute; the sim is
                            -- then (dot * inv_a) * inv_b in the same order
@@ -426,10 +438,10 @@ register(
                                                              embedding))
                            END AS inv_n
                     FROM aug
+                    CROSS JOIN (SELECT count(*) AS corpus_n,
+                                       count(DISTINCT label) AS n_blocks
+                                FROM aug)
                 )
-                CROSS JOIN (SELECT count(*) AS corpus_n,
-                                   count(DISTINCT label) AS n_blocks
-                            FROM aug)
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM bucketed a JOIN bucketed b
@@ -2991,8 +3003,10 @@ register(
 #: expected rows per bucket (no base block column here — the label is a
 #: join-time inequality, not a block key). p=2 at sf0.001/0.01 (N=500),
 #: p=4 at sf0.1 (N=2000, exactly the previous fixed-4-plane blocks), p=8
-#: at the x10 probe (N=20000).
-_HN_PMAX = 8
+#: at the x10 probe (N=20000), p=9 at x30 — the x30 run against an 8-plane
+#: budget measured 7.3x wall (ceiling reached, blocks growing again);
+#: budget 12 restores the constant-block regime to ~512k vectors.
+_HN_PMAX = 12
 _HN_TARGET_BLOCK = 125
 
 #: SQL twin of the modulus ladder (ascending: first match wins).
@@ -3016,7 +3030,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces): the self-join keys on (bucket) with label inequality
     inside the join, cosine only on surviving pairs, and one row_number
     window per anchor picks the top with (sim desc, id) ties. The bucket
-    is ADAPTIVE (adaptive_bucket_modulus ladder, budget 8 planes, target
+    is ADAPTIVE (adaptive_bucket_modulus ladder, budget 12 planes, target
     block 125 rows): expected bucket size stays constant as the corpus
     grows, so the self-join's pair work stays linear in N instead of
     quadratic — a fixed plane count holds bucket COUNT constant while
@@ -3044,7 +3058,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "embedding",
-        (S.rp_lsh_signature("embedding", _HN_PMAX, 64) % hn_mod).alias(
+        S.rp_lsh_bucket_guarded("embedding", _HN_PMAX, 64, hn_mod).alias(
             "bucket"
         ),
         F.when(self_dot > 0, F.lit(1.0) / F.sqrt(self_dot)).alias("inv_n"),
@@ -3115,11 +3129,11 @@ register(
                 FROM embeddings
             ), sigs AS (
                 SELECT vec_id, label, embedding,
-                       sig % ({_HN_MOD_SQL}) AS bucket,
+                       {_guarded_sig_sql(_HN_PMAX)} AS bucket,
                        inv_n
                 FROM (
                     SELECT vec_id, label, embedding,
-                           {_EMB_SIG_SQL} AS sig,
+                           {_HN_MOD_SQL} AS mod_,
                            -- per-row inverse norm, NULL for a zero vector
                            -- (mirrors Spark: the NULL propagates through
                            -- the sim product and ranks last under DESC;
@@ -3131,8 +3145,8 @@ register(
                                                              embedding))
                            END AS inv_n
                     FROM base
+                    CROSS JOIN (SELECT count(*) AS corpus_n FROM base)
                 )
-                CROSS JOIN (SELECT count(*) AS corpus_n FROM base)
             ), pairs AS (
                 SELECT a.vec_id AS id_a, a.label AS label_a,
                        b.vec_id AS id_b, b.label AS label_b,
@@ -4039,7 +4053,7 @@ register(
 _SEMDEDUP_THRESHOLD = 0.9
 #: Adaptive sub-blocking: plane BUDGET (max signature bits) and the target
 #: expected rows per (cell x bucket) block. The bucket keeps the low p bits
-#: of the 8-plane signature, p = smallest integer with
+#: of the 12-plane signature, p = smallest integer with
 #: N <= _IVF_CELLS * _SEMDEDUP_TARGET_BLOCK << p — expected block size
 #: stays <= 125 as the corpus grows, so in-block O(b^2) pair work scales
 #: linearly with N (a fixed plane count measured 15.6x wall at 10x data on
@@ -4048,7 +4062,7 @@ _SEMDEDUP_THRESHOLD = 0.9
 #: bucket per cell, full in-cell recall; at sf0.1 (N=4000) p=2; at the x10
 #: probe (N=40000) p=6. Both engines compute p from the same exact integer
 #: ladder (no libm).
-_SEMDEDUP_PMAX = 8
+_SEMDEDUP_PMAX = 12
 _SEMDEDUP_TARGET_BLOCK = 125
 
 
@@ -4070,23 +4084,17 @@ def q_semantic_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEMDEDUP_SIG_SQL = " + ".join(
-    f"(CASE WHEN list_dot_product(embedding, "
-    f"[{', '.join(repr(x) for x in _EMB_PLANE_VALS[p])}]) >= 0 "
-    f"THEN {1 << p} ELSE 0 END)"
-    for p in range(_SEMDEDUP_PMAX)
-)
-
-#: p ladder (ascending: first match wins), the SQL twin of the operator's
-#: chained F.when — shared integer thresholds, exact on both engines.
-_SEMDEDUP_P_SQL = (
+#: Modulus ladder (ascending: first match wins), the SQL twin of the
+#: operator's chained F.when — shared integer thresholds, exact on both
+#: engines.
+_SEMDEDUP_MOD_SQL = (
     "CASE "
     + " ".join(
         f"WHEN corpus_n <= {(_IVF_CELLS * _SEMDEDUP_TARGET_BLOCK) << p} "
-        f"THEN {p}"
+        f"THEN {1 << p}"
         for p in range(_SEMDEDUP_PMAX)
     )
-    + f" ELSE {_SEMDEDUP_PMAX} END"
+    + f" ELSE {1 << _SEMDEDUP_PMAX} END"
 )
 
 #: Spherical assignment twin of similarity.ivf_cell_cosine: score_i =
@@ -4116,11 +4124,11 @@ register(
             scores AS (SELECT vec_id, embedding, {_SEM_SCORE_COLS} FROM aug),
             cells AS MATERIALIZED (
                 SELECT vec_id, embedding, cell,
-                       sig % (1 << ({_SEMDEDUP_P_SQL})) AS bucket,
+                       {_guarded_sig_sql(_SEMDEDUP_PMAX)} AS bucket,
                        inv_n
                 FROM (
                     SELECT vec_id, embedding, {_SEM_CELL_CASE} AS cell,
-                           {_SEMDEDUP_SIG_SQL} AS sig,
+                           {_SEMDEDUP_MOD_SQL} AS mod_,
                            CASE WHEN list_dot_product(embedding,
                                                       embedding) > 0
                                 THEN 1.0
@@ -4128,8 +4136,8 @@ register(
                                                              embedding))
                            END AS inv_n
                     FROM (SELECT *, {_SEM_GREATEST} AS g FROM scores)
+                    CROSS JOIN (SELECT count(*) AS corpus_n FROM aug)
                 )
-                CROSS JOIN (SELECT count(*) AS corpus_n FROM aug)
             ),
             dropped AS (
                 SELECT DISTINCT a.vec_id, a.cell
