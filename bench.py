@@ -159,6 +159,12 @@ ITERATIVE_QUERIES = (
     "pagerank_neardup_graph",
     "neardup_components",
     "decontamination_overlap",
+    # the adaptive-bucket family: their sf ratio is the regression signal
+    # for the constant-block-size guarantee (scripts/scale_probe.py
+    # extends the same curve to x10/x30)
+    "semantic_dedup_census",
+    "embedding_neardup_pairs",
+    "hard_negative_mining",
 )
 
 
