@@ -295,6 +295,19 @@ def ngram_jaccard_pairs(
     length, so same-bucket is where the signal lives). A single unbounded
     column (a language) is NOT a valid block at 100 TB; for unblocked
     recall use the MinHash-LSH path above and keep this as the verifier.
+
+    Scale boundary (measured: x10/x1 wall 10.4 on the scale probe, the
+    edge of linear): every component of the composite key has FIXED
+    cardinality, so block size — and with it the quadratic pair term —
+    grows linearly with the corpus. Unlike the RP-LSH families, exact
+    Jaccard admits no adaptive sub-bucket that preserves recall (a hash
+    of any token subset splits true pairs; narrowing the length bucket
+    sheds boundary pairs — at threshold 0.05 a qualifying pair's token
+    counts may differ 20x). That irreducibility is the reason MinHash
+    exists: at production scale generate candidates with
+    lsh_candidate_pairs (banded buckets whose COUNT grows with content)
+    and run this exact check per candidate pair, keeping the blocked
+    all-pairs form for corpora whose per-block volume is known-bounded.
     """
     # tokenize/shingle is per-row CPU; a one-file scan runs it on one core
     # (same guard as minhash_near_dups — measured 12.1 s -> ~2 s at sf0.1)
