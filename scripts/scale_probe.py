@@ -144,20 +144,56 @@ def build_embeddings(base_dir: str, out_dir: str, copies: int) -> int:
     return out.num_rows
 
 
+def build_events(base_dir: str, out_dir: str, copies: int) -> int:
+    """events x N as TRAFFIC growth: copy k shifts event_id and user_id
+    by k * COPY_OFFSET and keeps ts/type/value/props — N x the users over
+    the SAME time range, so per-window event density grows N x while
+    per-user session structure is preserved (the realistic way an event
+    stream scales; stretching time instead would keep density constant
+    and hide any per-window blowup). The parquet is rewritten with the
+    source schema so ts keeps its TIMESTAMP(NANOS) physical type (the
+    reader config under test expects it)."""
+    t = pq.read_table(os.path.join(base_dir, "events.parquet"))
+    cols = {name: t.column(name) for name in t.schema.names}
+    import pyarrow.compute as pc
+
+    parts = []
+    for k in range(copies):
+        off = pa.scalar(k * COPY_OFFSET, pa.int64())
+        parts.append(
+            pa.table(
+                {
+                    "event_id": pc.add(cols["event_id"], off),
+                    "ts": cols["ts"],
+                    "user_id": pc.add(cols["user_id"], off),
+                    "event_type": cols["event_type"],
+                    "value": cols["value"],
+                    "props": cols["props"],
+                },
+                schema=t.schema,
+            )
+        )
+    out = pa.concat_tables(parts)
+    pq.write_table(out, os.path.join(out_dir, "events.parquet"))
+    return out.num_rows
+
+
 def build_corpus(base_dir: str, out_dir: str, copies: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     n_docs = build_documents(base_dir, out_dir, copies)
     n_vecs = build_embeddings(base_dir, out_dir, copies)
+    n_ev = build_events(base_dir, out_dir, copies)
     for fname in os.listdir(base_dir):
         if not fname.endswith(".parquet"):
             continue
-        if fname in ("documents.parquet", "embeddings.parquet"):
+        if fname in ("documents.parquet", "embeddings.parquet", "events.parquet"):
             continue
         dst = os.path.join(out_dir, fname)
         if not os.path.exists(dst):
             os.symlink(os.path.join(base_dir, fname), dst)
     print(
-        f"built {out_dir}: {n_docs} docs, {n_vecs} vecs ({copies} copies)",
+        f"built {out_dir}: {n_docs} docs, {n_vecs} vecs, {n_ev} events "
+        f"({copies} copies)",
         file=sys.stderr,
     )
 
