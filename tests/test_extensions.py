@@ -591,3 +591,65 @@ class TestCusumDailyDrift:
         # the synthetic data trends, so the detector must actually fire
         # somewhere AND stay quiet somewhere (non-degenerate both ways)
         assert 0 < fired < len(rows)
+
+
+class TestAdaptiveBucketHighPParity:
+    def test_high_p_oracle_parity(self, spark, tmp_path):
+        """Engine/oracle parity for the adaptive-bucket family at ladder
+        depths the shipped testdata never reaches: a generated 12k-vector
+        corpus drives the census to p=5 and the pair/negative queries to
+        p=7 (the sf0.1 sweep tops out at p=4 / p=2), so the guarded
+        signature and the modulus ladder are value-checked on BOTH
+        engines in their deep regime, not just asserted by the unit
+        ladder test. Vectors are deterministic (seeded); labels cycle
+        0..9 to mirror the real table's fixed cardinality."""
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import duckdb
+
+        from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
+            REGISTRY,
+            queries,
+        )
+        from tests.oracle import assert_matches_oracle
+
+        queries()
+        n, dim = 12_000, 64
+        rng = np.random.default_rng(20260815)
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    vecs.tolist(), pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    [i % 10 for i in range(n)], pa.int32()
+                ),
+            }
+        )
+        d = str(tmp_path / "sf_highp")
+        os.makedirs(d)
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        # duckdb_con binds views for all 10 tables eagerly; this corpus
+        # only has embeddings, so create just that view
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')"
+        )
+        for name in (
+            "semantic_dedup_census",
+            "embedding_neardup_pairs",
+            "hard_negative_mining",
+        ):
+            assert_matches_oracle(
+                REGISTRY[name].spark(spark, d),
+                con,
+                REGISTRY[name].oracle,
+                name,
+            )
