@@ -10,9 +10,12 @@ UNION-ALL-N-copies does not:
 - documents: copy k shifts doc_id by k * 10,000,000 (clear of the dedup
   family's +1e6 augmentation offset). Copy 0 is byte-identical to the
   base; copies k >= 1 get a deterministic per-document word shuffle
-  (seeded by (k, doc_id)), which destroys the word-3-gram shingles shared
-  with every other copy (cross-copy Jaccard ~ 0) while the within-copy
-  near-dup structure (the +1e6 20-char-drop augmentation) is preserved.
+  seeded by (k, md5(text)) — keying on the TEXT, not the doc_id, so two
+  byte-identical base documents shuffle identically within a copy and the
+  base's NATURAL exact/near-dup groups survive in every copy at constant
+  density (r6 ADVICE: a (k, doc_id) seed shuffled identical texts apart,
+  quietly thinning natural dup density to ~1/N of the base). Cross-copy
+  the shuffles still differ (k is in the seed), so cross-copy Jaccard ~ 0.
   Naive identical copies would instead put every doc in a 10-clique —
   candidate pairs would grow ~N^2 and the probe would measure a corpus
   100x denser in duplicates than the base, not a 10x bigger corpus.
@@ -80,23 +83,36 @@ def _shuffled_words(text: str, rng: random.Random) -> str:
 
 
 def build_documents(base_dir: str, out_dir: str, copies: int) -> int:
+    import hashlib
+
     t = pq.read_table(os.path.join(base_dir, "documents.parquet"))
     doc_ids = t.column("doc_id").to_pylist()
     texts = t.column("text").to_pylist()
     langs = t.column("lang").to_pylist()
     sources = t.column("source").to_pylist()
+    # per-TEXT hash (computed once, reused across copies): identical base
+    # texts share a hash, hence a shuffle seed within each copy — natural
+    # dup groups replicate at constant density instead of dissolving
+    text_seed = [
+        None
+        if txt is None
+        else int.from_bytes(hashlib.md5(txt.encode()).digest()[:8], "big")
+        for txt in texts
+    ]
 
     out_id: list[int] = []
     out_text: list[str] = []
     out_lang: list[str] = []
     out_source: list[str] = []
     for k in range(copies):
-        for d, txt, lg, src in zip(doc_ids, texts, langs, sources):
+        for d, txt, lg, src, ts in zip(
+            doc_ids, texts, langs, sources, text_seed
+        ):
             out_id.append(d + k * COPY_OFFSET)
             if k == 0 or txt is None:
                 new_txt = txt
             else:
-                new_txt = _shuffled_words(txt, random.Random((k << 32) ^ d))
+                new_txt = _shuffled_words(txt, random.Random((k << 64) ^ ts))
             out_text.append(new_txt)
             out_lang.append(lg)
             out_source.append(src)

@@ -379,10 +379,6 @@ def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_sql(p: int) -> str:
-    return "[" + ", ".join(repr(x) for x in _EMB_PLANE_VALS[p]) + "]"
-
-
 def _guarded_sig_sql(budget: int) -> str:
     """SQL twin of similarity.rp_lsh_bucket_guarded: bit p contributes —
     and its dot product evaluates (CASE short-circuits in DuckDB too) —

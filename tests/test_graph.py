@@ -97,5 +97,11 @@ def test_components_random_graphs_match_union_find(spark):
         want = {x: comp_min[find(x)] for x in nodes}
 
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-        got = {r.node: r.comp for r in connected_components(pairs).collect()}
+        # max_iter=40: the 25-node chain needs 24 propagation rounds + 1
+        # quiescent round — exactly the default 25, so the default would
+        # sit on the no-fixpoint boundary (r6 ADVICE); give it headroom.
+        got = {
+            r.node: r.comp
+            for r in connected_components(pairs, max_iter=40).collect()
+        }
         assert got == want, f"trial {trial}"
