@@ -149,6 +149,7 @@ PRE_REP = {
     # The graph family shares the memoized LSH pair / PageRank edge
     # caches; drop them so each timed run measures the real work.
     "neardup_components": _reset_pairs_cache,
+    "neardup_components_star": _reset_pairs_cache,
     "pagerank_neardup_graph": _reset_pairs_cache,
 }
 

@@ -59,6 +59,7 @@ PROBE_QUERIES = (
     "exact_dedup_groups",
     "minhash_lsh_neardups",
     "neardup_components",
+    "neardup_components_star",
     "pagerank_neardup_graph",
     "simhash_signatures",
     "embedding_neardup_pairs",

@@ -6,16 +6,20 @@ graph". Transitivity is what pairs can't express: if A~B and B~C, then
 A, B, C must collapse to one canonical doc even though (A, C) was never a
 candidate pair.
 
-The iteration is min-label propagation: every node starts as its own
-component, then repeatedly adopts the smallest label among itself and its
-neighbors. It converges in O(graph diameter) rounds — and near-dup
-similarity graphs are short: clusters are stars/cliques around a source
-doc (diameter ≤ ~3), not long chains. For adversarial long-chain graphs at
-100 TB the published upgrade is the alternating large-star/small-star
-algorithm (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14) which converges in O(log n) rounds with the same
-join-shape per round; the per-round dataflow below (edges ⋈ labels →
-min-agg → join-back) is deliberately that same shape.
+Two interchangeable iteration schemes (same fixpoint, pinned against each
+other and union-find in tests/test_graph.py):
+
+- min-label propagation (default): every node starts as its own component,
+  then repeatedly adopts the smallest label among itself and its
+  neighbors. Converges in O(graph diameter) rounds — and near-dup
+  similarity graphs are short: clusters are stars/cliques around a source
+  doc (diameter ≤ ~3), not long chains.
+- alternating large-star/small-star (``algorithm="star"``; Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC'14):
+  converges in O(log n) rounds regardless of diameter — the variant an
+  adversarial long-chain graph at 100 TB needs, trading per-round cost
+  (the edge set itself is rewritten: two joins + two distincts) for
+  diameter independence.
 
 Scale notes: state per round is one (node, comp) table partitioned by
 node. Propagation is FRONTIER-driven (the delta-iteration shape of
@@ -46,6 +50,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = smallest
     node id reachable through the pair graph.
@@ -53,7 +58,26 @@ def connected_components(
     ``pairs`` is consumed as an undirected edge list (both orientations are
     added here). Raises if the propagation hasn't converged after
     ``max_iter`` rounds — near-dup graphs converge in a handful.
+
+    ``algorithm`` picks the iteration scheme; both reach the identical
+    fixpoint (pinned against each other and union-find in tests/test_graph):
+
+    - ``"propagation"`` (default): frontier-driven min-label propagation,
+      O(diameter) rounds. The right choice for near-dup similarity graphs,
+      whose components are stars/cliques of diameter <= ~3 — each round is
+      one join + one agg and the frontier collapses after round 1.
+    - ``"star"``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14),
+      O(log n) rounds regardless of diameter. The adversarial-topology
+      path: a 100 TB graph with long chains (linked page chains, temporal
+      id threads) would cost propagation O(chain length) rounds but this
+      variant O(log n) — at the price of rewriting the EDGE set each round
+      (two joins + two distincts) instead of touching only the frontier.
     """
+    if algorithm == "star":
+        return _cc_star(pairs, src, dst, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -106,17 +130,111 @@ def connected_components(
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
 
+def _cc_star(
+    pairs: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Edges are kept in canonical (a < b) orientation; each round rewrites
+    the edge set twice and the set converges — in O(log n) rounds — to the
+    star graph rooted at each component's minimum:
+
+    - LARGE-STAR, per center u over its full neighborhood N(u): link every
+      LARGER neighbor v > u to m = min(N(u) + {u}). Runs over the
+      symmetric view so each undirected edge is processed from both ends.
+    - SMALL-STAR, per center u over its SMALLER neighbors (u is the 'b'
+      side of the canonical orientation): link every smaller neighbor and
+      u itself to m = min of the smaller neighbors.
+
+    Both steps only ever connect nodes already connected (paths through
+    the center), so components are preserved; the potential function of
+    Kiveris et al. halves every alternation, giving the O(log n) bound.
+    Convergence = the small-star output equals the round's input edge set,
+    at which point every edge is (component-min, member).
+
+    Self-loops in ``pairs`` contribute a node but no edge; like the
+    propagation variant, every node appearing in ``pairs`` gets a label
+    row (singletons label themselves).
+    """
+    canon = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # nodes captured up front: star rounds rewrite edges, and a component
+    # min drops out of the 'b' side entirely at the fixpoint
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .unionByName(pairs.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = canon
+    for _ in range(max_iter):
+        # -- large-star over the symmetric neighborhood view
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.least(F.col("u"), F.col("mn")).alias("a"),
+                F.col("v").alias("b"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # -- small-star over the canonical (smaller-neighbor) orientation:
+        # center b, neighbors a < b, m = min(a)
+        smins = large.groupBy("b").agg(F.min("a").alias("mn"))
+        small = (
+            large.join(smins, "b")
+            .filter(F.col("a") != F.col("mn"))
+            .select(F.col("mn").alias("a"), F.col("a").alias("b"))
+            .unionByName(
+                smins.select(F.col("mn").alias("a"), F.col("b").alias("b"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint test: the rewritten set equals the round's input
+        # (cheap count gate first; exceptAll only when counts agree)
+        n_new = small.count()
+        if n_new == edges.count():
+            if small.exceptAll(edges).limit(1).count() == 0:
+                edges = small
+                break
+        edges = small
+    else:
+        raise RuntimeError(
+            f"connected_components[star]: no fixpoint in {max_iter} rounds"
+        )
+    # at the fixpoint every edge is (root, member); roots label themselves
+    labels = edges.select(F.col("b").alias("node"), F.col("a").alias("comp"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce(F.col("comp"), F.col("node")).alias("comp"))
+    )
+
+
 def dedup_canonical(
     pairs: DataFrame,
     all_ids: DataFrame,
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(doc_id, canonical_id, is_kept): every doc mapped to its component
     minimum (docs without any near-dup edge are their own canonical).
     The downstream dedup filter is just ``is_kept``."""
-    comp = connected_components(pairs, src, dst)
+    comp = connected_components(pairs, src, dst, algorithm=algorithm)
     return (
         all_ids.select(F.col(id_col))
         .join(comp, all_ids[id_col] == comp.node, "left")

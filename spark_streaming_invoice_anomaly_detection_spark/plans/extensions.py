@@ -1149,13 +1149,9 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.dedup_canonical(pairs, aug.select("doc_id"), "doc_id")
 
 
-register(
-    QuerySpec(
-        name="neardup_components",
-        description="connected components over MinHash near-dup pairs -> "
-        "canonical doc per component (iterative min-label propagation)",
-        spark=q_neardup_components,
-        oracle=f"""
+#: Shared by the propagation and star variants: both reach the identical
+#: component fixpoint, so one recursive-CTE oracle serves both.
+_COMPONENTS_ORACLE = f"""
             WITH RECURSIVE pairs AS MATERIALIZED ({_MINHASH_ORACLE}),
             edges AS MATERIALIZED (
                 SELECT id_a AS u, id_b AS v FROM pairs
@@ -1179,7 +1175,40 @@ register(
                    coalesce(c.comp, d.doc_id) AS canonical_id,
                    d.doc_id = coalesce(c.comp, d.doc_id) AS is_kept
             FROM aug_ids d LEFT JOIN comp c ON d.doc_id = c.node
-        """,
+        """
+
+register(
+    QuerySpec(
+        name="neardup_components",
+        description="connected components over MinHash near-dup pairs -> "
+        "canonical doc per component (iterative min-label propagation)",
+        spark=q_neardup_components,
+        oracle=_COMPONENTS_ORACLE,
+    )
+)
+
+
+def q_neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same canonical mapping via the alternating large-star/small-star
+    scheme (Kiveris et al. SoCC'14, operators/graph.py:_cc_star) —
+    O(log n) rounds regardless of graph diameter, the variant an
+    adversarial long-chain graph needs at 100 TB. Identical fixpoint,
+    identical oracle."""
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = _near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    return G.dedup_canonical(
+        pairs, aug.select("doc_id"), "doc_id", algorithm="star"
+    )
+
+
+register(
+    QuerySpec(
+        name="neardup_components_star",
+        description="connected components via alternating large-star/"
+        "small-star (O(log n) rounds, diameter-independent) — same "
+        "fixpoint and oracle as neardup_components",
+        spark=q_neardup_components_star,
+        oracle=_COMPONENTS_ORACLE,
     )
 )
 

@@ -105,3 +105,54 @@ def test_components_random_graphs_match_union_find(spark):
             for r in connected_components(pairs, max_iter=40).collect()
         }
         assert got == want, f"trial {trial}"
+        # the star variant must reach the identical fixpoint — and in
+        # O(log n) rounds: the 25-node chain that costs propagation 24
+        # rounds converges well inside 10 star alternations
+        got_star = {
+            r.node: r.comp
+            for r in connected_components(
+                pairs, max_iter=10, algorithm="star"
+            ).collect()
+        }
+        assert got_star == want, f"star trial {trial}"
+
+
+def test_star_components_basic_topologies(spark):
+    # same topologies as the propagation test: chain (the case star exists
+    # for), clique, pair; self-loop node 30 kept as its own singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21),
+         (30, 30)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.comp
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+        30: 30,
+    }
+
+
+def test_star_long_chain_logarithmic_rounds(spark):
+    # a 64-node chain needs ~63 propagation rounds but must converge in
+    # O(log n) star alternations — 12 is generous headroom over log2(64)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.comp
+        for r in connected_components(
+            pairs, max_iter=12, algorithm="star"
+        ).collect()
+    }
+    assert got == {i: 1 for i in range(1, 65)}
+
+
+def test_components_rejects_unknown_algorithm(spark):
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(pairs, algorithm="bogus")
