@@ -33,6 +33,8 @@ def test_bench_prints_contract_json():
     assert rec["sf"] == 0.001
     assert len(rec["queries"]) == 18
     assert all(v >= 0 for v in rec["queries"].values())
-    # streaming drain rate: positive, and far above the reference
+    # streaming drain rates: positive, and far above the reference
     # simulator's ~200 rec/s ceiling (-1 = did-not-drain sentinel)
     assert rec["streaming_parse_lines_per_sec"] > 1000
+    assert rec["drift_monitor_lines_per_sec"] > 1000
+    assert rec["expectations_lines_per_sec"] > 1000
