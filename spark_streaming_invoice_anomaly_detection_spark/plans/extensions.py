@@ -363,20 +363,29 @@ _EMB_PLANE_VALS = [
 ]
 
 
-def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidates blocked by label x RP-LSH bucket (sign bits against 4
-    fixed hyperplanes), exact cosine as the verifier — the bare label block
-    of round 1 was an unbounded O(n^2) self-join; the bucket splits it
-    16-ways and scales by adding planes. Scaled planted copies keep their
-    direction, hence their bucket."""
-    return D.embedding_near_dups(
-        _augmented_embeddings(spark, sf_dir),
-        block_col="label",
-        threshold=_EMB_THRESHOLD,
-        lsh_planes=_EMB_PMAX,
-        lsh_dim=_EMB_DIM,
-        target_block=_EMB_TARGET_BLOCK,
-    )
+def _q_embedding_neardups_at(target_block: int):
+    """Builder factory: same adaptive pipeline at a given target block
+    size (the standard 25-row census query, plus a deep-ladder variant
+    whose small target forces a high modulus even at driver SFs)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return D.embedding_near_dups(
+            _augmented_embeddings(spark, sf_dir),
+            block_col="label",
+            threshold=_EMB_THRESHOLD,
+            lsh_planes=_EMB_PMAX,
+            lsh_dim=_EMB_DIM,
+            target_block=target_block,
+        )
+
+    return q
+
+
+#: Candidates blocked by label x adaptive RP-LSH bucket, exact cosine as
+#: the verifier — the bare label block of round 1 was an unbounded O(n^2)
+#: self-join. Scaled planted copies keep their direction, hence their
+#: bucket.
+q_embedding_neardups = _q_embedding_neardups_at(_EMB_TARGET_BLOCK)
 
 
 def _guarded_sig_sql(budget: int) -> str:
@@ -395,27 +404,24 @@ def _guarded_sig_sql(budget: int) -> str:
     )
 
 
-#: Modulus ladder (ascending: first match wins), the SQL twin of the
-#: operator's chained F.when — shared integer thresholds, exact on both
-#: engines. n_blocks = count(DISTINCT label) rides in on the same 1-row
-#: cross join as corpus_n.
-_EMB_MOD_SQL = (
-    "CASE "
-    + " ".join(
-        f"WHEN corpus_n <= n_blocks * {_EMB_TARGET_BLOCK << p} "
-        f"THEN {1 << p}"
-        for p in range(_EMB_PMAX)
+def _emb_mod_sql(target_block: int) -> str:
+    """Modulus ladder (ascending: first match wins), the SQL twin of the
+    operator's chained F.when — shared integer thresholds, exact on both
+    engines. n_blocks = count(DISTINCT label) rides in on the same 1-row
+    cross join as corpus_n."""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN corpus_n <= n_blocks * {target_block << p} "
+            f"THEN {1 << p}"
+            for p in range(_EMB_PMAX)
+        )
+        + f" ELSE {1 << _EMB_PMAX} END"
     )
-    + f" ELSE {1 << _EMB_PMAX} END"
-)
 
-register(
-    QuerySpec(
-        name="embedding_neardup_pairs",
-        description="pairwise cosine >= 0.8 within label x RP-LSH-bucket "
-        "blocks over embeddings + planted scaled copies",
-        spark=q_embedding_neardups,
-        oracle=f"""
+
+def _emb_neardup_oracle(target_block: int) -> str:
+    return f"""
             WITH aug AS ({_AUG_EMB_SQL}),
             bucketed AS (
                 SELECT vec_id, embedding, label,
@@ -423,7 +429,7 @@ register(
                        inv_n
                 FROM (
                     SELECT vec_id, embedding, label,
-                           {_EMB_MOD_SQL} AS mod_,
+                           {_emb_mod_sql(target_block)} AS mod_,
                            -- per-row inverse norm (NULL for zero vectors),
                            -- mirroring the engine's precompute; the sim is
                            -- then (dot * inv_a) * inv_b in the same order
@@ -445,7 +451,33 @@ register(
                  AND a.vec_id < b.vec_id
             WHERE (list_dot_product(a.embedding, b.embedding)
                    * a.inv_n) * b.inv_n >= {_EMB_THRESHOLD!r}
-        """,
+        """
+
+
+register(
+    QuerySpec(
+        name="embedding_neardup_pairs",
+        description="pairwise cosine >= 0.8 within label x RP-LSH-bucket "
+        "blocks over embeddings + planted scaled copies",
+        spark=q_embedding_neardups,
+        oracle=_emb_neardup_oracle(_EMB_TARGET_BLOCK),
+    )
+)
+
+#: Deep-ladder variant (r6 VERDICT #6): target_block=1 forces the adaptive
+#: modulus to a DEEP step even at driver SFs — at sf0.01 (N=1000 augmented,
+#: 10 labels) the ladder picks p=7 (modulus 128) vs the standard query's
+#: p=2, so the engine/oracle parity of the guarded signature's high planes
+#: gets an external CORRECTNESS row, not just the local hypothesis pin
+#: (tests/test_extensions.py). Planted scaled copies share every sign bit
+#: (same direction), so recall on true dups is depth-independent.
+register(
+    QuerySpec(
+        name="embedding_neardup_pairs_deep",
+        description="adaptive RP-LSH near-dup pairs at target_block=1: "
+        "deep modulus ladder step (p~7 at sf0.01) exercised end-to-end",
+        spark=_q_embedding_neardups_at(1),
+        oracle=_emb_neardup_oracle(1),
     )
 )
 
