@@ -142,7 +142,19 @@ def _reset_pairs_cache() -> None:
     _PAIRS_CACHE — legitimately shared by four graph queries in a real
     session); for an honest timing the cache is dropped before each timed
     run, otherwise the number measures a cache read (~0.06 s) instead of
-    the banded-LSH work. Applies to BOTH the main loop and _sf_scaling."""
+    the banded-LSH work. Applies to BOTH the main loop and _sf_scaling.
+
+    clearCache() is required on top of the per-frame unpersists (r7
+    protocol fix): minhash_near_dups persists its shingle frame
+    INTERNALLY and never unpersists it, and Spark's CacheManager matches
+    the next rep's identical plan against that entry — so r1-r6 minhash/
+    components/pagerank timings measured warm-shingle-cache runs (~5.6 s
+    vs ~55 s cold for the full pipeline on the x10 probe corpus, before
+    the shingle-stage fixes landed alongside this). The r7 series is
+    cold-per-rep and NOT comparable to r6 for these three queries; the
+    README runbook row records both protocols' numbers."""
+    from pyspark.sql import SparkSession
+
     from spark_streaming_invoice_anomaly_detection_spark.plans import (
         extensions as _ext,
     )
@@ -151,6 +163,9 @@ def _reset_pairs_cache() -> None:
         for df in cache.values():
             df.unpersist()
         cache.clear()
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.catalog.clearCache()
 
 
 PRE_REP = {

@@ -221,6 +221,12 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of PROBE_QUERIES (default: all) — "
+        "e.g. the adaptive trio for the deep x100 decade",
+    )
     args = ap.parse_args()
 
     sim_dir = os.path.join(args.out, f"x{args.copies}")
@@ -236,8 +242,15 @@ def main() -> None:
     queries()
     spark = get_spark(app_name=f"scale-probe-x{args.copies}")
 
+    probe_queries = (
+        tuple(args.queries.split(",")) if args.queries else PROBE_QUERIES
+    )
+    unknown = [q for q in probe_queries if q not in PROBE_QUERIES]
+    if unknown:
+        raise SystemExit(f"not in PROBE_QUERIES: {unknown}")
+
     results: dict[str, dict[str, float]] = {}
-    for name in PROBE_QUERIES:
+    for name in probe_queries:
         fn = REGISTRY[name].spark
         fn(spark, sim_dir).write.format("noop").mode("overwrite").save()  # warm
         best = float("inf")

@@ -78,11 +78,16 @@ def minhash_stages(spark, sf_dir: str, reps: int) -> dict[str, float]:
         _augmented_docs,
     )
 
+    from spark_streaming_invoice_anomaly_detection_spark.operators.text import (
+        tokenize,
+    )
+
     def fresh_shingled():
+        # mirrors minhash_near_dups' r7 shape: token-count prefilter (not
+        # a size(shingles) post-filter) + hoisted-token shingle projection
         df = spread_if_narrow(_augmented_docs(spark, sf_dir))
-        return D.shingle_docs(df, "text", "doc_id", _MH_NGRAM).filter(
-            F.size("shingles") > 0
-        )
+        df = df.filter(F.size(tokenize(F.col("text"))) >= F.lit(_MH_NGRAM))
+        return D.shingle_docs(df, "text", "doc_id", _MH_NGRAM)
 
     out: dict[str, float] = {}
 

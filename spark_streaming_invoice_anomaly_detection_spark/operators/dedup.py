@@ -76,9 +76,21 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
 def shingle_docs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram: int = 3
 ) -> DataFrame:
-    """Documents -> distinct word-ngram shingle arrays (empty docs kept)."""
-    return df.select(
-        F.col(id_col), word_ngrams(tokenize(F.col(text_col)), ngram).alias("shingles")
+    """Documents -> distinct word-ngram shingle arrays (empty docs kept).
+
+    The token array is HOISTED into its own projection before the n-gram
+    transform references it (from ``size`` and from every lambda
+    position): handed the raw ``tokenize(text)`` expression,
+    CollapseProject inlines it per reference and the regexp tokenizer
+    re-runs several times per row — the dominant term of the old 54 s
+    shingle stage on the x10 scale corpus (now ~1 s). Multi-use
+    projection boundaries are load-bearing here; don't collapse them.
+    """
+    toks = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    )
+    return toks.select(
+        F.col(id_col), word_ngrams(F.col("_toks"), ngram).alias("shingles")
     )
 
 
@@ -192,9 +204,17 @@ def minhash_near_dups(
     # md5('')), forming one quadratic candidate bucket of short docs that
     # Jaccard-0 verification then discards. Filter them before banding:
     # same output, no degenerate bucket at scale (mirrors the oracle's sh2
-    # CTE in plans/extensions.py).
-    shingled = shingle_docs(df, text_col, id_col, ngram).filter(
-        F.size("shingles") > 0
+    # CTE in plans/extensions.py). The predicate is the TOKEN count, not
+    # size(shingles) — equivalent by construction (word_ngrams is empty
+    # iff tokens < ngram), and a size(shingles)>0 filter pushed through
+    # the projection re-evaluated the whole shingle expression in an
+    # interpreted (non-codegen) Filter: measured 54 s vs 5 s for the
+    # identical stage on the x10 scale corpus.
+    shingled = shingle_docs(
+        df.filter(F.size(tokenize(F.col(text_col))) >= F.lit(ngram)),
+        text_col,
+        id_col,
+        ngram,
     )
     if cache_shingles:
         from pyspark import StorageLevel
@@ -314,17 +334,27 @@ def ngram_jaccard_pairs(
     from .layout import spread_if_narrow
 
     df = spread_if_narrow(df)
+    # one hoisted tokenize serves both the length-bucket block part and
+    # the shingle transform (the un-hoisted form ran the regexp once per
+    # consumer; see shingle_docs)
+    toks = df.select(
+        F.col(id_col),
+        *[F.col(block_col)],
+        *[F.col(c) for c in extra_block_cols],
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
     parts = [F.col(block_col).cast("string")]
     parts += [F.col(c).cast("string") for c in extra_block_cols]
     if length_bucket_width:
-        n_tokens = F.size(tokenize(F.col(text_col)))
         parts.append(
-            F.floor(n_tokens / F.lit(length_bucket_width)).cast("string")
+            F.floor(F.size("_toks") / F.lit(length_bucket_width)).cast(
+                "string"
+            )
         )
-    shingled = df.select(
+    shingled = toks.select(
         F.col(id_col),
         F.concat_ws("|", *parts).alias("block"),
-        word_ngrams(tokenize(F.col(text_col)), ngram).alias("shingles"),
+        word_ngrams(F.col("_toks"), ngram).alias("shingles"),
     )
     a = shingled.select(
         F.col(id_col).alias("id_a"), F.col("block"), F.col("shingles").alias("sh_a")

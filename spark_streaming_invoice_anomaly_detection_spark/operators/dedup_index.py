@@ -51,9 +51,20 @@ def _prepare(
     (shorter than the ngram) carry no LSH evidence and are excluded from
     BOTH relations — mirroring the batch pipeline's degenerate-bucket
     filter."""
+    # token-count prefilter, not a size(shingles)>0 post-filter: the
+    # pushed-through post-filter re-evaluated the whole shingle expression
+    # in an interpreted Filter (see minhash_near_dups); equivalent by
+    # construction (word_ngrams is empty iff tokens < ngram)
+    from .text import tokenize
+
     sh = shingle_docs(
-        spread_if_narrow(df), text_col=text_col, id_col=id_col, ngram=ngram
-    ).filter(F.size("shingles") > 0)
+        spread_if_narrow(df).filter(
+            F.size(tokenize(F.col(text_col))) >= F.lit(ngram)
+        ),
+        text_col=text_col,
+        id_col=id_col,
+        ngram=ngram,
+    )
     sigs = sh.select(
         id_col, minhash_signature(F.col("shingles"), num_hashes).alias("signature")
     )

@@ -153,16 +153,41 @@ def word_ngrams(tokens: Column, n: int) -> Column:
 
     Guarded for short docs: Spark's sequence(1, 0) would count DOWN
     ([1, 0]), so fewer-than-n tokens must short-circuit to an empty array.
+
+    Grams are built with per-position ``element_at`` + one flat ``concat``
+    rather than ``concat_ws(" ", slice(tokens, i, n))``: the slice form
+    allocates a sub-array per gram position and measured 2.8x slower on
+    the x10 scale corpus (2.11 s vs 0.75 s for the shingle projection).
+    Output is byte-identical — regexp tokens are never null, so the flat
+    concat with literal separators equals concat_ws.
+
+    ``tokens`` is LET-BOUND before use: the expression is wrapped in a
+    1-element array and entered through a ``transform`` lambda, so
+    whatever the caller passes — typically the full ``tokenize(text)``
+    regexp — is evaluated ONCE per row and every reference inside the
+    gram builder is a cheap bound-variable read. Referencing the raw
+    expression from the lambda body instead re-evaluates it per GRAM
+    (measured 9.3 s vs 0.5 s for the x10 shingle projection); callers
+    that hoist into their own projection (dedup.shingle_docs) skip even
+    the single re-wrap.
     """
-    count = F.size(tokens) - (n - 1)
-    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), count),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-            )
+
+    def grams(ts: Column) -> Column:
+        count = F.size(ts) - (n - 1)
+
+        def gram(i: Column) -> Column:
+            parts: list[Column] = []
+            for j in range(n):
+                if j:
+                    parts.append(F.lit(" "))
+                parts.append(F.element_at(ts, i + F.lit(j)))
+            return F.concat(*parts)
+
+        return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(F.transform(F.sequence(F.lit(1), count), gram))
         )
-    )
+
+    return F.element_at(F.transform(F.array(tokens), grams), 1)
 
 
 def doc_fingerprint(text_col: Column | str, n: int = 5) -> Column:
