@@ -330,10 +330,16 @@ _EMB_THRESHOLD = 0.8
 _EMB_PLANES, _EMB_DIM = 4, 64
 
 #: Plane pool size: must cover the largest plane budget any oracle in this
-#: module enumerates (the adaptive budgets below are 12 — the budget
-#: ceiling is where pair work turns quadratic again, so it sits at
-#: 125 * 2^12 rows per base block, two decades past the x30 probe).
-_EMB_PLANE_POOL = 12
+#: module enumerates. The adaptive budgets below are 16 (r7, raised from
+#: 12): the x100 probe measured embedding_neardup_pairs at ladder depth
+#: p=11 of the old budget — one corpus doubling from saturation, where
+#: block size would resume growing and pair work turn quadratic. Budget
+#: 16 moves the ceiling to cap * 2^16 rows per base block (~16M for the
+#: 250-row embedding cap) at zero small-corpus cost: the guarded
+#: signature evaluates only the plane folds the current modulus admits,
+#: and every ladder value at or below x100 scale is bit-identical to the
+#: budget-12 scheme (the ladders only diverge beyond cap * 2^12).
+_EMB_PLANE_POOL = 16
 
 #: Adaptive RP-LSH sub-blocking for embedding_neardup_pairs: plane budget
 #: and target expected rows per (label x bucket) block. p = smallest
@@ -342,7 +348,7 @@ _EMB_PLANE_POOL = 12
 #: the previous fixed-4-plane scheme — and at the x10 probe (N=40000) p=8:
 #: expected block size stays ~25 and pair work stays linear in N (the
 #: fixed scheme measured 6.8x wall at 10x data; pair candidates grow N^2).
-_EMB_PMAX = 12
+_EMB_PMAX = 16
 _EMB_TARGET_BLOCK = 25
 
 
@@ -3062,8 +3068,10 @@ register(
 #: p=4 at sf0.1 (N=2000, exactly the previous fixed-4-plane blocks), p=8
 #: at the x10 probe (N=20000), p=9 at x30 — the x30 run against an 8-plane
 #: budget measured 7.3x wall (ceiling reached, blocks growing again);
-#: budget 12 restores the constant-block regime to ~512k vectors.
-_HN_PMAX = 12
+#: budget 16 (r7, was 12) holds the constant-block regime to ~8.2M
+#: vectors; the r7 x100 probe (N=200k, p=11) measured 8.5x wall at 100x
+#: data with the ladder mid-range.
+_HN_PMAX = 16
 _HN_TARGET_BLOCK = 125
 
 #: SQL twin of the modulus ladder (ascending: first match wins).
@@ -3087,7 +3095,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces): the self-join keys on (bucket) with label inequality
     inside the join, cosine only on surviving pairs, and one row_number
     window per anchor picks the top with (sim desc, id) ties. The bucket
-    is ADAPTIVE (adaptive_bucket_modulus ladder, budget 12 planes, target
+    is ADAPTIVE (adaptive_bucket_modulus ladder, budget 16 planes, target
     block 125 rows): expected bucket size stays constant as the corpus
     grows, so the self-join's pair work stays linear in N instead of
     quadratic — a fixed plane count holds bucket COUNT constant while
@@ -4119,7 +4127,7 @@ _SEMDEDUP_THRESHOLD = 0.9
 #: bucket per cell, full in-cell recall; at sf0.1 (N=4000) p=2; at the x10
 #: probe (N=40000) p=6. Both engines compute p from the same exact integer
 #: ladder (no libm).
-_SEMDEDUP_PMAX = 12
+_SEMDEDUP_PMAX = 16
 _SEMDEDUP_TARGET_BLOCK = 125
 
 
