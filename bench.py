@@ -183,6 +183,7 @@ PRE_REP = {
 ITERATIVE_QUERIES = (
     "pagerank_neardup_graph",
     "neardup_components",
+    "neardup_components_star",
     "decontamination_overlap",
     # the adaptive-bucket family: their sf ratio is the regression signal
     # for the constant-block-size guarantee (scripts/scale_probe.py
