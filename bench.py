@@ -124,6 +124,11 @@ def main() -> None:
         "calibration_range_sum_sec": min(cal_pre, cal_post),
         "calibration_pre_sec": cal_pre,
         "calibration_post_sec": cal_post,
+        # Protocol marker for round-over-round attribution: r7 made the
+        # PRE_REP reset clear the CacheManager (see _reset_pairs_cache),
+        # so minhash/components/pagerank timings are cold-per-rep from r7
+        # on and NOT comparable to the r1-r6 warm-shingle-cache series.
+        "bench_protocol": "cold-per-rep-r7",
         # Scaling evidence: the most expensive headline queries re-timed at
         # a 10x smaller SF. ratio = t(sf)/t(sf/10); ideal < 10 with fixed
         # overheads — a super-linear ratio flags a plan that won't survive

@@ -30,6 +30,7 @@ UNION-ALL-N-copies does not:
 Usage:
     python scripts/scale_probe.py --copies 10 [--base /root/testdata/sf0.1]
         [--out /tmp/scale_probe] [--reps 3]
+        [--queries name1,name2,...]   # subset of PROBE_QUERIES (x100 runs)
 
 Prints one JSON line: {"copies": N, "queries": {name: {"sec": s, "rows": r}}}.
 Run with --copies 1 first for the like-for-like baseline (same generated
