@@ -174,6 +174,7 @@ def _cc_star(
         .localCheckpoint()
     )
     edges = canon
+    n_edges = edges.count()
     for _ in range(max_iter):
         # -- large-star over the symmetric neighborhood view
         sym = edges.unionByName(
@@ -204,13 +205,15 @@ def _cc_star(
             .localCheckpoint()
         )
         # fixpoint test: the rewritten set equals the round's input
-        # (cheap count gate first; exceptAll only when counts agree)
+        # (cheap count gate first — the input's count is carried over
+        # from last round — exceptAll only when counts agree)
         n_new = small.count()
-        if n_new == edges.count():
+        if n_new == n_edges:
             if small.exceptAll(edges).limit(1).count() == 0:
                 edges = small
                 break
         edges = small
+        n_edges = n_new
     else:
         raise RuntimeError(
             f"connected_components[star]: no fixpoint in {max_iter} rounds"
