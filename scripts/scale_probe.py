@@ -196,7 +196,22 @@ def build_events(base_dir: str, out_dir: str, copies: int) -> int:
     return out.num_rows
 
 
+#: Bump when the replication scheme changes (seeding, permutations, ...)
+#: so stale on-disk corpora are rebuilt instead of silently reused.
+BUILDER_VERSION = "text-hash-seed-v2"
+
+
 def build_corpus(base_dir: str, out_dir: str, copies: int) -> None:
+    marker = os.path.join(out_dir, "_PROBE_META.json")
+    want = {"copies": copies, "base": base_dir, "version": BUILDER_VERSION}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == want:
+                    print(f"reusing {out_dir} ({copies} copies)", file=sys.stderr)
+                    return
+        except (OSError, json.JSONDecodeError):
+            pass
     os.makedirs(out_dir, exist_ok=True)
     n_docs = build_documents(base_dir, out_dir, copies)
     n_vecs = build_embeddings(base_dir, out_dir, copies)
@@ -214,6 +229,8 @@ def build_corpus(base_dir: str, out_dir: str, copies: int) -> None:
         f"({copies} copies)",
         file=sys.stderr,
     )
+    with open(marker, "w") as f:
+        json.dump(want, f)
 
 
 def main() -> None:

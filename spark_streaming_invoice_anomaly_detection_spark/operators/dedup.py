@@ -137,12 +137,37 @@ def lsh_candidate_pairs(
     bands: int,
     id_col: str = "doc_id",
     sig_col: str = "signature",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of any band become a candidate
     pair. One explode + one self-equi-join on (band_id, band_hash) — the
     join co-locates buckets, so cost scales with bucket sizes, not n^2.
+
+    ``max_bucket`` drops buckets LARGER than the cap before the self-join.
+    Band buckets are content-bound, so under constant duplicate density
+    most stay constant-size as the corpus grows — but boilerplate and
+    template clusters (many near-identical short docs sharing one shingle
+    set) grow linearly with the corpus and their O(bucket^2) pair term is
+    the one quadratic that survives banding (measured on the x100 probe:
+    max bucket 26 -> 180 -> 1510 at x1/x10/x100, in-bucket pair work
+    21k -> 345k -> 20M). A capped bucket is by construction a cluster of
+    near-identical documents; its members are exactly what the EXACT
+    dedup pass (exact_dedup, one cheap hash-agg) already collapses, so
+    capping sheds only pairs another operator owns — the standard
+    production split between the exact path (mega-clusters) and the LSH
+    path (the long near-dup tail). The cap is one extra aggregation on
+    the same join key (AQE reuses the exchange) and the oracle reproduces
+    it exactly (HAVING count <= cap on identical hashes).
     """
     entries = band_entries(signatures, num_hashes, bands, id_col, sig_col)
+    if max_bucket is not None:
+        ok = (
+            entries.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= F.lit(max_bucket))
+            .drop("_bn")
+        )
+        entries = entries.join(ok, ["band_id", "band_hash"])
 
     left = entries.alias("l")
     right = entries.alias("r")
@@ -179,6 +204,7 @@ def minhash_near_dups(
     bands: int = 4,
     threshold: float = 0.5,
     cache_shingles: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band-join ->
     exact-Jaccard verify. Output: (id_a, id_b, jaccard) pairs >= threshold
@@ -192,6 +218,11 @@ def minhash_near_dups(
     frame, which the plan reads three times (signatures + both verify
     sides) — measured 2x end-to-end. Tokenize/ngram recompute is the
     alternative at cluster scale if shingle storage exceeds the cache.
+
+    ``max_bucket`` caps band-bucket size before the candidate self-join —
+    the lever that keeps boilerplate clusters from turning quadratic at
+    corpus scale; see :func:`lsh_candidate_pairs` for the measured
+    blowup and why the dropped pairs belong to the exact-dedup pass.
     """
     # Tokenize/shingle is the pipeline's CPU hot spot; give it the full
     # cluster width when the scan came in narrow (rationale + probe
@@ -226,7 +257,9 @@ def minhash_near_dups(
     signed = shingled.select(
         id_col, minhash_signature(F.col("shingles"), num_hashes).alias("signature")
     )
-    pairs = lsh_candidate_pairs(signed, num_hashes, bands, id_col)
+    pairs = lsh_candidate_pairs(
+        signed, num_hashes, bands, id_col, max_bucket=max_bucket
+    )
     a = shingled.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )

@@ -142,6 +142,15 @@ register(
 
 _MH_K, _MH_BANDS, _MH_NGRAM, _MH_THRESHOLD = 8, 4, 3, 0.3
 
+#: Band-bucket cap (operators/dedup.py:lsh_candidate_pairs). Far above any
+#: content-bound bucket at every tested SF (max 26 at sf0.1, 180 at the
+#: x10 probe — the cap changes NOTHING there), it exists for the
+#: boilerplate/template clusters whose buckets grow linearly with the
+#: corpus (1510 members at x100, 75% of all pair work): those are
+#: near-identical-doc clusters the exact-dedup pass owns. Mirrored in the
+#: oracle as a HAVING over the identical band hashes.
+_MH_MAX_BUCKET = 512
+
 #: Near-dup pair graph cache, keyed by (session id, sf_dir): four queries
 #: (pairs, components, keep-best, PageRank) consume the SAME pipeline, so
 #: one persisted materialization serves all — the cross-query analogue of
@@ -162,6 +171,7 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_hashes=_MH_K,
             bands=_MH_BANDS,
             threshold=_MH_THRESHOLD,
+            max_bucket=_MH_MAX_BUCKET,
         ).persist()
         _PAIRS_CACHE[key] = pairs
     return _PAIRS_CACHE[key]
@@ -197,9 +207,18 @@ _MINHASH_ORACLE = f"""
         FROM (SELECT doc_id, [{_MH_BAND_ENTRIES}] AS band_hashes FROM sig),
              range({_MH_BANDS}) r(band_id)
     ),
+    -- bucket cap, the twin of lsh_candidate_pairs(max_bucket=...):
+    -- oversized buckets are boilerplate clusters the exact path owns
+    bok AS (
+        SELECT band_id, band_hash FROM bands
+        GROUP BY band_id, band_hash HAVING count(*) <= {_MH_MAX_BUCKET}
+    ),
+    bands2 AS (
+        SELECT b.* FROM bands b JOIN bok USING (band_id, band_hash)
+    ),
     cand AS (
         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-        FROM bands l JOIN bands r
+        FROM bands2 l JOIN bands2 r
           ON l.band_id = r.band_id AND l.band_hash = r.band_hash
              AND l.doc_id < r.doc_id
     )
