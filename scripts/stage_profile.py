@@ -73,6 +73,7 @@ def minhash_stages(spark, sf_dir: str, reps: int) -> dict[str, float]:
     from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
         _MH_BANDS,
         _MH_K,
+        _MH_MAX_BUCKET,
         _MH_NGRAM,
         _MH_THRESHOLD,
         _augmented_docs,
@@ -109,7 +110,9 @@ def minhash_stages(spark, sf_dir: str, reps: int) -> dict[str, float]:
     )
     out["cum_signature"] = _timed(lambda: _noop(signed), reps)
 
-    pairs = D.lsh_candidate_pairs(signed, _MH_K, _MH_BANDS, "doc_id")
+    pairs = D.lsh_candidate_pairs(
+        signed, _MH_K, _MH_BANDS, "doc_id", max_bucket=_MH_MAX_BUCKET
+    )
     out["cum_candidates"] = _timed(lambda: _noop(pairs), reps)
 
     a = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))

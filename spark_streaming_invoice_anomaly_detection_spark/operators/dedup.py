@@ -143,31 +143,62 @@ def lsh_candidate_pairs(
     pair. One explode + one self-equi-join on (band_id, band_hash) — the
     join co-locates buckets, so cost scales with bucket sizes, not n^2.
 
-    ``max_bucket`` drops buckets LARGER than the cap before the self-join.
-    Band buckets are content-bound, so under constant duplicate density
-    most stay constant-size as the corpus grows — but boilerplate and
-    template clusters (many near-identical short docs sharing one shingle
-    set) grow linearly with the corpus and their O(bucket^2) pair term is
-    the one quadratic that survives banding (measured on the x100 probe:
-    max bucket 26 -> 180 -> 1510 at x1/x10/x100, in-bucket pair work
+    ``max_bucket`` drops buckets LARGER than the cap. Band buckets are
+    content-bound, so under constant duplicate density most stay
+    constant-size as the corpus grows — but boilerplate and template
+    clusters (many near-identical short docs sharing one shingle set)
+    grow linearly with the corpus and their O(bucket^2) pair term is the
+    one quadratic that survives banding (measured on the x100 probe: max
+    bucket 26 -> 180 -> 1510 at x1/x10/x100, in-bucket pair work
     21k -> 345k -> 20M). A capped bucket is by construction a cluster of
     near-identical documents; its members are exactly what the EXACT
     dedup pass (exact_dedup, one cheap hash-agg) already collapses, so
     capping sheds only pairs another operator owns — the standard
     production split between the exact path (mega-clusters) and the LSH
-    path (the long near-dup tail). The cap is one extra aggregation on
-    the same join key (AQE reuses the exchange) and the oracle reproduces
-    it exactly (HAVING count <= cap on identical hashes).
+    path (the long near-dup tail). The oracle reproduces the cap exactly
+    (HAVING count <= cap over identical hashes).
+
+    Physical shape: with a cap, pairs come from ONE aggregation —
+    collect the bucket's ids, filter on array size, explode the
+    in-array pair combinations — instead of the bucket self-join
+    (measured 2.7x faster at x1 and 1.9x faster than even the UNCAPPED
+    join at x10: one shuffle, no join, and the per-row pair fan-out is
+    bounded by the cap). Without a cap the self-join shape is kept: a
+    degenerate bucket's O(b^2) pairs then spread across join tasks
+    instead of materializing inside a single collected row.
     """
     entries = band_entries(signatures, num_hashes, bands, id_col, sig_col)
     if max_bucket is not None:
-        ok = (
+        buckets = (
             entries.groupBy("band_id", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= F.lit(max_bucket))
-            .drop("_bn")
+            .agg(F.collect_list(id_col).alias("_ids"))
+            .filter(F.size("_ids") <= F.lit(max_bucket))
         )
-        entries = entries.join(ok, ["band_id", "band_hash"])
+        ids = F.array_sort(F.col("_ids"))
+
+        # let-bind the sorted array (see text.word_ngrams): the lambda
+        # bodies below reference it per element
+        def pairs_of(a):
+            return F.flatten(
+                F.transform(
+                    a,
+                    lambda x, i: F.transform(
+                        F.slice(
+                            a,
+                            i + F.lit(2),
+                            F.greatest(F.size(a) - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+
+        pairs = F.element_at(F.transform(F.array(ids), pairs_of), 1)
+        return (
+            buckets.select(F.explode(pairs).alias("_p"))
+            .select("_p.id_a", "_p.id_b")
+            .distinct()
+        )
 
     left = entries.alias("l")
     right = entries.alias("r")
