@@ -150,13 +150,25 @@ def lsh_candidate_pairs(
     grow linearly with the corpus and their O(bucket^2) pair term is the
     one quadratic that survives banding (measured on the x100 probe: max
     bucket 26 -> 180 -> 1510 at x1/x10/x100, in-bucket pair work
-    21k -> 345k -> 20M). A capped bucket is by construction a cluster of
-    near-identical documents; its members are exactly what the EXACT
-    dedup pass (exact_dedup, one cheap hash-agg) already collapses, so
-    capping sheds only pairs another operator owns — the standard
-    production split between the exact path (mega-clusters) and the LSH
-    path (the long near-dup tail). The oracle reproduces the cap exactly
-    (HAVING count <= cap over identical hashes).
+    21k -> 345k -> 20M).
+
+    The cap is a BOUNDED-RECALL heuristic, not a lossless re-routing
+    (round-7 VERDICT "What's wrong" #2 / ADVICE): a bucket keys on ONE
+    band (2 of 8 minhash rows at the registered params), so an oversized
+    bucket's members need not be near-identical, and a genuine near-dup
+    pair (Jaccard >= threshold, NOT byte-identical) inside one is
+    silently dropped unless it also co-occurs in a <=cap bucket of
+    another band — exact_dedup's sha256 pass recovers only the
+    byte-identical subset (recall hole pinned in tests/test_dedup_cap.py
+    with a planted near-identical-non-exact mega-cluster). On the x100
+    probe corpus the 209 dropped pairs (0.04%) all sat inside
+    byte-identical mega-buckets, but that is a property of that corpus,
+    not of the cap. Production posture: size the cap well above the
+    content-bound bucket envelope (512 vs max 26 at sf0.1) so it binds
+    only on template clusters, and feed :func:`lsh_oversized_buckets`
+    (same aggregation shape) to a downstream exact/sampled pass so the
+    loss is observable and recoverable. The oracle reproduces the cap
+    exactly (HAVING count <= cap over identical hashes).
 
     Physical shape: with a cap, pairs come from ONE aggregation —
     collect the bucket's ids, filter on array size, explode the
@@ -216,6 +228,29 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_oversized_buckets(
+    signatures: DataFrame,
+    num_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+    max_bucket: int = 512,
+) -> DataFrame:
+    """(band_id, band_hash, bucket_size) for every band bucket the
+    ``max_bucket`` cap in :func:`lsh_candidate_pairs` would DROP — the
+    observability half of the cap's bounded-recall contract: capped
+    recall loss stays measurable (count the rows) and recoverable (join
+    the ids back through band_entries and hand the cluster to a
+    downstream exact or sampled-verify pass). Same single-aggregation
+    shape as the capped candidate path, opposite filter."""
+    entries = band_entries(signatures, num_hashes, bands, id_col, sig_col)
+    return (
+        entries.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > F.lit(max_bucket))
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two string arrays (intersection over union),
     computed as ints then one deterministic double division."""
@@ -253,7 +288,9 @@ def minhash_near_dups(
     ``max_bucket`` caps band-bucket size before the candidate self-join —
     the lever that keeps boilerplate clusters from turning quadratic at
     corpus scale; see :func:`lsh_candidate_pairs` for the measured
-    blowup and why the dropped pairs belong to the exact-dedup pass.
+    blowup and the bounded-recall semantics (dropped pairs are
+    observable via :func:`lsh_oversized_buckets`, and only their
+    byte-identical subset is recovered by exact_dedup).
     """
     # Tokenize/shingle is the pipeline's CPU hot spot; give it the full
     # cluster width when the scan came in narrow (rationale + probe

