@@ -19,6 +19,17 @@ queries KNOWN to have changed after their latest green row (used once,
 bootstrapping r8: minhash_lsh_neardups / embedding_neardup_pairs were
 reworked in r7 over r5 rows, so their current fingerprints must NOT be
 blessed).
+
+``--restamp`` rewrites the ``fp`` of every EXISTING entry with the
+current fingerprint while keeping its recorded round. Only valid when
+the fingerprint ALGORITHM changed but no query definition did (e.g. the
+r9 walker fixes: function-local imports + deterministic const reprs) —
+the snapshot entries are the same verified definitions, re-hashed.
+
+Soundness depends on the working tree matching what the driver verified,
+so the script refuses to run when ``git status --porcelain`` shows
+modifications, unless ``--force`` is given (r8 ADVICE, low). Each
+stamped entry records the git HEAD sha for auditability.
 """
 
 from __future__ import annotations
@@ -41,8 +52,42 @@ def main() -> None:
         help="comma-separated query names to stamp with a non-matching "
         "sentinel fingerprint (definition known to postdate the green row)",
     )
+    ap.add_argument(
+        "--restamp",
+        action="store_true",
+        help="re-hash every existing entry with the current algorithm, "
+        "keeping its round (fingerprint ALGORITHM changed, definitions "
+        "did not)",
+    )
+    ap.add_argument(
+        "--force",
+        action="store_true",
+        help="run despite a dirty working tree (normally refused: a "
+        "mid-round run silently blesses unverified definitions)",
+    )
     args = ap.parse_args()
     mark = {n for n in args.mark_changed.split(",") if n}
+
+    import subprocess
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=repo_root, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=repo_root, capture_output=True, text=True, timeout=30,
+        ).stdout.strip() or None
+    except (OSError, subprocess.SubprocessError):
+        dirty, head = "", None
+    if dirty and not args.force:
+        raise SystemExit(
+            "refusing: working tree has modifications (snapshot soundness "
+            "requires the tree the driver verified). Re-run with --force "
+            "if the dirt is provably outside query definitions:\n" + dirty
+        )
 
     registry._load_all()
     unknown = mark - set(registry.REGISTRY)
@@ -64,11 +109,20 @@ def main() -> None:
         if name in mark:
             snap[name] = {"fp": f"changed-after-r{rnd}", "round": rnd}
             stats["sentinel"] += 1
+        elif args.restamp and name in old:
+            entry = {"fp": cur[name], "round": old[name].get("round", rnd)}
+            if head:
+                entry["sha"] = head
+            snap[name] = entry
+            stats["stamped"] += 1
         elif name in old and old[name].get("round", -1) >= rnd:
             snap[name] = old[name]
             stats["kept"] += 1
         else:
-            snap[name] = {"fp": cur[name], "round": rnd}
+            entry = {"fp": cur[name], "round": rnd}
+            if head:
+                entry["sha"] = head
+            snap[name] = entry
             stats["stamped"] += 1
 
     path = registry._snapshot_path()

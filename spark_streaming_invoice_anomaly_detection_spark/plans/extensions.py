@@ -295,7 +295,7 @@ def q_lsh_capped_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augmented_docs(spark, sf_dir)
     shingled = D.shingle_docs(
         docs.filter(
-            F.size(T.tokenize(F.col("text"))) >= F.lit(_MH_NGRAM)
+            F.size(X.tokenize(F.col("text"))) >= F.lit(_MH_NGRAM)
         ),
         "text",
         "doc_id",

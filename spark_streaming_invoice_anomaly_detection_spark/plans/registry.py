@@ -179,6 +179,78 @@ def _walk_source(obj, seen: set, parts: list[str]) -> None:
         _walk_fn_refs(fn, seen, parts)
 
 
+def _const_repr(v) -> str | None:
+    """Deterministic repr for module-level constants worth fingerprinting,
+    or None for values that must NOT be hashed. Only immutable types with
+    a process-stable repr qualify (str/int/float/bool/bytes/None/tuple);
+    frozensets are rendered element-sorted because their iteration order is
+    PYTHONHASHSEED-dependent. list/dict/set are runtime-MUTABLE module
+    state — hashing them turned the extensions.py DataFrame memo caches
+    (_PAIRS_CACHE et al., keyed by id(spark) memory addresses) into a
+    changed-forever fingerprint slot leak once any query ran in-process."""
+    if v is None or isinstance(v, (str, int, float, bool, bytes)):
+        return repr(v)
+    if isinstance(v, tuple):
+        inner = [_const_repr(x) for x in v]
+        if any(p is None for p in inner):
+            return None
+        return "(" + ",".join(inner) + ")"
+    if isinstance(v, frozenset):
+        inner = [_const_repr(x) for x in v]
+        if any(p is None for p in inner):
+            return None
+        return "frozenset{" + ",".join(sorted(inner)) + "}"
+    return None
+
+
+def _local_imports(fn) -> dict[str, object]:
+    """name -> object for import statements INSIDE the function body.
+
+    _walk_fn_refs resolves referenced names via fn.__globals__, which
+    misses function-local ``from ..operators.x import y`` bindings — the
+    exact pattern dedup.py uses for spread_if_narrow /
+    adaptive_bucket_modulus / rp_lsh_*; without this, a rework of
+    operators/similarity.py would not re-tier the embedding queries."""
+    import ast
+    import importlib
+    import inspect
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, SyntaxError, TypeError, ValueError):
+        return {}
+    pkg = getattr(fn, "__module__", "") or ""
+    pkg = pkg.rsplit(".", 1)[0] if "." in pkg else pkg
+    out: dict[str, object] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                try:
+                    mod = importlib.import_module(alias.name)
+                except ImportError:
+                    continue
+                if alias.asname:
+                    out[alias.asname] = mod
+                else:
+                    top = alias.name.split(".")[0]
+                    out[top] = importlib.import_module(top)
+        elif isinstance(node, ast.ImportFrom):
+            rel = "." * node.level + (node.module or "")
+            try:
+                mod = importlib.import_module(rel, package=pkg or None)
+            except (ImportError, TypeError, ValueError):
+                continue
+            for alias in node.names:
+                if alias.name == "*":
+                    continue
+                try:
+                    out[alias.asname or alias.name] = getattr(mod, alias.name)
+                except AttributeError:
+                    pass
+    return out
+
+
 def _walk_fn_refs(fn, seen: set, parts: list[str]) -> None:
     import types
 
@@ -187,6 +259,9 @@ def _walk_fn_refs(fn, seen: set, parts: list[str]) -> None:
     env: dict[str, object] = {
         n: fn.__globals__[n] for n in sorted(names) if n in fn.__globals__
     }
+    # function-local imports shadow globals for the walk: inside the body
+    # the local binding is what actually executes
+    env.update(_local_imports(fn))
     if fn.__closure__:
         for n, cell in zip(code.co_freevars, fn.__closure__):
             try:
@@ -197,7 +272,6 @@ def _walk_fn_refs(fn, seen: set, parts: list[str]) -> None:
         env[f"__default_{i}"] = d
     for n, d in (fn.__kwdefaults__ or {}).items():
         env[f"__kwdefault_{n}"] = d
-    const_types = (str, int, float, bool, tuple, frozenset, list, dict)
     for n in sorted(env):
         v = env[n]
         if isinstance(v, types.ModuleType):
@@ -211,12 +285,16 @@ def _walk_fn_refs(fn, seen: set, parts: list[str]) -> None:
                     continue
                 if callable(a) and _is_pkg_def(a):
                     _walk_source(a, seen, parts)
-                elif isinstance(a, const_types):
-                    parts.append(f"{v.__name__}.{attr}={a!r}")
+                else:
+                    r = _const_repr(a)
+                    if r is not None:
+                        parts.append(f"{v.__name__}.{attr}={r}")
         elif callable(v) and _is_pkg_def(v):
             _walk_source(v, seen, parts)
-        elif isinstance(v, const_types):
-            parts.append(f"{n}={v!r}")
+        else:
+            r = _const_repr(v)
+            if r is not None:
+                parts.append(f"{n}={r}")
 
 
 def _is_pkg_def_module(mod) -> bool:

@@ -246,23 +246,28 @@ class TestRegistryRotation:
         """The driver walks queries() in order under a wall-clock budget;
         the rotation contract (derived entirely from parsed CORRECTNESS
         files, round-3 VERDICT #1/#2): latest-row-failed queries first,
-        then never-driver-checked ones, then green ones oldest-round-first."""
+        then never-driver-checked ones, then green ones oldest-round-first.
+        Since r8 a green query whose DEFINITION changed after its green
+        row (fingerprint mismatch) rides the never-checked tier — exclude
+        those here; test_verification_staleness.py pins their placement."""
         from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
             _DRIVER_HISTORY,
+            changed_since_verification,
             queries,
         )
 
         names = list(queries())
         hist = _DRIVER_HISTORY
+        changed = changed_since_verification()
 
         def tier(n):
-            if n not in hist:
+            if n not in hist or n in changed:
                 return 1
             return 0 if not hist[n][1] else 2
 
         tiers = [tier(n) for n in names]
         assert tiers == sorted(tiers), (
-            "order must be failed-latest, never-checked, green"
+            "order must be failed-latest, never-checked/changed, green"
         )
         green = [n for n in names if tier(n) == 2]
         rounds = [hist[n][0] for n in green]

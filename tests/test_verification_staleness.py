@@ -133,15 +133,23 @@ def test_fingerprint_snapshot_covers_every_green_query():
     plans/fingerprints.json (stamped by scripts/refresh_fingerprints.py
     at round start). A green query MISSING from the snapshot is treated
     as changed — safe for freshness but a slot leak — so the snapshot
-    falling out of refresh discipline fails here first."""
+    falling out of refresh discipline fails here first.
+
+    Round-end blind spot (r8 VERDICT "wrong" #3): a query that earns its
+    FIRST green row mid-round cannot have an entry until the next
+    round-start refresh, so queries whose latest green round equals the
+    newest CORRECTNESS round on disk are exempt — they are, by
+    definition, verified at their current definition."""
     hist = registry._DRIVER_HISTORY
     snap = registry.verified_fingerprints()
     if not hist:
         pytest.skip("no CORRECTNESS history on disk")
+    newest_round = max(rnd for rnd, _ok in hist.values())
     missing = [
         n
         for n in registry.queries()
         if n in hist and hist[n][1] and n not in snap
+        and hist[n][0] < newest_round
     ]
     assert not missing, (
         f"green queries without a fingerprint snapshot entry: {missing} — "
@@ -193,3 +201,69 @@ def test_fingerprint_sees_through_the_operator_boundary():
     blob = "\n".join(parts)
     assert "def lsh_candidate_pairs(" in blob
     assert "def minhash_near_dups(" in blob
+
+
+def _closure_blob(name: str) -> str:
+    registry._load_all()
+    spec = registry.REGISTRY[name]
+    parts: list[str] = [spec.oracle or ""]
+    registry._walk_source(spec.spark, set(), parts)
+    return "\n".join(parts)
+
+
+def test_fingerprint_sees_function_local_imports():
+    """r8 ADVICE (medium): names bound by imports INSIDE a function body
+    are not in fn.__globals__, so the walker used to skip them — a rework
+    of operators/similarity.py would not have re-tiered the embedding
+    queries (the exact r7 failure mode the tier exists to catch). Pin
+    that the locally-imported helpers are in the closure now."""
+    blob = _closure_blob("embedding_neardup_pairs")
+    for fn in (
+        "spread_if_narrow",
+        "adaptive_bucket_modulus",
+        "rp_lsh_bucket_guarded",
+        "rp_lsh_signature",
+    ):
+        assert f"def {fn}(" in blob, f"{fn} missing from closure"
+
+
+def test_fingerprint_ignores_runtime_mutable_constants():
+    """r8 ADVICE (medium): hashing list/dict/set module constants turned
+    the extensions.py DataFrame memo caches (keyed by id(spark) memory
+    addresses) into a changed-forever slot leak once any query ran
+    in-process. Pin that mutating a cache does not move any fingerprint,
+    and that no closure embeds a repr memory address."""
+    from spark_streaming_invoice_anomaly_detection_spark.plans import extensions
+
+    registry._load_all()
+    before = dict(registry.current_fingerprints())
+    sentinel_key = (-1, "__fingerprint_test__")
+    extensions._PAIRS_CACHE[sentinel_key] = object()
+    extensions._PR_EDGES_CACHE[sentinel_key] = object()
+    extensions._MMR_POOL_CACHE[sentinel_key] = object()
+    try:
+        registry._FINGERPRINT_CACHE.clear()
+        after = dict(registry.current_fingerprints())
+    finally:
+        for cache in (
+            extensions._PAIRS_CACHE,
+            extensions._PR_EDGES_CACHE,
+            extensions._MMR_POOL_CACHE,
+        ):
+            cache.pop(sentinel_key, None)
+        registry._FINGERPRINT_CACHE.clear()
+    moved = [n for n in before if before[n] != after[n]]
+    assert not moved, f"cache mutation moved fingerprints: {moved}"
+    assert " at 0x" not in _closure_blob("semantic_dedup_census")
+
+
+def test_const_repr_is_deterministic_and_selective():
+    """_const_repr hashes only process-stable immutables: frozensets are
+    element-sorted (raw repr order is PYTHONHASHSEED-dependent); mutable
+    containers and arbitrary objects are excluded entirely."""
+    cr = registry._const_repr
+    assert cr(("a", 1, 2.5)) == "('a',1,2.5)"
+    assert cr(frozenset({"b", "a"})) == cr(frozenset({"a", "b"}))
+    assert cr(None) == "None"
+    for excluded in ([1], {"k": 1}, {1, 2}, object(), (1, [2])):
+        assert cr(excluded) is None, f"{excluded!r} must not be hashed"
