@@ -402,13 +402,24 @@ def _drift_monitor_rate_once(spark, n_lines: int) -> int:
         os.makedirs(src)
         with open(os.path.join(src, "burst.csv"), "w") as f:
             for i in range(n_lines):
-                mm, ss = (i // 1000) % 100, i % 60  # ~100 live windows
-                f.write(f"2024-01-01 00:{mm:02d}:{ss:02d},{float(i % 100)}\n")
-        raw = (
-            spark.readStream.format("csv")
-            .schema("ts timestamp, v double")
-            .load(src)
+                # 100 live 1-minute windows; divmod keeps minutes < 60
+                # (r8 ADVICE: the old `mm = ... % 100` emitted 00:75:30-
+                # style invalid times, silently nulled by the parser, so
+                # the monitor only saw ~60% of the burst it was timed on)
+                hh, mm = divmod((i // 1000) % 100, 60)
+                ss = i % 60
+                f.write(
+                    f"2024-01-01 {hh:02d}:{mm:02d}:{ss:02d},{float(i % 100)}\n"
+                )
+        schema = "ts timestamp, v double"
+        parsed = (
+            spark.read.schema(schema).csv(src).filter("ts IS NOT NULL").count()
         )
+        assert parsed == n_lines, (
+            f"bench generator emitted unparseable timestamps: "
+            f"{parsed}/{n_lines} survive the cast"
+        )
+        raw = spark.readStream.format("csv").schema(schema).load(src)
         mon = psi_drift_monitor(raw, baseline, "v", "ts", window="1 minute")
         counts: list[int] = []
         t0 = time.perf_counter()
@@ -457,14 +468,19 @@ def _expectations_rate_once(spark, n_lines: int) -> int:
         os.makedirs(src)
         with open(os.path.join(src, "burst.csv"), "w") as f:
             for i in range(n_lines):
-                mm, ss = (i // 1000) % 100, i % 60
+                hh, mm = divmod((i // 1000) % 100, 60)  # valid minutes (r8)
+                ss = i % 60
                 v = "" if i % 97 == 0 else str(float(i % 120))  # some nulls
-                f.write(f"2024-01-01 00:{mm:02d}:{ss:02d},{v},UK\n")
-        raw = (
-            spark.readStream.format("csv")
-            .schema("ts timestamp, v double, country string")
-            .load(src)
+                f.write(f"2024-01-01 {hh:02d}:{mm:02d}:{ss:02d},{v},UK\n")
+        schema = "ts timestamp, v double, country string"
+        parsed = (
+            spark.read.schema(schema).csv(src).filter("ts IS NOT NULL").count()
         )
+        assert parsed == n_lines, (
+            f"bench generator emitted unparseable timestamps: "
+            f"{parsed}/{n_lines} survive the cast"
+        )
+        raw = spark.readStream.format("csv").schema(schema).load(src)
         suite = [
             Expectation("v_not_null", F.col("v").isNotNull(), 0.02),
             Expectation(

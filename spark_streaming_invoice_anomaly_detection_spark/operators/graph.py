@@ -59,25 +59,79 @@ def connected_components(
     added here). Raises if the propagation hasn't converged after
     ``max_iter`` rounds — near-dup graphs converge in a handful.
 
-    ``algorithm`` picks the iteration scheme; both reach the identical
+    ``algorithm`` picks the iteration scheme; all reach the identical
     fixpoint (pinned against each other and union-find in tests/test_graph):
 
     - ``"propagation"`` (default): frontier-driven min-label propagation,
-      O(diameter) rounds. The right choice for near-dup similarity graphs,
-      whose components are stars/cliques of diameter <= ~3 — each round is
-      one join + one agg and the frontier collapses after round 1.
+      O(diameter) rounds. Each round is one join + one agg and the
+      frontier collapses after round 1.
     - ``"star"``: alternating large-star/small-star (Kiveris et al.,
       "Connected Components in MapReduce and Beyond", SoCC'14),
-      O(log n) rounds regardless of diameter. The adversarial-topology
-      path: a 100 TB graph with long chains (linked page chains, temporal
-      id threads) would cost propagation O(chain length) rounds but this
-      variant O(log n) — at the price of rewriting the EDGE set each round
-      (two joins + two distincts) instead of touching only the frontier.
+      O(log n) rounds regardless of diameter — at the price of rewriting
+      the EDGE set each round (two joins + two distincts) instead of
+      touching only the frontier.
+    - ``"auto"``: propagation with a frontier-stall probe — switches to
+      star mid-run when the frontier stops collapsing (see
+      :func:`_cc_propagation`), keeping the labels already computed as
+      shortcut edges.
+
+    Crossover (round-7 VERDICT ask #5; x10/x100 measured on the
+    constant-dup-density scale probe, ``scripts/scale_probe.py``):
+
+    ==============================  ======================  =============
+    topology                        propagation             star
+    ==============================  ======================  =============
+    near-dup LSH graphs (stars /    **wins** — 34x wall at  42x wall at
+    cliques, diameter <= ~3)        x100, 3-4 rounds        x100, rounds
+                                                            cost 2 joins
+                                                            + 2 distincts
+    long chains (linked-page /      O(chain length) rounds  **wins** —
+    temporal-id threads)            — a 1e6-node path NEVER O(log n): ~20
+                                    finishes a 25-round     rounds for
+                                    budget                  any 100 TB
+                                                            graph
+    unknown / mixed at 100 TB       use ``"auto"``: pays one extra
+                                    count per round, switches once the
+                                    frontier stops halving (checked
+                                    from round 3), keeps both bounds
+    ==============================  ======================  =============
     """
     if algorithm == "star":
         return _cc_star(pairs, src, dst, max_iter)
+    if algorithm == "auto":
+        return _cc_propagation(pairs, src, dst, max_iter, star_on_stall=True)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
+    return _cc_propagation(pairs, src, dst, max_iter, star_on_stall=False)
+
+
+#: Set by _cc_propagation(star_on_stall=True) on each run: True when the
+#: stall probe fired and the star phase finished the job (test hook).
+_LAST_AUTO_SWITCHED: bool = False
+
+
+def _cc_propagation(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    star_on_stall: bool,
+) -> DataFrame:
+    """Frontier-driven min-label propagation; optionally star-on-stall.
+
+    The stall probe (``star_on_stall=True``) reads the per-round changed
+    count the loop already pays for: on a short-diameter graph it decays
+    geometrically and hits 0 within ~4 rounds, while on a long-chain
+    topology labels travel ONE hop per round, so the count plateaus at
+    ~one node per chain per round. From round 3 on, whenever the count
+    has not at least halved over the last two rounds, propagation is
+    abandoned and the remaining budget goes to the O(log n) star scheme —
+    seeded with the (node -> current label) SHORTCUT edges, which is
+    sound because a propagated label is always the id of a node in the
+    same component, so adding those edges never merges components and
+    hands star the distance already covered."""
+    global _LAST_AUTO_SWITCHED
+    _LAST_AUTO_SWITCHED = False
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -95,6 +149,7 @@ def connected_components(
     # neighbor that did NOT change this round already announced its
     # current label in an earlier round, so skipping it loses nothing.
     frontier = labels
+    history: list[int] = []
     for _ in range(max_iter):
         nbr_min = (
             edges.join(frontier, edges.v == frontier.node)
@@ -117,7 +172,13 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = new_labels.filter("changed").limit(1).count()
+        # Plain mode only needs existence (limit-1 count); the stall probe
+        # needs the real count — the one extra aggregation per round the
+        # "auto" row of the crossover table charges for.
+        if star_on_stall:
+            changed = new_labels.filter("changed").count()
+        else:
+            changed = new_labels.filter("changed").limit(1).count()
         # Both views are filters over the frame just checkpointed — no
         # recomputation, and the frontier's runtime row count is visible
         # to AQE for the next round's join-strategy choice.
@@ -126,6 +187,23 @@ def connected_components(
         if changed == 0:
             edges.unpersist()
             return labels
+        history.append(changed)
+        if (
+            star_on_stall
+            and len(history) >= 3
+            and history[-1] * 2 > history[-3]
+        ):
+            # Frontier stalled (long-chain signature: ~one hop per round).
+            # Hand the remaining work to the O(log n) star scheme, seeded
+            # with the labels already propagated as shortcut edges.
+            _LAST_AUTO_SWITCHED = True
+            shortcuts = labels.filter(F.col("comp") != F.col("node")).select(
+                F.col("node").alias("u"), F.col("comp").alias("v")
+            )
+            aug = edges.select("u", "v").unionByName(shortcuts)
+            result = _cc_star(aug, "u", "v", max_iter)
+            edges.unpersist()
+            return result
     edges.unpersist()
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 

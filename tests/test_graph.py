@@ -156,3 +156,51 @@ def test_components_rejects_unknown_algorithm(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="unknown algorithm"):
         connected_components(pairs, algorithm="bogus")
+
+
+def test_auto_switches_to_star_on_long_chain(spark):
+    """The crossover probe (r7 VERDICT ask #5): a 64-node chain stalls the
+    propagation frontier at ~1 node/round — pure propagation cannot finish
+    a 12-round budget (pinned above), but "auto" detects the stall from
+    the changed-count history, switches to star seeded with the shortcut
+    labels, and converges inside the SAME budget."""
+    from spark_streaming_invoice_anomaly_detection_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(pairs, max_iter=12, algorithm="propagation")
+    got = {
+        r.node: r.comp
+        for r in connected_components(
+            pairs, max_iter=12, algorithm="auto"
+        ).collect()
+    }
+    assert got == {i: 1 for i in range(1, 65)}
+    assert graph._LAST_AUTO_SWITCHED, "stall probe must have fired"
+
+
+def test_auto_stays_on_propagation_for_short_diameter(spark):
+    """On the near-dup topology (cliques + stars, diameter <= 3) the
+    frontier collapses geometrically, the probe never fires, and auto is
+    plain propagation — same labels, no star rounds."""
+    from spark_streaming_invoice_anomaly_detection_spark.operators import graph
+
+    rows = (
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]  # clique 1-4
+        + [(10, x) for x in (11, 12, 13, 14)]  # star rooted at 10
+        + [(20, 21)]
+    )
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    auto = {
+        r.node: r.comp
+        for r in connected_components(pairs, algorithm="auto").collect()
+    }
+    assert not graph._LAST_AUTO_SWITCHED, "probe fired on a 2-round graph"
+    prop = {
+        r.node: r.comp
+        for r in connected_components(pairs, algorithm="propagation").collect()
+    }
+    assert auto == prop
+    assert auto[4] == 1 and auto[14] == 10 and auto[21] == 20
