@@ -172,8 +172,10 @@ def main() -> None:
     dirs = {}
     for n in (1, args.copies):
         d = os.path.join(args.out, f"x{n}")
-        if not os.path.isdir(d):
-            build_corpus(args.base, d, n)
+        # unconditional: build_corpus no-ops on a matching _PROBE_META
+        # marker and REBUILDS on a stale one (an isdir guard silently
+        # reused corpora built from a different base/copies — r8 ADVICE)
+        build_corpus(args.base, d, n)
         dirs[n] = d
 
     from spark_streaming_invoice_anomaly_detection_spark.session import get_spark

@@ -871,3 +871,165 @@ register(
         oracle=_basket_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# UniMax source allocation: epoch-capped waterfill over per-source mass
+# ---------------------------------------------------------------------------
+
+#: Max epochs any source may repeat (UniMax N; Chung et al. 2023,
+#: arXiv:2304.09151). 2 keeps the saturation branch binding at every
+#: driver SF (the sf0.001..0.1 source masses are near-uniform at 4-6%).
+_UNIMAX_EPOCH_CAP = 2
+
+#: Character budget as a fraction of total corpus mass (9/5 of total =
+#: 90% of the epoch-capped mass). A FRACTION, not an absolute count, so
+#: the query is scale-free (the r3 fixed-count lesson); sized so the
+#: smallest sources saturate and the largest stay at the waterfill level
+#: at the driver-gate SFs (3 saturate at sf0.001, 2 at sf0.01; sf0.1's
+#: masses are too uniform to saturate — the saturated branch there is
+#: pinned by tests/test_selection.py on a planted skewed corpus).
+_UNIMAX_BUDGET_NUM = 9
+_UNIMAX_BUDGET_DEN = 5
+
+
+def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (the epoch-capped complement to
+    ``source_temperature_sample``): distribute a character budget across
+    sources as uniformly as possible, but never exceed ``epoch_cap``
+    repeats of any source. The UniMax sequential allocation (ascending
+    size, each source gets min(cap, remaining/k)) equals the waterfill
+    alloc_i = min(cap_i, L) with sum over alloc = budget, computed here
+    in CLOSED FORM: over caps sorted ascending, source i is saturated
+    iff cap_i * (n-i+1) + cumsum_{<i}(cap) <= budget (the lhs is
+    nondecreasing in i, so the saturated set is a prefix and one window
+    pass finds it), and the level L is the remaining budget split over
+    the unsaturated suffix.
+
+    Cross-engine exactness: every comparison and the level itself are
+    int64 arithmetic (floor division); the only double is the final
+    epochs ratio, one correctly-rounded division. Physical plan: one
+    map-side-combined agg over documents -> 20-row frame; the window,
+    the scalar crossJoins, and the output are all driver-trivial, so at
+    100 TB the query costs exactly one corpus scan.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    sizes = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("size_chars")
+    )
+    tot = sizes.agg(
+        F.sum("size_chars").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    w = Window.orderBy("size_chars", "source")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (
+        sizes.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cap_chars", F.col("size_chars") * F.lit(_UNIMAX_EPOCH_CAP)
+        )
+        .withColumn(
+            "_budget",
+            F.expr(
+                f"_total * {_UNIMAX_BUDGET_NUM} div {_UNIMAX_BUDGET_DEN}"
+            ),
+        )
+        .withColumn("_idx", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "_cum_prev",
+            F.coalesce(F.sum("cap_chars").over(w_prev), F.lit(0)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "saturated",
+            F.col("cap_chars") * (F.col("_n") - F.col("_idx") + F.lit(1))
+            + F.col("_cum_prev")
+            <= F.col("_budget"),
+        )
+    )
+    lvl = ranked.agg(
+        F.sum(
+            F.when(F.col("saturated"), F.col("cap_chars")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("_sat_sum"),
+        F.count_if(F.col("saturated")).cast("long").alias("_j"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(lvl))
+        .withColumn(
+            "alloc_chars",
+            F.when(F.col("saturated"), F.col("cap_chars")).otherwise(
+                F.expr("(_budget - _sat_sum) div (_n - _j)")
+            ),
+        )
+        .select(
+            "source",
+            "size_chars",
+            "cap_chars",
+            "saturated",
+            "alloc_chars",
+            (
+                F.col("alloc_chars").cast("double")
+                / F.col("size_chars").cast("double")
+            ).alias("epochs"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="unimax_allocation",
+        description="UniMax epoch-capped waterfill: per-source character "
+        "allocation, closed-form over one window pass (all-int64)",
+        spark=q_unimax_allocation,
+        oracle=f"""
+            WITH sizes AS (
+                SELECT source, CAST(sum(n_chars) AS BIGINT) AS size_chars
+                FROM documents GROUP BY source
+            ), tot AS (
+                SELECT CAST(sum(size_chars) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM sizes
+            ), ranked AS (
+                SELECT s.source, s.size_chars,
+                       s.size_chars * {_UNIMAX_EPOCH_CAP} AS cap_chars,
+                       t.total * {_UNIMAX_BUDGET_NUM}
+                           // {_UNIMAX_BUDGET_DEN} AS budget,
+                       t.n AS n,
+                       CAST(row_number() OVER (
+                            ORDER BY s.size_chars, s.source) AS BIGINT)
+                         AS idx,
+                       CAST(COALESCE(sum(s.size_chars * {_UNIMAX_EPOCH_CAP})
+                            OVER (ORDER BY s.size_chars, s.source
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS BIGINT)
+                         AS cum_prev
+                FROM sizes s CROSS JOIN tot t
+            ), flags AS (
+                SELECT *,
+                       cap_chars * (n - idx + 1) + cum_prev <= budget
+                         AS saturated
+                FROM ranked
+            ), lvl AS (
+                SELECT CAST(COALESCE(
+                           sum(cap_chars) FILTER (WHERE saturated), 0)
+                         AS BIGINT) AS sat_sum,
+                       CAST(count(*) FILTER (WHERE saturated) AS BIGINT)
+                         AS j
+                FROM flags
+            ), alloc AS (
+                SELECT f.source, f.size_chars, f.cap_chars, f.saturated,
+                       CASE WHEN f.saturated THEN f.cap_chars
+                            ELSE (f.budget - l.sat_sum) // (f.n - l.j)
+                       END AS alloc_chars
+                FROM flags f CROSS JOIN lvl l
+            )
+            SELECT source, size_chars, cap_chars, saturated, alloc_chars,
+                   CAST(alloc_chars AS DOUBLE) / CAST(size_chars AS DOUBLE)
+                     AS epochs
+            FROM alloc
+        """,
+    )
+)

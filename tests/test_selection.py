@@ -637,3 +637,89 @@ def test_winsorized_mean_invariants(spark, sf_dir):
         # clipping can only pull the mean toward the body
         assert 0.0 <= r["clipped_frac"] <= 0.15  # ~10% tails by design
         assert r["clipped_frac"] > 0  # the cuts actually bind
+
+
+# ---------------------------------------------------------------------------
+# UniMax epoch-capped waterfill
+# ---------------------------------------------------------------------------
+
+
+def _unimax_reference(sizes: dict[str, int], epoch_cap: int, num: int,
+                      den: int) -> dict[str, int]:
+    """The paper's sequential allocation (ascending size, each source gets
+    min(cap, remaining // k)) — the independent twin the closed-form
+    window query must reproduce exactly."""
+    budget = sum(sizes.values()) * num // den
+    remaining = budget
+    alloc: dict[str, int] = {}
+    order = sorted(sizes, key=lambda s: (sizes[s], s))
+    for i, src in enumerate(order):
+        k = len(order) - i
+        alloc[src] = min(sizes[src] * epoch_cap, remaining // k)
+        remaining -= alloc[src]
+    return alloc
+
+
+def _run_unimax(spark, rows):
+    """Run the registered builder against a planted documents frame by
+    monkey-free substitution: rebuild the same plan on a temp view via
+    the query function's own module-level constants."""
+    from spark_streaming_invoice_anomaly_detection_spark.plans import (
+        selection as S,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="unimax_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = S.q_unimax_allocation(spark, d)
+    return {r.source: r for r in out.collect()}
+
+
+def test_unimax_matches_sequential_reference_on_skewed_corpus(spark):
+    """A planted heavy-tail corpus where sf0.1 can't go (its sources are
+    near-uniform, nothing saturates there): tiny sources MUST saturate at
+    exactly epoch_cap repeats, big ones sit at one common level, and
+    every allocation equals the paper's sequential algorithm."""
+    from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
+        _UNIMAX_BUDGET_DEN,
+        _UNIMAX_BUDGET_NUM,
+        _UNIMAX_EPOCH_CAP,
+    )
+
+    sizes = {"tiny": 50, "small": 200, "mid": 3_000, "big": 40_000,
+             "huge": 400_000}
+    rows = [(i, src, n) for i, (src, n) in enumerate(sizes.items())]
+    got = _run_unimax(spark, rows)
+    want = _unimax_reference(
+        sizes, _UNIMAX_EPOCH_CAP, _UNIMAX_BUDGET_NUM, _UNIMAX_BUDGET_DEN
+    )
+    assert {s: r.alloc_chars for s, r in got.items()} == want
+    assert got["tiny"].saturated and got["small"].saturated
+    assert not got["huge"].saturated
+    assert got["tiny"].epochs == float(_UNIMAX_EPOCH_CAP)
+    # unsaturated sources all sit at the same waterfill level
+    levels = {r.alloc_chars for r in got.values() if not r.saturated}
+    assert len(levels) == 1
+    budget = sum(sizes.values()) * _UNIMAX_BUDGET_NUM // _UNIMAX_BUDGET_DEN
+    spent = sum(r.alloc_chars for r in got.values())
+    n_unsat = sum(1 for r in got.values() if not r.saturated)
+    assert budget - n_unsat < spent <= budget  # only flooring is unspent
+
+
+def test_unimax_no_saturation_splits_budget_evenly(spark):
+    """Uniform masses below the cap: nobody saturates and the level is
+    budget // n (the sf0.1 regime, pinned here so both branches stay
+    covered even where the real corpus only exercises one)."""
+    from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
+        _UNIMAX_BUDGET_DEN,
+        _UNIMAX_BUDGET_NUM,
+    )
+
+    sizes = {f"s{i}": 1_000 for i in range(8)}
+    rows = [(i, src, n) for i, (src, n) in enumerate(sizes.items())]
+    got = _run_unimax(spark, rows)
+    assert not any(r.saturated for r in got.values())
+    budget = 8_000 * _UNIMAX_BUDGET_NUM // _UNIMAX_BUDGET_DEN
+    assert {r.alloc_chars for r in got.values()} == {budget // 8}
