@@ -469,9 +469,31 @@ class TestPurchaseReplayStream:
                 .start()
             )
 
+        def n_committed() -> int:
+            """Sink rows, counted only once EVERY planned batch is in the
+            commit log. foreachBatch runs BEFORE the commit-log write, so
+            polling the sink alone races q.stop(): an interrupted commit
+            re-delivers its batch on restart (at-least-once, by design —
+            observed under heavy parallel load). The exactly-once
+            assertion below is licensed by stopping only at a
+            fully-committed checkpoint; no new batch can be planned in
+            between because the input file is static at that point."""
+            import os
+
+            def entries(d):
+                path = os.path.join(ckpt, d)
+                if not os.path.isdir(path):
+                    return None
+                return {f for f in os.listdir(path) if not f.startswith(".")}
+
+            off, com = entries("offsets"), entries("commits")
+            if not off or off != com:
+                return 0
+            return len(seen)
+
         q = run()
         try:
-            _poll(lambda: len(seen), 8)
+            _poll(n_committed, 8)
         finally:
             q.stop()
         # append more lines while the query is down, then restart
@@ -479,7 +501,7 @@ class TestPurchaseReplayStream:
             f.write("\n".join(mk(i) for i in range(8, 13)) + "\n")
         q = run()
         try:
-            _poll(lambda: len(seen), 13)
+            _poll(n_committed, 13)
         finally:
             q.stop()
         assert sorted(r.invoice_no for r in seen) == sorted(
