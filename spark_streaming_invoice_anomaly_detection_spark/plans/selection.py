@@ -914,9 +914,13 @@ def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the query costs exactly one corpus scan.
     """
     docs = load_table(spark, "documents", sf_dir)
+    # the 20-row per-source mass is referenced by tot, ranked AND (via
+    # ranked) lvl — localCheckpoint it so the corpus is scanned ONCE
+    # (the Spark twin of an AS MATERIALIZED CTE; without it the plan
+    # re-derives the agg per reference and scans documents three times)
     sizes = docs.groupBy("source").agg(
         F.sum("n_chars").cast("long").alias("size_chars")
-    )
+    ).localCheckpoint()
     tot = sizes.agg(
         F.sum("size_chars").cast("long").alias("_total"),
         F.count(F.lit(1)).cast("long").alias("_n"),
