@@ -1362,6 +1362,34 @@ register(
 )
 
 
+def q_neardup_components_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same canonical mapping via algorithm="auto" (r9): min-label
+    propagation with the frontier-stall probe that switches to star
+    mid-run on long-chain topologies (operators/graph.py:
+    _cc_propagation). On the near-dup graph the frontier collapses
+    geometrically, so the probe must NOT fire and the result is the
+    propagation fixpoint — externally certifying the auto path's default
+    branch; the switch branch is pinned by tests/test_graph.py on a
+    planted 64-chain. Identical fixpoint, identical oracle."""
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = _near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    return G.dedup_canonical(
+        pairs, aug.select("doc_id"), "doc_id", algorithm="auto"
+    )
+
+
+register(
+    QuerySpec(
+        name="neardup_components_auto",
+        description="connected components via the auto crossover "
+        "(propagation with frontier-stall switch to star) — same "
+        "fixpoint and oracle as neardup_components",
+        spark=q_neardup_components_auto,
+        oracle=_COMPONENTS_ORACLE,
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end corpus curation funnel: the composed cleaning pipeline as one
 # single-pass aggregate (language -> quality -> repetition -> exact-unique).
