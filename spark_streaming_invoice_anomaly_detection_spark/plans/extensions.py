@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.fplog2 import fp_log2
 from ..operators import cleaning as C
 from ..operators import dedup as D
 from ..operators import graph as G
@@ -2795,6 +2796,190 @@ register(
             ORDER BY score DESC, doc_id
             LIMIT 20
         """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: length-normalized ranking, exact cross-engine arithmetic
+# ---------------------------------------------------------------------------
+
+#: BM25 free parameters as exact rationals: k1 = 6/5 (1.2), b = 3/4
+#: (0.75) — the textbook defaults. Kept as integers so the
+#: length-normalization denominator clears to all-int64 (below).
+_BM25_K1 = (6, 5)
+_BM25_B = (3, 4)
+
+# score(d) = sum_t idf_t * tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl*N/L)
+# with dl = doc token length, L = corpus token length, N = doc count,
+# avgdl = L/N. Multiplying numerator and denominator by 2*k1_den*b_den*L
+# (= 40L) and reducing by gcd 4 clears every fraction:
+#   numerator   -> _BM25_NUM_C  * L * tf            (22 = 10*(k1+1)/2)
+#   denominator -> _BM25_DEN_TF * L * tf
+#                + _BM25_DEN_L  * L
+#                + _BM25_DEN_DL * dl * N
+# so the tf part is ONE int64-ratio -> double division (both casts
+# correctly rounded within int64 on both engines).
+_BM25_NUM_C = 22   # 10 * (k1_num + k1_den) / k1_den = 10 * 11/5
+_BM25_DEN_TF = 10
+_BM25_DEN_L = 3    # 10 * k1 * (1-b) = 10 * (6/5) * (1/4)
+_BM25_DEN_DL = 9   # 10 * k1 * b     = 10 * (6/5) * (3/4)
+assert (
+    _BM25_NUM_C * _BM25_K1[1] == 10 * (_BM25_K1[0] + _BM25_K1[1])
+    and _BM25_DEN_L * _BM25_K1[1] * _BM25_B[1] == 10 * _BM25_K1[0] * (_BM25_B[1] - _BM25_B[0])
+    and _BM25_DEN_DL * _BM25_K1[1] * _BM25_B[1] == 10 * _BM25_K1[0] * _BM25_B[0]
+)
+
+
+def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones), the
+    length-normalized upgrade of ``keyword_search_topk`` — the scorer a
+    contamination-search or hard-negative pass actually uses. Exactness
+    discipline, since runtime log() is banned in hashed results:
+
+    - idf_t = log2((N - df + 1/2) / (df + 1/2)) is computed as
+      fp_log2(2N-2df+1) - fp_log2(2df+1) in exact 1/256-bit fixed point
+      (functions/fplog2.py) and converted by a /256.0 division (a power
+      of two, so the double is EXACT);
+    - the tf part clears to a single int64-ratio -> double division via
+      the 40L rescale derived above (no float until the last step);
+    - the per-doc sum is a fixed-order expression over per-term columns,
+      never an engine-ordered aggregate.
+
+    BM25's idf needs no greatest() guard: an absent term (df=0) zeroes
+    every tf, and 2N-2df+1 >= 1 keeps fp_log2 defined.
+
+    Plan: one explode + one per-doc hash agg (map-side combined; dl and
+    the per-term tfs from the same pass), a 1-row broadcast of corpus
+    stats, TakeOrdered top-20. One corpus scan; the token shuffle is the
+    same one the inverted index pays.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()  # 1-row job; a literal keeps the plan simple
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(X.ascii_lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count_if(F.col("term") == t).alias(f"tf_{t}")
+            for t in _SEARCH_TERMS
+        ],
+    )
+    stats = tf.agg(
+        F.sum("dl").cast("long").alias("corpus_len"),
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).cast("long").alias(f"df_{t}")
+            for t in _SEARCH_TERMS
+        ],
+    )
+    hoisted = tf.crossJoin(F.broadcast(stats))
+    for t in _SEARCH_TERMS:
+        hoisted = hoisted.withColumn(
+            f"idf_num_{t}",
+            F.lit(2 * n_docs + 1) - 2 * F.col(f"df_{t}"),
+        ).withColumn(f"idf_den_{t}", 2 * F.col(f"df_{t}") + F.lit(1))
+    score = None
+    n_hit = None
+    for t in _SEARCH_TERMS:
+        idf_bits = (
+            (fp_log2(f"idf_num_{t}") - fp_log2(f"idf_den_{t}"))
+            .cast("double")
+            / F.lit(256.0)
+        )
+        num = (
+            F.lit(_BM25_NUM_C) * F.col("corpus_len") * F.col(f"tf_{t}")
+        ).cast("double")
+        den = (
+            F.lit(_BM25_DEN_TF) * F.col("corpus_len") * F.col(f"tf_{t}")
+            + F.lit(_BM25_DEN_L) * F.col("corpus_len")
+            + F.lit(_BM25_DEN_DL) * F.col("dl") * F.lit(n_docs)
+        ).cast("double")
+        part = idf_bits * (num / den)
+        score = part if score is None else score + part
+        h = (F.col(f"tf_{t}") > 0).cast("long")
+        n_hit = h if n_hit is None else n_hit + h
+    return (
+        hoisted.select(
+            "doc_id",
+            F.col("dl").cast("long").alias("dl"),
+            score.alias("score"),
+            n_hit.alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+def _bm25_oracle() -> str:
+    from ..functions.fplog2 import fp_log2_sql
+
+    tf_cols = ",\n                       ".join(
+        f"count(*) FILTER (WHERE term = '{t}') AS tf_{t}"
+        for t in _SEARCH_TERMS
+    )
+    df_cols = ",\n                       ".join(
+        f"CAST(count(*) FILTER (WHERE tf_{t} > 0) AS BIGINT) AS df_{t}"
+        for t in _SEARCH_TERMS
+    )
+    idf_cols = ",\n                       ".join(
+        f"(2 * n.n_docs + 1) - 2 * s.df_{t} AS idf_num_{t},\n"
+        f"                       2 * s.df_{t} + 1 AS idf_den_{t}"
+        for t in _SEARCH_TERMS
+    )
+    parts = "\n                   + ".join(
+        f"CAST({fp_log2_sql(f'idf_num_{t}', 'duckdb')}"
+        f" - {fp_log2_sql(f'idf_den_{t}', 'duckdb')} AS DOUBLE) / 256.0"
+        f" * (CAST({_BM25_NUM_C} * corpus_len * tf_{t} AS DOUBLE)"
+        f" / CAST({_BM25_DEN_TF} * corpus_len * tf_{t}"
+        f" + {_BM25_DEN_L} * corpus_len"
+        f" + {_BM25_DEN_DL} * dl * n_docs AS DOUBLE))"
+        for t in _SEARCH_TERMS
+    )
+    hits = " + ".join(
+        f"CAST(tf_{t} > 0 AS BIGINT)" for t in _SEARCH_TERMS
+    )
+    return f"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'))
+                         AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS dl,
+                       {tf_cols}
+                FROM words
+                WHERE term <> ''
+                GROUP BY doc_id
+            ), stats AS (
+                SELECT CAST(sum(dl) AS BIGINT) AS corpus_len,
+                       {df_cols}
+                FROM tf
+            ), n AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+            ), hoisted AS (
+                SELECT t.*, s.corpus_len, n.n_docs,
+                       {idf_cols}
+                FROM tf t CROSS JOIN stats s CROSS JOIN n
+            )
+            SELECT doc_id, dl,
+                   {parts} AS score,
+                   {hits} AS n_terms_hit
+            FROM hoisted
+            ORDER BY score DESC, doc_id
+            LIMIT 20
+        """
+
+
+register(
+    QuerySpec(
+        name="bm25_search_topk",
+        description="BM25 length-normalized retrieval (fixed-point idf, "
+        "all-int64 tf normalization, cross-engine exact), top-20 docs",
+        spark=q_bm25_search_topk,
+        oracle=_bm25_oracle(),
     )
 )
 

@@ -653,3 +653,114 @@ class TestAdaptiveBucketHighPParity:
                 REGISTRY[name].oracle,
                 name,
             )
+
+
+class TestBM25:
+    """bm25_search_topk vs an independent pure-Python twin (r9).
+
+    The oracle pins cross-ENGINE agreement; this pins the ALGEBRA — the
+    40L rescale constants, the fixed-point idf, and the fold order —
+    against a from-scratch implementation that never touches Spark or
+    SQL. Floats are compared bitwise: every step is either exact int
+    arithmetic, an exact /256.0, or a correctly-rounded double op
+    mirrored in the same order."""
+
+    def test_matches_pure_python_reference(self, spark, sf_dir):
+        import re
+
+        import pyarrow.parquet as pq
+
+        from spark_streaming_invoice_anomaly_detection_spark.functions.fplog2 import (
+            fp_log2_py,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            _BM25_DEN_DL,
+            _BM25_DEN_L,
+            _BM25_DEN_TF,
+            _BM25_NUM_C,
+            _SEARCH_TERMS,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
+            REGISTRY,
+        )
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        rows = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        ascii_lower = str.maketrans(
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+        )
+        toks = {
+            i: [
+                w
+                for w in re.split(
+                    "[^a-z0-9]+", (txt or "").translate(ascii_lower)
+                )
+                if w
+            ]
+            for i, txt in rows
+        }
+        n_docs = len(rows)
+        dl = {i: len(ws) for i, ws in toks.items() if ws}
+        corpus_len = sum(dl.values())
+        tf = {
+            i: {q: ws.count(q) for q in _SEARCH_TERMS}
+            for i, ws in toks.items()
+            if ws
+        }
+        df = {
+            q: sum(1 for i in tf if tf[i][q] > 0) for q in _SEARCH_TERMS
+        }
+
+        def score(i: int) -> float:
+            s = None
+            for q in _SEARCH_TERMS:
+                idf_bits = (
+                    fp_log2_py(2 * n_docs - 2 * df[q] + 1)
+                    - fp_log2_py(2 * df[q] + 1)
+                ) / 256.0
+                num = _BM25_NUM_C * corpus_len * tf[i][q]
+                den = (
+                    _BM25_DEN_TF * corpus_len * tf[i][q]
+                    + _BM25_DEN_L * corpus_len
+                    + _BM25_DEN_DL * dl[i] * n_docs
+                )
+                part = idf_bits * (float(num) / float(den))
+                s = part if s is None else s + part
+            return s
+
+        want = sorted(
+            ((score(i), i) for i in tf), key=lambda p: (-p[0], p[1])
+        )[:20]
+        got = REGISTRY["bm25_search_topk"].spark(spark, sf_dir).collect()
+        assert [(r.score, r.doc_id) for r in got] == want
+        for r in got:
+            assert r.dl == dl[r.doc_id]
+            assert r.n_terms_hit == sum(
+                1 for q in _SEARCH_TERMS if tf[r.doc_id][q] > 0
+            )
+
+    def test_length_normalization_prefers_shorter_doc(self, spark, tmp_path):
+        """The property TF-IDF lacks: same tf, shorter doc -> higher
+        BM25 score (b=0.75 penalizes length)."""
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            q_bm25_search_topk,
+        )
+
+        # enough term-free docs that df/N < 1/2 — BM25's idf goes
+        # NEGATIVE for terms present in most documents (log((N-df+.5)/
+        # (df+.5))), which would invert the ordering under test
+        filler = " ".join(f"w{i}" for i in range(60))
+        rows = [
+            (1, "join shuffle broadcast"),
+            (2, f"join shuffle broadcast {filler}"),
+        ] + [(i, filler) for i in range(3, 11)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        d = str(tmp_path / "corpus")
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in q_bm25_search_topk(spark, d).collect()}
+        assert out[1].score > out[2].score > 0
+        assert all(
+            out[i].score == 0.0 for i in range(3, 11) if i in out
+        )
