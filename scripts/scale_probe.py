@@ -75,6 +75,7 @@ PROBE_QUERIES = (
     "doc_surprisal_bits",
     "token_budget_sample",
     "corpus_shuffle",
+    "bm25_search_topk",
 )
 
 
