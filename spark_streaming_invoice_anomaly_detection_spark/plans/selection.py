@@ -898,9 +898,14 @@ def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``source_temperature_sample``): distribute a character budget across
     sources as uniformly as possible, but never exceed ``epoch_cap``
     repeats of any source. The UniMax sequential allocation (ascending
-    size, each source gets min(cap, remaining/k)) equals the waterfill
-    alloc_i = min(cap_i, L) with sum over alloc = budget, computed here
-    in CLOSED FORM: over caps sorted ascending, source i is saturated
+    size, each source gets min(cap, remaining/k)) is the waterfill
+    alloc_i = min(cap_i, L) in real arithmetic; under integer floor
+    division the two differ by at most the flooring remainder — the
+    sequential scan hands <= 1 extra char to each unsaturated source,
+    this closed form leaves those chars unspent (saturation sets are
+    IDENTICAL; pinned by hypothesis in tests/test_selection.py). The
+    closed form is used because it is order-free and windowable: over
+    caps sorted ascending, source i is saturated
     iff cap_i * (n-i+1) + cumsum_{<i}(cap) <= budget (the lhs is
     nondecreasing in i, so the saturated set is a prefix and one window
     pass finds it), and the level L is the remaining budget split over

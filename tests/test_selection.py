@@ -681,7 +681,10 @@ def test_unimax_matches_sequential_reference_on_skewed_corpus(spark):
     """A planted heavy-tail corpus where sf0.1 can't go (its sources are
     near-uniform, nothing saturates there): tiny sources MUST saturate at
     exactly epoch_cap repeats, big ones sit at one common level, and
-    every allocation equals the paper's sequential algorithm."""
+    every allocation equals the paper's sequential algorithm (exactly,
+    on THIS corpus — the flooring remainder happens to be absorbed by
+    the caps here; the general <=1-char contract is the hypothesis
+    property below)."""
     from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
         _UNIMAX_BUDGET_DEN,
         _UNIMAX_BUDGET_NUM,
@@ -723,3 +726,61 @@ def test_unimax_no_saturation_splits_budget_evenly(spark):
     assert not any(r.saturated for r in got.values())
     budget = 8_000 * _UNIMAX_BUDGET_NUM // _UNIMAX_BUDGET_DEN
     assert {r.alloc_chars for r in got.values()} == {budget // 8}
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 10_000), min_size=1, max_size=12),
+    cap=st.integers(1, 5),
+    num=st.integers(1, 12),
+    den=st.integers(1, 12),
+)
+def test_unimax_closed_form_tracks_sequential_within_flooring(
+    sizes, cap, num, den
+):
+    """The window query's closed form vs the paper's sequential scan,
+    for ARBITRARY masses, caps and budget fractions. They are NOT
+    always identical under integer arithmetic (hypothesis found
+    sizes=[1,1], cap=1, budget=1: sequential hands the flooring
+    remainder to later sources, the closed form leaves it unspent), so
+    the pinned contract is the sharp one: saturation sets AGREE
+    exactly, saturated allocations are equal, and every unsaturated
+    source differs by at most the 1-char flooring remainder (closed <=
+    sequential) — immaterial at corpus scale, and the closed form is
+    the order-free definition both engines hash-match on."""
+    named = {f"s{i:02d}": v for i, v in enumerate(sizes)}
+    budget = sum(named.values()) * num // den
+    # sequential reference (ascending size, name-tiebreak)
+    remaining, seq = budget, {}
+    order = sorted(named, key=lambda s: (named[s], s))
+    for i, src in enumerate(order):
+        k = len(order) - i
+        seq[src] = min(named[src] * cap, remaining // k)
+        remaining -= seq[src]
+    # closed form, exactly as the Spark/SQL query computes it
+    n = len(order)
+    caps = [named[s] * cap for s in order]
+    cum_prev, sat_sum, j = 0, 0, 0
+    saturated = []
+    for i, c in enumerate(caps, start=1):
+        is_sat = c * (n - i + 1) + cum_prev <= budget
+        saturated.append(is_sat)
+        if is_sat:
+            sat_sum += c
+            j += 1
+        cum_prev += c
+    level = (budget - sat_sum) // (n - j) if j < n else None
+    closed = {
+        s: (caps[i] if saturated[i] else level)
+        for i, s in enumerate(order)
+    }
+    # saturation is a prefix (the monotonicity the one-pass window needs)
+    assert saturated == sorted(saturated, reverse=True)
+    # closed-form saturation == sequential saturation (alloc hit cap)
+    for i, s in enumerate(order):
+        assert saturated[i] == (seq[s] == caps[i])
+        if saturated[i]:
+            assert closed[s] == seq[s] == caps[i]
+        else:
+            assert closed[s] <= seq[s] <= closed[s] + 1
+    assert 0 <= sum(seq.values()) - sum(closed.values()) < max(n, 1)
