@@ -1042,3 +1042,114 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) eval-quota apportionment
+# ---------------------------------------------------------------------------
+
+#: Eval-set size as a fraction of the corpus: K = N div 50 (2%). A
+#: fraction, not an absolute count (scale-free, the r3 lesson).
+_QUOTA_DEN = 50
+
+
+def q_eval_quota_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional eval-set quotas per source by the largest-
+    remainder (Hamilton) method — the apportionment a held-out split
+    needs when hash sampling's binomial noise is unacceptable (per-source
+    quotas must sum EXACTLY to K and each sit within 1 doc of the real
+    proportional share):
+
+        base_s  = floor(K * n_s / N)
+        bonus_s = 1 for the (K - sum base) largest remainders
+                  (K * n_s mod N), ties broken by source name
+        quota_s = base_s + bonus_s
+
+    All arithmetic is int64 (floor division and mod mirror DuckDB's
+    ``//``/``%`` on BIGINT for the nonnegative operands here), so the
+    oracle hash-matches bit-for-bit. The shortfall always fits: sum of
+    remainders = N * shortfall and every remainder < N, so there are
+    strictly more positive remainders than bonuses whenever shortfall >
+    0 — no bonus ever lands on an exact-share source. int64 bound:
+    K * n_s <= N^2 / 50 stays in range up to ~21e9 docs; past that,
+    apportion per-shard and re-apportion the shard quotas.
+
+    Plan: one map-side-combined count agg over documents (the 20-row
+    result localCheckpointed -> ONE corpus scan), two scalar broadcasts,
+    a 20-row window. Invariants (sum == K, per-source error < 1 doc)
+    are pinned in tests/test_selection.py.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .localCheckpoint()
+    )
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("_n"))
+    based = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("_k", F.expr(f"_n div {_QUOTA_DEN}"))
+        .withColumn("base_quota", F.expr("(n_docs * _k) div _n"))
+        .withColumn("remainder", F.expr("(n_docs * _k) % _n"))
+    )
+    shortfall = based.agg(
+        (F.max("_k") - F.sum("base_quota")).cast("long").alias("_shortfall")
+    )
+    w = Window.orderBy(F.col("remainder").desc(), F.col("source"))
+    return (
+        based.crossJoin(F.broadcast(shortfall))
+        .withColumn("_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "bonus",
+            (F.col("_rank") <= F.col("_shortfall")).cast("long"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "base_quota",
+            F.col("remainder").cast("long").alias("remainder"),
+            "bonus",
+            (F.col("base_quota") + F.col("bonus")).alias("quota"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="eval_quota_apportionment",
+        description="largest-remainder (Hamilton) per-source eval quotas: "
+        "exact proportional split, all-int64, quotas sum exactly to K",
+        spark=q_eval_quota_apportionment,
+        oracle=f"""
+            WITH counts AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY source
+            ), tot AS (
+                SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+                       CAST(sum(n_docs) AS BIGINT) // {_QUOTA_DEN} AS k
+                FROM counts
+            ), based AS (
+                SELECT c.source, c.n_docs,
+                       (c.n_docs * t.k) // t.n AS base_quota,
+                       (c.n_docs * t.k) % t.n AS remainder,
+                       t.k AS k
+                FROM counts c CROSS JOIN tot t
+            ), short AS (
+                SELECT CAST(max(k) - sum(base_quota) AS BIGINT) AS shortfall
+                FROM based
+            ), ranked AS (
+                SELECT b.*,
+                       CAST(row_number() OVER (
+                            ORDER BY b.remainder DESC, b.source) AS BIGINT)
+                         AS rnk,
+                       s.shortfall
+                FROM based b CROSS JOIN short s
+            )
+            SELECT source, n_docs, base_quota,
+                   CAST(remainder AS BIGINT) AS remainder,
+                   CAST(rnk <= shortfall AS BIGINT) AS bonus,
+                   base_quota + CAST(rnk <= shortfall AS BIGINT) AS quota
+            FROM ranked
+        """,
+    )
+)

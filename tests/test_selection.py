@@ -784,3 +784,38 @@ def test_unimax_closed_form_tracks_sequential_within_flooring(
         else:
             assert closed[s] <= seq[s] <= closed[s] + 1
     assert 0 <= sum(seq.values()) - sum(closed.values()) < max(n, 1)
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder apportionment
+# ---------------------------------------------------------------------------
+
+
+def test_apportionment_invariants_on_real_corpus(spark, sf_dir):
+    """Hamilton's two defining properties, on the shipped corpus: quotas
+    sum EXACTLY to K = N div 50, and every quota is within 1 doc of the
+    exact proportional share (floor or ceil of K*n_s/N)."""
+    from fractions import Fraction
+
+    from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
+        _QUOTA_DEN,
+        q_eval_quota_apportionment,
+    )
+
+    rows = q_eval_quota_apportionment(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in rows)
+    k = n // _QUOTA_DEN
+    assert sum(r.quota for r in rows) == k
+    for r in rows:
+        share = Fraction(k * r.n_docs, n)
+        assert share.__floor__() <= r.quota <= share.__ceil__()
+        assert r.quota == r.base_quota + r.bonus
+        assert r.bonus in (0, 1)
+    # bonuses go to the strictly largest remainders (source tiebreak)
+    ranked = sorted(rows, key=lambda r: (-r.remainder, r.source))
+    shortfall = k - sum(r.base_quota for r in rows)
+    assert [r.bonus for r in ranked] == [1] * shortfall + [0] * (
+        len(rows) - shortfall
+    )
+    # every bonus landed on a nonzero remainder (the docstring's lemma)
+    assert all(r.remainder > 0 for r in ranked[:shortfall])
