@@ -1153,3 +1153,91 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Robust per-source length statistics: exact median + MAD
+# ---------------------------------------------------------------------------
+
+
+def q_source_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust length profile — exact median and median
+    absolute deviation (MAD), the outlier-resistant pair a curation
+    pipeline reads before trusting mean/stddev on heavy-tailed corpora.
+
+    Exactness: Spark's ``median`` and DuckDB's ``quantile_cont(_, 0.5)``
+    use the same interpolation (average of the two middle order
+    statistics — probe-verified 2.5 on {1,2,3,4}), int64 inputs make
+    that average an exact binary fraction, ``abs`` of exact doubles is
+    exact, and the second median inherits the property — so the oracle
+    hash-matches with no rounding anywhere. ``dispersion`` =
+    mad/median is one correctly-rounded division (NULL when median=0).
+
+    MAD is inherently TWO-PASS (the deviations need the median), so the
+    plan reads documents twice: pass 1 aggregates the 20-row medians
+    frame (localCheckpointed, broadcast back), pass 2 aggregates
+    deviations. Both are map-side-combined single shuffles; no
+    windowed-median over the raw corpus (a whole-partition window sort
+    per source would shuffle the same data but sort it wider).
+    """
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    med = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.median("n_chars").alias("median_chars"),
+        )
+        .localCheckpoint()
+    )
+    dev = docs.join(
+        F.broadcast(med.select("source", "median_chars")), "source"
+    ).select(
+        "source",
+        F.abs(
+            F.col("n_chars").cast("double") - F.col("median_chars")
+        ).alias("dev"),
+    )
+    mad = dev.groupBy("source").agg(F.median("dev").alias("mad_chars"))
+    return med.join(mad, "source").select(
+        "source",
+        "n_docs",
+        "median_chars",
+        "mad_chars",
+        F.when(
+            F.col("median_chars") > 0,
+            F.col("mad_chars") / F.col("median_chars"),
+        ).alias("dispersion"),
+    )
+
+
+register(
+    QuerySpec(
+        name="source_length_mad",
+        description="per-source exact median + MAD of document length "
+        "(two-pass robust stats, interpolation-matched across engines)",
+        spark=q_source_length_mad,
+        oracle="""
+            WITH med AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       quantile_cont(n_chars, 0.5) AS median_chars
+                FROM documents GROUP BY source
+            ), dev AS (
+                SELECT d.source,
+                       abs(CAST(d.n_chars AS DOUBLE) - m.median_chars)
+                         AS dev
+                FROM documents d JOIN med m USING (source)
+            ), mad AS (
+                SELECT source, quantile_cont(dev, 0.5) AS mad_chars
+                FROM dev GROUP BY source
+            )
+            SELECT m.source, m.n_docs, m.median_chars, mad.mad_chars,
+                   CASE WHEN m.median_chars > 0
+                        THEN mad.mad_chars / m.median_chars END
+                     AS dispersion
+            FROM med m JOIN mad USING (source)
+        """,
+    )
+)

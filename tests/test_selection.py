@@ -819,3 +819,36 @@ def test_apportionment_invariants_on_real_corpus(spark, sf_dir):
     )
     # every bonus landed on a nonzero remainder (the docstring's lemma)
     assert all(r.remainder > 0 for r in ranked[:shortfall])
+
+
+def test_source_length_mad_matches_numpy_reference(spark, sf_dir):
+    """Median/MAD vs a straight numpy recomputation (same interpolated
+    median definition), bitwise for the medians."""
+    import numpy as np
+
+    from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
+        q_source_length_mad,
+    )
+    from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+        load_table,
+    )
+
+    raw = (
+        load_table(spark, "documents", sf_dir)
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_src: dict = {}
+    for r in raw:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    got = {r.source: r for r in q_source_length_mad(spark, sf_dir).collect()}
+    assert set(got) == set(by_src)
+    for src, vals in by_src.items():
+        a = np.asarray(vals, dtype=np.float64)
+        med = float(np.median(a))
+        mad = float(np.median(np.abs(a - med)))
+        assert got[src].n_docs == len(vals)
+        assert got[src].median_chars == med
+        assert got[src].mad_chars == mad
+        if med > 0:
+            assert got[src].dispersion == mad / med
