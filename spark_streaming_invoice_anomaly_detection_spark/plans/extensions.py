@@ -4652,3 +4652,154 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Split-half centroid drift: exact distributed vector mean, per label
+# ---------------------------------------------------------------------------
+
+#: Vectors per fold shard (level-1 collect is bounded by this regardless
+#: of corpus size; 256 x 64 doubles ~ 128 KB per collected row).
+_CENT_SHARD = 256
+
+
+def q_label_centroid_parity_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half self-consistency of each label's embedding centroid:
+    partition every label's vectors by vec_id parity, compute both half
+    centroids EXACTLY, and report their cosine. A healthy, homogeneous
+    label has cos ~ 1; a label whose cosine sags is multi-modal or
+    contaminated — the cheap pre-flight check before trusting per-label
+    centroids for classification or dedup.
+
+    Float summation order differs between engines, so the centroid sum
+    runs as the house two-level ORDERED fold (the daily_trend_slope /
+    ewma licensing): level 1 folds each <=256-vector shard in vec_id
+    order (seeded with the FIRST element on both engines), level 2
+    folds the shard partials in shard order. Every addition is a double
+    op on identical values in identical order -> bit-identical sums.
+    Cosine is scale-invariant, so the mean's division never happens:
+    cos(sum_even, sum_odd) with a 0.0-seeded dot fold (0.0+x == x, so
+    it agrees with DuckDB's first-element seeding) and one
+    sqrt-product-division mirrored verbatim.
+
+    Scale: one shuffle to (label, parity, shard) groups with BOUNDED
+    per-row state, a tiny level-2 agg, and a 10-row self-join — the
+    same shape at 100 TB, no unbounded collect anywhere.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("parity"),
+        F.floor(F.col("vec_id") / _CENT_SHARD).cast("long").alias("shard"),
+        F.col("vec_id"),
+        vecd.alias("v"),
+    )
+    lvl1 = base.groupBy("label", "parity", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("pcnt"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("vec_id"), F.col("v")))
+        ).alias("vs"),
+    )
+    vadd = lambda a, b: F.zip_with(a, b, lambda x, y: x + y)
+    psum = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1).getField("v"),
+        lambda acc, s: vadd(acc, s.getField("v")),
+    )
+    lvl2 = (
+        lvl1.select("label", "parity", "shard", "pcnt", psum.alias("ps"))
+        .groupBy("label", "parity")
+        .agg(
+            F.sum("pcnt").cast("long").alias("n_vecs"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("shard"), F.col("ps")))
+            ).alias("shards"),
+        )
+    )
+    total = F.aggregate(
+        F.slice(
+            F.col("shards"), 2, F.greatest(F.size("shards") - 1, F.lit(0))
+        ),
+        F.element_at(F.col("shards"), 1).getField("ps"),
+        lambda acc, s: vadd(acc, s.getField("ps")),
+    )
+    halves = lvl2.select("label", "parity", "n_vecs", total.alias("s"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    e = halves.filter(F.col("parity") == 0).alias("e")
+    o = halves.filter(F.col("parity") == 1).alias("o")
+    return e.join(o, F.col("e.label") == F.col("o.label")).select(
+        F.col("e.label").alias("label"),
+        F.col("e.n_vecs").alias("n_even"),
+        F.col("o.n_vecs").alias("n_odd"),
+        (
+            dot(F.col("e.s"), F.col("o.s"))
+            / (
+                F.sqrt(dot(F.col("e.s"), F.col("e.s")))
+                * F.sqrt(dot(F.col("o.s"), F.col("o.s")))
+            )
+        ).alias("cos_drift"),
+    )
+
+
+def _centroid_drift_oracle() -> str:
+    vadd = (
+        f"(p, q) -> list_transform(range(1, {_EMB_DIM + 1}), i -> p[i] + q[i])"
+    )
+    dot = (
+        lambda a, b: f"list_reduce(list_transform(range(1, {_EMB_DIM + 1}),"
+        f" i -> {a}[i] * {b}[i]), (p, q) -> p + q)"
+    )
+    return f"""
+            WITH base AS (
+                SELECT label,
+                       vec_id % 2 AS parity,
+                       vec_id // {_CENT_SHARD} AS shard,
+                       vec_id,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), lvl1 AS (
+                SELECT label, parity, shard,
+                       CAST(count(*) AS BIGINT) AS pcnt,
+                       list_reduce(
+                           list_transform(
+                               list(struct_pack(k := vec_id, v := v)
+                                    ORDER BY vec_id),
+                               s -> s.v),
+                           {vadd}) AS ps
+                FROM base GROUP BY label, parity, shard
+            ), lvl2 AS (
+                SELECT label, parity,
+                       CAST(sum(pcnt) AS BIGINT) AS n_vecs,
+                       list_reduce(
+                           list_transform(
+                               list(struct_pack(k := shard, v := ps)
+                                    ORDER BY shard),
+                               s -> s.v),
+                           {vadd}) AS s
+                FROM lvl1 GROUP BY label, parity
+            )
+            SELECT e.label AS label,
+                   e.n_vecs AS n_even,
+                   o.n_vecs AS n_odd,
+                   {dot('e.s', 'o.s')}
+                     / (sqrt({dot('e.s', 'e.s')}) * sqrt({dot('o.s', 'o.s')}))
+                     AS cos_drift
+            FROM lvl2 e JOIN lvl2 o ON e.label = o.label
+            WHERE e.parity = 0 AND o.parity = 1
+        """
+
+
+register(
+    QuerySpec(
+        name="label_centroid_parity_drift",
+        description="split-half label centroid cosine (exact two-level "
+        "ordered vector fold; bounded per-shard collect)",
+        spark=q_label_centroid_parity_drift,
+        oracle=_centroid_drift_oracle(),
+    )
+)

@@ -764,3 +764,102 @@ class TestBM25:
         assert all(
             out[i].score == 0.0 for i in range(3, 11) if i in out
         )
+
+
+class TestCentroidParityDrift:
+    def test_matches_ordered_fold_reference(self, spark, sf_dir):
+        """Bitwise against a pure-Python twin of the two-level ordered
+        fold (shard-sorted then shard-order), including the 0.0-seeded
+        dot and the verbatim sqrt-product-division."""
+        import math
+        from collections import defaultdict
+
+        import pyarrow.parquet as pq
+
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            _CENT_SHARD,
+            q_label_centroid_parity_drift,
+        )
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        rows = list(
+            zip(
+                t["vec_id"].to_pylist(),
+                t["embedding"].to_pylist(),
+                t["label"].to_pylist(),
+            )
+        )
+        shards = defaultdict(list)
+        for vid, v, lab in rows:
+            shards[(lab, vid % 2, vid // _CENT_SHARD)].append(
+                (vid, [float(x) for x in v])
+            )
+        halves: dict = {}
+        counts: dict = {}
+        lvl2 = defaultdict(list)
+        for (lab, par, sh), vs in shards.items():
+            vs.sort()
+            acc = list(vs[0][1])
+            for _vid, v in vs[1:]:
+                acc = [a + b for a, b in zip(acc, v)]
+            lvl2[(lab, par)].append((sh, acc, len(vs)))
+        for (lab, par), parts in lvl2.items():
+            parts.sort()
+            acc = list(parts[0][1])
+            for _sh, p, _n in parts[1:]:
+                acc = [a + b for a, b in zip(acc, p)]
+            halves[(lab, par)] = acc
+            counts[(lab, par)] = sum(n for _s, _p, n in parts)
+
+        def dot(a, b):
+            s = 0.0
+            for x, y in zip(a, b):
+                s = s + x * y
+            return s
+
+        got = {
+            r.label: r
+            for r in q_label_centroid_parity_drift(spark, sf_dir).collect()
+        }
+        labels = {lab for lab, _p in halves}
+        assert set(got) == labels
+        for lab in labels:
+            e, o = halves[(lab, 0)], halves[(lab, 1)]
+            want = dot(e, o) / (math.sqrt(dot(e, e)) * math.sqrt(dot(o, o)))
+            assert got[lab].cos_drift == want
+            assert got[lab].n_even == counts[(lab, 0)]
+            assert got[lab].n_odd == counts[(lab, 1)]
+            # range sanity only: the synthetic corpus' labels are NOT
+            # tight clusters (measured cos ~ 0.12 at sf0.001), which is
+            # exactly the sag this diagnostic exists to surface — the
+            # directional contract is pinned on the planted corpus below
+            assert -1.0 <= got[lab].cos_drift <= 1.0
+
+    def test_planted_bimodal_label_sags(self, spark, tmp_path):
+        """A label whose two halves point in opposite directions must
+        report cos ~ -1 while a homogeneous label reports ~ +1 — the
+        diagnostic the query exists for."""
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            _EMB_DIM,
+            q_label_centroid_parity_drift,
+        )
+
+        e1 = [1.0] + [0.0] * (_EMB_DIM - 1)
+        neg = [-1.0] + [0.0] * (_EMB_DIM - 1)
+        rows = []
+        for i in range(40):
+            rows.append((i, e1, 1))  # homogeneous label
+        for i in range(40, 80):
+            # parity-correlated direction flip: even ids +e1, odd ids -e1
+            rows.append((i, e1 if i % 2 == 0 else neg, 2))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        d = str(tmp_path / "emb")
+        df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = {
+            r.label: r.cos_drift
+            for r in q_label_centroid_parity_drift(spark, d).collect()
+        }
+        assert got[1] == 1.0
+        assert got[2] == -1.0

@@ -852,3 +852,33 @@ def test_source_length_mad_matches_numpy_reference(spark, sf_dir):
         assert got[src].mad_chars == mad
         if med > 0:
             assert got[src].dispersion == mad / med
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    counts=st.lists(st.integers(1, 100_000), min_size=1, max_size=20),
+    den=st.integers(2, 500),
+)
+def test_apportionment_math_properties(counts, den):
+    """Hamilton apportionment in pure Python over arbitrary counts:
+    quotas sum exactly to K, each quota is floor-or-ceil of the exact
+    share, and bonuses are exactly the largest-remainder prefix —
+    the math the Spark/SQL window implements."""
+    n = sum(counts)
+    k = n // den
+    base = [c * k // n for c in counts]
+    rem = [c * k % n for c in counts]
+    shortfall = k - sum(base)
+    order = sorted(range(len(counts)), key=lambda i: (-rem[i], i))
+    bonus = [0] * len(counts)
+    for i in order[:shortfall]:
+        bonus[i] = 1
+    quota = [b + x for b, x in zip(base, bonus)]
+    assert sum(quota) == k
+    assert 0 <= shortfall < len(counts) or (shortfall == 0)
+    for i, c in enumerate(counts):
+        lo = c * k // n
+        hi = lo + (1 if c * k % n else 0)
+        assert lo <= quota[i] <= hi
+    # every bonus landed on a nonzero remainder
+    assert all(rem[i] > 0 for i in order[:shortfall])
