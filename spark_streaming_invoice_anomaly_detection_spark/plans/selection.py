@@ -1241,3 +1241,88 @@ register(
         """,
     )
 )
+
+
+def q_eval_split_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized eval set the Hamilton quotas promise: within
+    each source, rank documents by a salted deterministic hash (so
+    membership is reproducible on any engine and uncorrelated with
+    doc_id order) and keep exactly ``quota_s`` of them. Composes
+    :func:`q_eval_quota_apportionment`'s math end-to-end — the output
+    count per source IS the quota, so the eval set is exactly
+    proportional with zero binomial noise (the property hash-threshold
+    sampling cannot give).
+
+    Plan: the quota side is the same one-scan 20-row apportionment; the
+    member side is ONE window (rank within source by hash — the shuffle
+    a per-source selection pays no matter what) against a broadcast
+    20-row quota frame. Ties are impossible (h60 is injective on the
+    salted doc_id strings in 60 bits for any real corpus; rank ties
+    would need a 60-bit collision, and the residual order-by doc_id
+    makes even that deterministic).
+    """
+    docs = load_table(spark, "documents", sf_dir).select("source", "doc_id")
+    quotas = q_eval_quota_apportionment(spark, sf_dir).select(
+        "source", "quota"
+    )
+    rank_key = X.h60(
+        F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        rank_key.asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(quotas), "source")
+        .filter(F.col("rank_in_source") <= F.col("quota"))
+        .select("source", "doc_id", "rank_in_source")
+    )
+
+
+_EVAL_RANK_SQL = h60_sql("'eval:' || CAST(doc_id AS VARCHAR)")
+
+register(
+    QuerySpec(
+        name="eval_split_members",
+        description="materialized exactly-proportional eval set: salted "
+        "hash-rank within source, top quota_s per source (zero binomial "
+        "noise)",
+        spark=q_eval_split_members,
+        oracle=f"""
+            WITH counts AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY source
+            ), tot AS (
+                SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+                       CAST(sum(n_docs) AS BIGINT) // {_QUOTA_DEN} AS k
+                FROM counts
+            ), based AS (
+                SELECT c.source,
+                       (c.n_docs * t.k) // t.n AS base_quota,
+                       (c.n_docs * t.k) % t.n AS remainder,
+                       t.k AS k
+                FROM counts c CROSS JOIN tot t
+            ), short AS (
+                SELECT CAST(max(k) - sum(base_quota) AS BIGINT) AS shortfall
+                FROM based
+            ), quotas AS (
+                SELECT b.source,
+                       b.base_quota
+                       + CAST(CAST(row_number() OVER (
+                             ORDER BY b.remainder DESC, b.source) AS BIGINT)
+                           <= s.shortfall AS BIGINT) AS quota
+                FROM based b CROSS JOIN short s
+            ), ranked AS (
+                SELECT source, doc_id,
+                       CAST(row_number() OVER (
+                            PARTITION BY source
+                            ORDER BY {_EVAL_RANK_SQL} ASC, doc_id ASC)
+                         AS BIGINT) AS rank_in_source
+                FROM documents
+            )
+            SELECT r.source, r.doc_id, r.rank_in_source
+            FROM ranked r JOIN quotas q USING (source)
+            WHERE r.rank_in_source <= q.quota
+        """,
+    )
+)

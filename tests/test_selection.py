@@ -882,3 +882,35 @@ def test_apportionment_math_properties(counts, den):
         assert lo <= quota[i] <= hi
     # every bonus landed on a nonzero remainder
     assert all(rem[i] > 0 for i in order[:shortfall])
+
+
+def test_eval_split_members_compose_quotas_exactly(spark, sf_dir):
+    """The materialized split's per-source counts ARE the quotas, and
+    membership is the deterministic hash-rank prefix (stable under
+    re-execution)."""
+    from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
+        q_eval_quota_apportionment,
+        q_eval_split_members,
+    )
+
+    quotas = {
+        r.source: r.quota
+        for r in q_eval_quota_apportionment(spark, sf_dir).collect()
+    }
+    rows = q_eval_split_members(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.source, set()).add(r.doc_id)
+    assert {s: len(v) for s, v in got.items()} == {
+        s: q for s, q in quotas.items() if q > 0
+    }
+    again = q_eval_split_members(spark, sf_dir).collect()
+    assert {(r.source, r.doc_id) for r in again} == {
+        (r.source, r.doc_id) for r in rows
+    }
+    # ranks are a contiguous 1..quota prefix per source
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.rank_in_source)
+    for s, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, quotas[s] + 1))
