@@ -196,6 +196,10 @@ ITERATIVE_QUERIES = (
     "semantic_dedup_census",
     "embedding_neardup_pairs",
     "hard_negative_mining",
+    # r9: the token-shuffle retrieval path (probe: 11.2x wall at x100);
+    # its ratio regressing would mean the per-doc agg lost its map-side
+    # combine or the explode started re-tokenizing per reference
+    "bm25_search_topk",
 )
 
 
