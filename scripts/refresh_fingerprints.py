@@ -25,6 +25,18 @@ current fingerprint while keeping its recorded round. Only valid when
 the fingerprint ALGORITHM changed but no query definition did (e.g. the
 r9 walker fixes: function-local imports + deterministic const reprs) —
 the snapshot entries are the same verified definitions, re-hashed.
+Sentinel entries (``fp`` starting with ``changed-after-``) are kept
+VERBATIM under --restamp (r9 ADVICE, medium): they flag definitions
+known to postdate their green row, and overwriting them with the
+current fingerprint would silently bless exactly what they exclude.
+
+First-green-in-the-NEWEST-round queries get a SENTINEL, not a stamp
+(r9 ADVICE, low): the dirty-tree check cannot tell whether HEAD moved
+past the commit the driver verified (committed edits leave the tree
+clean), so a query whose only green row is the newest round and which
+has no prior snapshot entry cannot be soundly blessed — it is
+sentineled into the changed tier and re-verified once more, after
+which the normal stamping path takes over.
 
 Soundness depends on the working tree matching what the driver verified,
 so the script refuses to run when ``git status --porcelain`` shows
@@ -42,6 +54,78 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spark_streaming_invoice_anomaly_detection_spark.plans import registry  # noqa: E402
+
+
+def compute_snapshot(
+    names: list[str],
+    hist: dict[str, tuple[int, bool]],
+    old: dict[str, dict],
+    cur: dict[str, str],
+    *,
+    mark: set[str] = frozenset(),
+    restamp: bool = False,
+    head: str | None = None,
+) -> tuple[dict[str, dict], dict[str, int]]:
+    """Pure stamping decision (unit-tested in
+    tests/test_verification_staleness.py): given the registry names, the
+    driver history (name -> (latest_round, green)), the prior snapshot,
+    and the current fingerprints, produce the new snapshot + stats."""
+    newest_round = max(
+        (rnd for rnd, ok in hist.values() if ok), default=0
+    )
+    snap: dict[str, dict] = {}
+    stats = {"kept": 0, "stamped": 0, "sentinel": 0, "no_green": 0}
+
+    def _stamp(fp: str, rnd: int) -> dict:
+        entry = {"fp": fp, "round": rnd}
+        if head:
+            entry["sha"] = head
+        return entry
+
+    for name in names:
+        latest_green = hist.get(name)
+        if latest_green is None or not latest_green[1]:
+            stats["no_green"] += 1
+            continue
+        rnd = latest_green[0]
+        is_sentinel = str(old.get(name, {}).get("fp", "")).startswith(
+            "changed-after-"
+        )
+        if name in mark:
+            snap[name] = {"fp": f"changed-after-r{rnd}", "round": rnd}
+            stats["sentinel"] += 1
+        elif restamp and name in old:
+            if is_sentinel and old[name].get("round", -1) >= rnd:
+                # r9 ADVICE (medium): a sentinel marks a definition KNOWN
+                # to postdate its green row — restamp re-hashes verified
+                # definitions only, so the sentinel survives verbatim
+                # until a newer green row clears it.
+                snap[name] = old[name]
+                stats["kept"] += 1
+            else:
+                # a CLEARED sentinel (newer green row arrived) re-stamps
+                # at the new green round; plain entries keep their round
+                keep_rnd = (
+                    rnd if is_sentinel else old[name].get("round", rnd)
+                )
+                snap[name] = _stamp(cur[name], keep_rnd)
+                stats["stamped"] += 1
+        elif name in old and old[name].get("round", -1) >= rnd:
+            snap[name] = old[name]
+            stats["kept"] += 1
+        elif name not in old and rnd == newest_round:
+            # r9 ADVICE (low): first green row earned in the NEWEST round
+            # on disk, no prior entry — the clean-tree check cannot prove
+            # HEAD still equals the commit the driver verified (committed
+            # edits leave the tree clean), so don't bless the current
+            # fingerprint; sentinel it into the changed tier for one more
+            # external verification.
+            snap[name] = {"fp": f"changed-after-r{rnd}", "round": rnd}
+            stats["sentinel"] += 1
+        else:
+            snap[name] = _stamp(cur[name], rnd)
+            stats["stamped"] += 1
+    return snap, stats
 
 
 def main() -> None:
@@ -98,32 +182,10 @@ def main() -> None:
     old = registry.verified_fingerprints()
     hist = registry._DRIVER_HISTORY
 
-    snap: dict[str, dict] = {}
-    stats = {"kept": 0, "stamped": 0, "sentinel": 0, "no_green": 0}
-    for name in sorted(registry.REGISTRY):
-        latest_green = hist.get(name)
-        if latest_green is None or not latest_green[1]:
-            stats["no_green"] += 1
-            continue
-        rnd = latest_green[0]
-        if name in mark:
-            snap[name] = {"fp": f"changed-after-r{rnd}", "round": rnd}
-            stats["sentinel"] += 1
-        elif args.restamp and name in old:
-            entry = {"fp": cur[name], "round": old[name].get("round", rnd)}
-            if head:
-                entry["sha"] = head
-            snap[name] = entry
-            stats["stamped"] += 1
-        elif name in old and old[name].get("round", -1) >= rnd:
-            snap[name] = old[name]
-            stats["kept"] += 1
-        else:
-            entry = {"fp": cur[name], "round": rnd}
-            if head:
-                entry["sha"] = head
-            snap[name] = entry
-            stats["stamped"] += 1
+    snap, stats = compute_snapshot(
+        sorted(registry.REGISTRY), hist, old, cur,
+        mark=mark, restamp=args.restamp, head=head,
+    )
 
     path = registry._snapshot_path()
     with open(path, "w") as f:

@@ -181,13 +181,19 @@ def _walk_source(obj, seen: set, parts: list[str]) -> None:
 
 def _const_repr(v) -> str | None:
     """Deterministic repr for module-level constants worth fingerprinting,
-    or None for values that must NOT be hashed. Only immutable types with
-    a process-stable repr qualify (str/int/float/bool/bytes/None/tuple);
-    frozensets are rendered element-sorted because their iteration order is
-    PYTHONHASHSEED-dependent. list/dict/set are runtime-MUTABLE module
-    state — hashing them turned the extensions.py DataFrame memo caches
-    (_PAIRS_CACHE et al., keyed by id(spark) memory addresses) into a
-    changed-forever fingerprint slot leak once any query ran in-process."""
+    or None for values that must NOT be hashed.
+
+    Containers are hashed RECURSIVELY when every leaf is an immutable with
+    a process-stable repr (str/int/float/bool/bytes/None); a container with
+    any other leaf — DataFrames, objects, id()-keyed memo-cache entries —
+    is excluded entirely (the r8 fix: hashing the extensions.py DataFrame
+    memo caches, keyed by id(spark) memory addresses, made fingerprints
+    move forever once any query ran in-process). list/dict ARE hashed when
+    all-const (r9 ADVICE: a Spark-side-only list/dict constant such as
+    _EMB_PLANE_VALS / _SPLIT_WEIGHTS / _BENFORD_P must move the
+    fingerprint when edited); set/frozenset render element-sorted because
+    their iteration order is PYTHONHASHSEED-dependent, and dicts render
+    key-sorted so post-construction insertion order cannot leak in."""
     if v is None or isinstance(v, (str, int, float, bool, bytes)):
         return repr(v)
     if isinstance(v, tuple):
@@ -195,11 +201,34 @@ def _const_repr(v) -> str | None:
         if any(p is None for p in inner):
             return None
         return "(" + ",".join(inner) + ")"
-    if isinstance(v, frozenset):
+    if isinstance(v, list):
+        # empty MUTABLE containers are excluded, not hashed as "[]": a memo
+        # cache is empty at import and fills at runtime — hashing the empty
+        # state would move the fingerprint the first time a query runs
+        if not v:
+            return None
+        inner = [_const_repr(x) for x in v]
+        if any(p is None for p in inner):
+            return None
+        return "[" + ",".join(inner) + "]"
+    if isinstance(v, (set, frozenset)):
+        if not v and not isinstance(v, frozenset):
+            return None
         inner = [_const_repr(x) for x in v]
         if any(p is None for p in inner):
             return None
         return "frozenset{" + ",".join(sorted(inner)) + "}"
+    if isinstance(v, dict):
+        if not v:
+            return None
+        items = []
+        for k in v:
+            kr = _const_repr(k)
+            vr = _const_repr(v[k])
+            if kr is None or vr is None:
+                return None
+            items.append(f"{kr}:{vr}")
+        return "dict{" + ",".join(sorted(items)) + "}"
     return None
 
 

@@ -257,13 +257,100 @@ def test_fingerprint_ignores_runtime_mutable_constants():
     assert " at 0x" not in _closure_blob("semantic_dedup_census")
 
 
+def _compute_snapshot(*args, **kwargs):
+    import importlib.util
+
+    path = os.path.join(ROOT, "scripts", "refresh_fingerprints.py")
+    spec = importlib.util.spec_from_file_location("refresh_fp", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.compute_snapshot(*args, **kwargs)
+
+
+def test_refresh_restamp_preserves_sentinels():
+    """r9 ADVICE (medium): --restamp re-hashes VERIFIED definitions when
+    the fingerprint algorithm changes — it must never overwrite a
+    ``changed-after-rN`` sentinel (a definition known to postdate its
+    green row) with the current fingerprint, which would silently bless
+    exactly what the sentinel excludes."""
+    hist = {"q_sent": (5, True), "q_plain": (5, True)}
+    old = {
+        "q_sent": {"fp": "changed-after-r5", "round": 5},
+        "q_plain": {"fp": "oldhash", "round": 5},
+    }
+    cur = {"q_sent": "newhash1", "q_plain": "newhash2"}
+    snap, stats = _compute_snapshot(
+        ["q_plain", "q_sent"], hist, old, cur, restamp=True
+    )
+    assert snap["q_sent"] == old["q_sent"], "sentinel was overwritten"
+    assert snap["q_plain"]["fp"] == "newhash2"
+    assert snap["q_plain"]["round"] == 5
+    assert stats == {"kept": 1, "stamped": 1, "sentinel": 0, "no_green": 0}
+
+
+def test_refresh_restamp_clears_sentinel_after_new_green_row():
+    """A sentinel whose query has since re-verified green at a NEWER
+    round is cleared: the re-verification is exactly the evidence the
+    sentinel demanded, so restamp stamps the current fp at that round."""
+    hist = {"q_sent": (7, True)}
+    old = {"q_sent": {"fp": "changed-after-r5", "round": 5}}
+    cur = {"q_sent": "newhash"}
+    snap, _ = _compute_snapshot(["q_sent"], hist, old, cur, restamp=True)
+    assert snap["q_sent"]["fp"] == "newhash"
+    assert snap["q_sent"]["round"] == 7
+
+
+def test_refresh_auto_sentinels_newest_round_first_greens():
+    """r9 ADVICE (low): a query whose FIRST green row is in the newest
+    CORRECTNESS round and which has no prior snapshot entry is
+    sentineled, not stamped — the clean-tree check cannot prove HEAD
+    still equals the commit the driver verified (committed edits leave
+    the tree clean), so blessing the current fingerprint would skip the
+    one verification the tier exists to force. Older first-greens stamp
+    normally (their row predates the newest round, so the normal
+    round-start discipline already covered them)."""
+    hist = {"q_new": (9, True), "q_older": (8, True), "q_known": (9, True)}
+    old = {"q_known": {"fp": "knownhash", "round": 8}}
+    cur = {"q_new": "h_new", "q_older": "h_old", "q_known": "h_known"}
+    snap, stats = _compute_snapshot(
+        ["q_known", "q_new", "q_older"], hist, old, cur
+    )
+    assert snap["q_new"] == {"fp": "changed-after-r9", "round": 9}
+    assert snap["q_older"]["fp"] == "h_old"
+    assert snap["q_older"]["round"] == 8
+    # existing entry + newer green round -> normal restamp at new round
+    assert snap["q_known"]["fp"] == "h_known"
+    assert snap["q_known"]["round"] == 9
+    assert stats["sentinel"] == 1 and stats["stamped"] == 2
+
+
 def test_const_repr_is_deterministic_and_selective():
-    """_const_repr hashes only process-stable immutables: frozensets are
-    element-sorted (raw repr order is PYTHONHASHSEED-dependent); mutable
-    containers and arbitrary objects are excluded entirely."""
+    """_const_repr hashes process-stable values only. r9 ADVICE: all-const
+    list/dict containers (e.g. _EMB_PLANE_VALS / _SPLIT_WEIGHTS /
+    _BENFORD_P) ARE hashed recursively — editing one must move the
+    fingerprint — with sets element-sorted and dicts key-sorted (raw
+    iteration order is PYTHONHASHSEED- or insertion-dependent). Excluded:
+    any container with a non-const leaf (DataFrame memo caches) and any
+    EMPTY mutable container (a cache is empty at import and fills at
+    runtime; hashing the empty state would move the fingerprint the
+    first time a query runs)."""
     cr = registry._const_repr
     assert cr(("a", 1, 2.5)) == "('a',1,2.5)"
     assert cr(frozenset({"b", "a"})) == cr(frozenset({"a", "b"}))
     assert cr(None) == "None"
-    for excluded in ([1], {"k": 1}, {1, 2}, object(), (1, [2])):
+    assert cr([1, "x", 2.5]) == "[1,'x',2.5]"
+    assert cr({"k": 1, "a": [2, 3]}) == "dict{'a':[2,3],'k':1}"
+    assert cr({2, 1}) == cr(frozenset({1, 2}))
+    assert cr((1, [2])) == "(1,[2])"
+    for excluded in (
+        [],                     # empty mutable: future cache
+        {},                     # empty mutable: the memo-cache pattern
+        set(),                  # empty mutable
+        object(),
+        [object()],             # non-const leaf
+        {"k": object()},        # non-const value (DataFrame caches)
+        {object(): 1},          # non-const key
+        (1, [object()]),        # non-const leaf nested in tuple
+    ):
         assert cr(excluded) is None, f"{excluded!r} must not be hashed"
+    assert cr(frozenset()) == "frozenset{}"  # immutable empty is stable
