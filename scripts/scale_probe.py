@@ -76,6 +76,8 @@ PROBE_QUERIES = (
     "token_budget_sample",
     "corpus_shuffle",
     "bm25_search_topk",
+    # r10: the GK-prefiltered quota selection (sorted volume ~2% of corpus)
+    "eval_split_members",
 )
 
 

@@ -201,7 +201,10 @@ def _cc_propagation(
                 F.col("node").alias("u"), F.col("comp").alias("v")
             )
             aug = edges.select("u", "v").unionByName(shortcuts)
-            result = _cc_star(aug, "u", "v", max_iter)
+            # star gets what's LEFT of the budget (r9 ADVICE: a fresh
+            # max_iter let auto consume up to ~2x the stated bound);
+            # len(history) = propagation rounds already spent
+            result = _cc_star(aug, "u", "v", max_iter - len(history))
             edges.unpersist()
             return result
     edges.unpersist()

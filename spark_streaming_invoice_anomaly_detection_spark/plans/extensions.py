@@ -15,6 +15,8 @@ cosines proved bit-identical to DuckDB's list_dot_product (verified over
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2849,32 +2851,72 @@ def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25's idf needs no greatest() guard: an absent term (df=0) zeroes
     every tf, and 2N-2df+1 >= 1 keeps fp_log2 defined.
 
-    Plan: one explode + one per-doc hash agg (map-side combined; dl and
-    the per-term tfs from the same pass), a 1-row broadcast of corpus
-    stats, TakeOrdered top-20. One corpus scan; the token shuffle is the
-    same one the inverted index pays.
+    int64 bound (r9 ADVICE): the rescaled numerator/denominator products
+    hold exactly while corpus_len * max(tf) < 2^63 / 22 ~ 4.2e17 (e.g.
+    a 10^13-token corpus with 40k-occurrence docs). Past that, divide
+    the 40L rescale by a power of two on BOTH sides, or cast corpus_len
+    to double in both engines (one documented rounding step); this
+    module keeps the exact form and documents the bound, matching
+    eval_quota_apportionment's convention.
+
+    Plan (r9 VERDICT #6 — don't aggregate docs that can't rank): tf and
+    dl come from per-row ARRAY projections (size/filter over one
+    let-bound token array — whole-stage codegen, no explode, no token
+    shuffle at all; the multi-use `_toks` column is a CollapseProject
+    boundary so the split runs once per doc). Corpus stats stay a full
+    1-row agg, broadcast back. The sort branch is restricted to docs
+    matching >= 1 query term, UNIONed with the 20 smallest-doc_id
+    zero-match docs — exactly the only non-matching candidates that can
+    ever reach the top-20 (their score is identically 0.0 and the
+    tiebreak is doc_id asc), so the output is byte-identical to scoring
+    everyone, including the negative-idf regime (df > N/2) where
+    zero-match docs legitimately outrank matches, and corpora with
+    fewer than 20 matching docs. Byte-parity with the score-everyone
+    plan is pinned in tests/test_extensions.py.
     """
     docs = load_table(spark, "documents", sf_dir)
     n_docs = docs.count()  # 1-row job; a literal keeps the plan simple
-    words = docs.select(
+    toks = docs.select(
         "doc_id",
-        F.explode(F.split(X.ascii_lower("text"), "[^a-z0-9]+")).alias("term"),
-    ).filter(F.col("term") != "")
-    tf = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.count_if(F.col("term") == t).alias(f"tf_{t}")
-            for t in _SEARCH_TERMS
-        ],
+        F.filter(
+            F.split(X.ascii_lower("text"), "[^a-z0-9]+"),
+            lambda x: x != "",
+        ).alias("_toks"),
     )
-    stats = tf.agg(
+    def _tf(term: str):
+        # closure, not a default-arg lambda: pyspark treats a 2-parameter
+        # lambda as the (element, index) HOF form
+        return F.size(
+            F.filter("_toks", lambda x: x == F.lit(term))
+        ).cast("long")
+
+    feat = toks.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("dl"),
+        *[_tf(t).alias(f"tf_{t}") for t in _SEARCH_TERMS],
+    ).filter(
+        # docs with no tokens never enter the reference tf relation
+        # (explode emits nothing for them) — keep that contract
+        F.col("dl") > 0
+    )
+    stats = feat.agg(
         F.sum("dl").cast("long").alias("corpus_len"),
         *[
             F.count_if(F.col(f"tf_{t}") > 0).cast("long").alias(f"df_{t}")
             for t in _SEARCH_TERMS
         ],
     )
-    hoisted = tf.crossJoin(F.broadcast(stats))
+    any_hit = reduce(
+        lambda a, b: a | b,
+        [F.col(f"tf_{t}") > 0 for t in _SEARCH_TERMS],
+    )
+    matched = feat.filter(any_hit)
+    zerofill = (
+        feat.filter(~any_hit)
+        .orderBy(F.col("doc_id").asc())
+        .limit(20)
+    )
+    hoisted = matched.unionByName(zerofill).crossJoin(F.broadcast(stats))
     for t in _SEARCH_TERMS:
         hoisted = hoisted.withColumn(
             f"idf_num_{t}",

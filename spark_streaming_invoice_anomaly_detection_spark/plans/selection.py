@@ -1243,6 +1243,21 @@ register(
 )
 
 
+#: GK-sketch accuracy for the eval-split prefilter (rank error <=
+#: n_s / _EVAL_PRE_ACCURACY per source).
+_EVAL_PRE_ACCURACY = 10_000
+
+#: Prefilter percentile: quota fraction (1/_QUOTA_DEN) plus enough margin
+#: that the sketch's returned element provably ranks >= quota_s. Need
+#: p*n_s - n_s/A >= n_s/_QUOTA_DEN + 1 (quota_s <= n_s/50 + 1), i.e.
+#: n_s * (p - 1/A - 1/50) >= 1: holds for every source with n_s >= 715;
+#: smaller sources are caught by the exact survivor-count check below and
+#: full-ranked (trivially cheap at that size). Overshoot is bounded the
+#: same way: survivors <= (p + 1/A) * n_s = 2.16% of the source — a ~46x
+#: cut in sorted volume vs ranking the whole corpus.
+_EVAL_PRE_FRACTION = 0.0215
+
+
 def q_eval_split_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized eval set the Hamilton quotas promise: within
     each source, rank documents by a salted deterministic hash (so
@@ -1253,26 +1268,103 @@ def q_eval_split_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional with zero binomial noise (the property hash-threshold
     sampling cannot give).
 
-    Plan: the quota side is the same one-scan 20-row apportionment; the
-    member side is ONE window (rank within source by hash — the shuffle
-    a per-source selection pays no matter what) against a broadcast
-    20-row quota frame. Ties are impossible (h60 is injective on the
+    Plan (r9 VERDICT #5 — don't sort what the quota will discard): a
+    full per-source window rank sorts 100% of the corpus to keep 2%.
+    Instead, two-phase:
+
+    1. GK-sketch the per-source rank-key quantile at
+       ``_EVAL_PRE_FRACTION`` (one map-side-combined sketch agg),
+       broadcast the 20-row thresholds, and prefilter to rows with
+       ``rank_key <= threshold_s``. Because the keys are totally
+       ordered and (60-bit-hash) duplicate-free, the survivors are an
+       exact PREFIX of each source's global order — so ranking only
+       them reproduces the global ranks verbatim.
+    2. Soundness is checked EXACTLY, not assumed: a survivor count
+       per source (cheap partial agg) must reach quota_s; any source
+       where the sketch under-shot (possible only below ~715 docs,
+       see the margin math on ``_EVAL_PRE_FRACTION``) falls back to
+       the plain full window FOR THAT SOURCE ONLY. The union is
+       byte-identical to the single-window plan on every input.
+
+    The window sort now touches ~2.16% of rows instead of 100% — the
+    at-100TB difference between sorting the corpus and sorting an
+    eval-sized sliver. Ties are impossible (h60 is injective on the
     salted doc_id strings in 60 bits for any real corpus; rank ties
     would need a 60-bit collision, and the residual order-by doc_id
-    makes even that deterministic).
+    makes even that deterministic). Parity with the plain single-window
+    plan, including forced-fallback sources, is pinned in
+    tests/test_selection.py.
     """
     docs = load_table(spark, "documents", sf_dir).select("source", "doc_id")
-    quotas = q_eval_quota_apportionment(spark, sf_dir).select(
-        "source", "quota"
+    quotas = (
+        q_eval_quota_apportionment(spark, sf_dir)
+        .select("source", "quota")
+        .localCheckpoint()  # 20 rows, read three times below
     )
+    return _eval_members_prefiltered(
+        docs, quotas, _EVAL_PRE_FRACTION, _EVAL_PRE_ACCURACY
+    )
+
+
+def _eval_members_prefiltered(
+    docs: DataFrame,
+    quotas: DataFrame,
+    fraction: float,
+    accuracy: int,
+) -> DataFrame:
+    """Two-phase quota selection over ``docs(source, doc_id)`` against a
+    broadcastable ``quotas(source, quota)`` frame; see
+    :func:`q_eval_split_members` for the soundness argument. ``fraction``
+    and ``accuracy`` are injectable so tests can force the fallback
+    branch (a deliberately-undershooting fraction must still produce
+    byte-identical output via the per-source full-rank path)."""
     rank_key = X.h60(
         F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))
     )
-    w = Window.partitionBy("source").orderBy(
-        rank_key.asc(), F.col("doc_id").asc()
+    keyed = docs.withColumn("_rk", rank_key)
+
+    # Phase 1: per-source prefilter threshold (20-row sketch agg).
+    thresholds = (
+        keyed.groupBy("source")
+        .agg(
+            F.percentile_approx(
+                "_rk", F.lit(fraction), F.lit(accuracy)
+            ).alias("_thr")
+        )
+        .localCheckpoint()
     )
+
+    # Exact soundness check: survivors per source must cover the quota.
+    surv_counts = (
+        keyed.join(F.broadcast(thresholds), "source")
+        .filter(F.col("_rk") <= F.col("_thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    )
+    ok_sources = (
+        quotas.join(surv_counts, "source", "left")
+        .filter(F.coalesce(F.col("_m"), F.lit(0)) >= F.col("quota"))
+        .select("source")
+        .localCheckpoint()  # <= 20 rows
+    )
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("_rk").asc(), F.col("doc_id").asc()
+    )
+    # Fast path: rank only the prefix survivors of provably-covered
+    # sources (prefix property => ranks equal the global ranks).
+    fast = (
+        keyed.join(F.broadcast(thresholds), "source")
+        .join(F.broadcast(ok_sources), "source", "semi")
+        .filter(F.col("_rk") <= F.col("_thr"))
+    )
+    # Fallback: full rank, but ONLY for sources the check rejected
+    # (normally none; always tiny ones).
+    slow = keyed.join(F.broadcast(ok_sources), "source", "anti")
     return (
-        docs.withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        fast.select("source", "doc_id", "_rk")
+        .unionByName(slow.select("source", "doc_id", "_rk"))
+        .withColumn("rank_in_source", F.row_number().over(w).cast("long"))
         .join(F.broadcast(quotas), "source")
         .filter(F.col("rank_in_source") <= F.col("quota"))
         .select("source", "doc_id", "rank_in_source")

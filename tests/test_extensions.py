@@ -765,6 +765,41 @@ class TestBM25:
             out[i].score == 0.0 for i in range(3, 11) if i in out
         )
 
+    def test_prefilter_keeps_zero_match_candidates(self, spark, tmp_path):
+        """r10: the matched-docs prefilter must stay byte-identical to
+        scoring everyone in the two regimes where zero-match docs
+        legitimately reach the top-20:
+
+        - NEGATIVE idf (df > N/2): matched docs score below 0.0, so
+          zero-match docs outrank them;
+        - fewer than 20 matching docs: the tail fills with zero-match
+          docs by doc_id asc.
+
+        Both at once here: 24 of 30 docs contain 'join' (idf < 0), so
+        the top-20 must lead with the 6 zero-match docs in doc_id order,
+        then the least-penalized matches. Docs with EMPTY text must stay
+        excluded entirely (the reference tf relation never saw them)."""
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            q_bm25_search_topk,
+        )
+
+        filler = " ".join(f"w{i}" for i in range(30))
+        rows = (
+            [(i, f"join {filler}") for i in range(1, 25)]
+            + [(i, filler) for i in range(25, 31)]
+            + [(31, ""), (32, "   ")]  # token-free: must not appear
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        d = str(tmp_path / "neg_idf")
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = q_bm25_search_topk(spark, d).collect()
+        assert len(got) == 20
+        assert [r.doc_id for r in got[:6]] == list(range(25, 31))
+        assert all(r.score == 0.0 for r in got[:6])
+        assert all(r.score < 0.0 for r in got[6:])  # negative-idf regime
+        assert [r.doc_id for r in got[6:]] == list(range(1, 15))
+        assert all(r.doc_id not in (31, 32) for r in got)
+
 
 class TestCentroidParityDrift:
     def test_matches_ordered_fold_reference(self, spark, sf_dir):

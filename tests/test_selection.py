@@ -54,6 +54,105 @@ def test_fp_log2_rejects_nonpositive():
         fp_log2_py(0)
 
 
+def test_eval_split_prefilter_matches_plain_window_both_branches(spark):
+    """r9 VERDICT #5: the GK-prefiltered two-phase plan must be
+    byte-identical to the plain single-window plan. Checked against an
+    independent PYTHON twin (same h60 salt, same Hamilton quotas) on a
+    skewed synthetic corpus, under three prefilter settings:
+
+    - the production fraction/accuracy (fast path for large sources),
+    - a deliberately-undershooting fraction (survivor counts miss every
+      quota -> ALL sources take the per-source full-rank fallback),
+    - an over-generous fraction (everything survives the prefilter —
+      degenerates to the plain window).
+
+    All three must agree with the Python twin exactly."""
+    from spark_streaming_invoice_anomaly_detection_spark.operators.similarity import (
+        _h60_py,
+    )
+    from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
+        _EVAL_PRE_ACCURACY,
+        _EVAL_PRE_FRACTION,
+        _QUOTA_DEN,
+        _eval_members_prefiltered,
+    )
+
+    # skewed corpus: two big sources, one mid, one tiny (tiny sources are
+    # where the sketch can legitimately undershoot in production)
+    sizes = {"web": 2000, "code": 1100, "books": 150, "wiki": 9}
+    rows, did = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((did, src))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    # independent Hamilton quotas in Python
+    n_total = sum(sizes.values())
+    k = n_total // _QUOTA_DEN
+    base = {s: n * k // n_total for s, n in sizes.items()}
+    rem = {s: n * k % n_total for s, n in sizes.items()}
+    shortfall = k - sum(base.values())
+    order = sorted(sizes, key=lambda s: (-rem[s], s))
+    quota = {
+        s: base[s] + (1 if i < shortfall else 0)
+        for i, s in enumerate(order)
+    }
+    quotas = spark.createDataFrame(
+        [(s, q) for s, q in quota.items()], "source string, quota long"
+    )
+
+    # independent membership twin: salted-hash rank prefix per source
+    by_src: dict = {}
+    for d, s in rows:
+        by_src.setdefault(s, []).append((_h60_py(f"eval:{d}"), d))
+    expected = set()
+    for s, keyed in by_src.items():
+        for rank, (_h, d) in enumerate(sorted(keyed), start=1):
+            if rank <= quota[s]:
+                expected.add((s, d, rank))
+
+    for frac, acc in (
+        (_EVAL_PRE_FRACTION, _EVAL_PRE_ACCURACY),  # production fast path
+        (0.0001, 10_000),                          # force full fallback
+        (0.999, 100),                              # degenerate: keep all
+    ):
+        got = {
+            (r.source, r.doc_id, r.rank_in_source)
+            for r in _eval_members_prefiltered(
+                docs, quotas, frac, acc
+            ).collect()
+        }
+        assert got == expected, f"mismatch at fraction={frac}"
+
+    # the undershooting fraction really does starve the survivor check
+    # (guards against the fallback branch silently becoming dead code)
+    from pyspark.sql import functions as F
+
+    from spark_streaming_invoice_anomaly_detection_spark.operators.text import (
+        h60,
+    )
+
+    keyed = docs.withColumn(
+        "_rk", h60(F.concat(F.lit("eval:"), F.col("doc_id").cast("string")))
+    )
+    thr = keyed.groupBy("source").agg(
+        F.percentile_approx("_rk", F.lit(0.0001), F.lit(10_000)).alias("t")
+    )
+    m = {
+        r.source: r.m
+        for r in keyed.join(thr, "source")
+        .filter(F.col("_rk") <= F.col("t"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .collect()
+    }
+    assert any(m.get(s, 0) < quota[s] for s in sizes if quota[s] > 0), (
+        "the 'undershooting' fraction did not actually undershoot — the "
+        "fallback branch was not exercised"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weights
 # ---------------------------------------------------------------------------
