@@ -2859,64 +2859,50 @@ def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     module keeps the exact form and documents the bound, matching
     eval_quota_apportionment's convention.
 
-    Plan (r9 VERDICT #6 — don't aggregate docs that can't rank): tf and
-    dl come from per-row ARRAY projections (size/filter over one
-    let-bound token array — whole-stage codegen, no explode, no token
-    shuffle at all; the multi-use `_toks` column is a CollapseProject
-    boundary so the split runs once per doc). Corpus stats stay a full
-    1-row agg, broadcast back. The sort branch is restricted to docs
-    matching >= 1 query term, UNIONed with the 20 smallest-doc_id
-    zero-match docs — exactly the only non-matching candidates that can
-    ever reach the top-20 (their score is identically 0.0 and the
-    tiebreak is doc_id asc), so the output is byte-identical to scoring
-    everyone, including the negative-idf regime (df > N/2) where
-    zero-match docs legitimately outrank matches, and corpora with
-    fewer than 20 matching docs. Byte-parity with the score-everyone
-    plan is pinned in tests/test_extensions.py.
+    Plan: one explode + one per-doc hash agg (map-side combined; dl and
+    the per-term tfs from the same pass), a 1-row broadcast of corpus
+    stats, TakeOrdered top-20. One corpus scan and ONE tokenize pass:
+    the tf relation feeds both the stats aggregate and the scoring
+    branch, and because tf ends in a groupBy exchange, ReuseExchange
+    materializes it once for both consumers. The shuffle is the
+    POST-map-side-combine frame — one narrow (doc_id, dl, tf*) row per
+    document, not per token.
+
+    Match-prefilter rejection (r9 VERDICT #6, measured r10): restricting
+    the per-doc branch to docs containing >= 1 query term (regex
+    boundary-anchored prefilter + array-projection tf, zero-shuffle, with
+    an exact 20-doc zero-match fill to keep byte-parity) was built and
+    measured ~2x SLOWER at sf0.1 (1.31 s vs 0.84 s cold-protocol min-of-5;
+    0.77 s vs 0.37 s warm): (a) 77% of this corpus matches a query term,
+    (b) the prefiltered plan loses ReuseExchange and pays the tokenize
+    pass twice (stats + matched branches), i.e. it doubles text IO at any
+    scale, and (c) the agg shuffle it saves is already one combined row
+    per doc. A prefilter only wins when match rate is <<1% AND the
+    matched branch avoids re-reading text — that regime belongs to the
+    inverted-index path (keyword_search_topk), not the scan scorer. The
+    byte-parity edge tests (negative idf, <20 matches) are kept pinned.
     """
     docs = load_table(spark, "documents", sf_dir)
     n_docs = docs.count()  # 1-row job; a literal keeps the plan simple
-    toks = docs.select(
+    words = docs.select(
         "doc_id",
-        F.filter(
-            F.split(X.ascii_lower("text"), "[^a-z0-9]+"),
-            lambda x: x != "",
-        ).alias("_toks"),
+        F.explode(F.split(X.ascii_lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count_if(F.col("term") == t).alias(f"tf_{t}")
+            for t in _SEARCH_TERMS
+        ],
     )
-    def _tf(term: str):
-        # closure, not a default-arg lambda: pyspark treats a 2-parameter
-        # lambda as the (element, index) HOF form
-        return F.size(
-            F.filter("_toks", lambda x: x == F.lit(term))
-        ).cast("long")
-
-    feat = toks.select(
-        "doc_id",
-        F.size("_toks").cast("long").alias("dl"),
-        *[_tf(t).alias(f"tf_{t}") for t in _SEARCH_TERMS],
-    ).filter(
-        # docs with no tokens never enter the reference tf relation
-        # (explode emits nothing for them) — keep that contract
-        F.col("dl") > 0
-    )
-    stats = feat.agg(
+    stats = tf.agg(
         F.sum("dl").cast("long").alias("corpus_len"),
         *[
             F.count_if(F.col(f"tf_{t}") > 0).cast("long").alias(f"df_{t}")
             for t in _SEARCH_TERMS
         ],
     )
-    any_hit = reduce(
-        lambda a, b: a | b,
-        [F.col(f"tf_{t}") > 0 for t in _SEARCH_TERMS],
-    )
-    matched = feat.filter(any_hit)
-    zerofill = (
-        feat.filter(~any_hit)
-        .orderBy(F.col("doc_id").asc())
-        .limit(20)
-    )
-    hoisted = matched.unionByName(zerofill).crossJoin(F.broadcast(stats))
+    hoisted = tf.crossJoin(F.broadcast(stats))
     for t in _SEARCH_TERMS:
         hoisted = hoisted.withColumn(
             f"idf_num_{t}",

@@ -1288,7 +1288,17 @@ def q_eval_split_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The window sort now touches ~2.16% of rows instead of 100% — the
     at-100TB difference between sorting the corpus and sorting an
-    eval-sized sliver. Ties are impossible (h60 is injective on the
+    eval-sized sliver. Measured honestly at sf0.1 (r10, idle box,
+    min-of-5): the two-phase plan is SLOWER there — 1.08 s vs 0.61 s
+    for the plain window — because at 5,000 docs the sort is free and
+    the extra fixed job costs (sketch agg, survivor count, two
+    localCheckpoints) dominate; the sorted volume still drops 5,000 ->
+    ~110 rows. The plan is kept because the narrow (source, doc_id)
+    shuffle-sort the plain window pays grows with the corpus (~0.4 TB
+    to shuffle AND sort at 100 TB) while the two-phase overhead stays
+    a constant handful of jobs plus linear scans; the crossover sits
+    far above local test SFs but well below production corpus sizes.
+    Ties are impossible (h60 is injective on the
     salted doc_id strings in 60 bits for any real corpus; rank ties
     would need a 60-bit collision, and the residual order-by doc_id
     makes even that deterministic). Parity with the plain single-window
