@@ -4831,3 +4831,400 @@ register(
         oracle=_centroid_drift_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# r10: batching / class-balance / tokenizer observability
+# ---------------------------------------------------------------------------
+
+
+def q_padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded-batch waste per power-of-two length bucket — the batching
+    audit a sequence-packing pipeline reads before picking bucket
+    boundaries: docs padded to the next power of two, per-bucket doc
+    count, real chars, padded chars, and the waste ratio.
+
+    Exactness: the bucket is pure integer bit arithmetic — smallest
+    power of two >= n_chars is ``1 << bit_length(n_chars - 1)`` (the
+    fplog2.py ``length(bin(x))`` trick, probe-verified identical on
+    both engines), with n_chars <= 1 pinned to bucket 1. The waste
+    ratio is ONE exact int64 division. int64 bound: bucket * n_docs
+    per bucket — at 2^21-char docs that allows ~4.4e12 docs per bucket
+    before overflow; past that, aggregate per-shard and re-sum.
+
+    Plan: one scan, one ~20-row hash agg (map-side combined).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = F.expr(
+        "CASE WHEN n_chars <= 1 THEN CAST(1 AS BIGINT) "
+        "ELSE shiftleft(CAST(1 AS BIGINT), "
+        "CAST(length(bin(n_chars - 1)) AS INT)) END"
+    )
+    return (
+        docs.select(
+            bucket.alias("bucket"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_chars",
+            (F.col("bucket") * F.col("n_docs")).alias("padded_chars"),
+            (
+                (F.col("bucket") * F.col("n_docs") - F.col("sum_chars"))
+                .cast("double")
+                / (F.col("bucket") * F.col("n_docs")).cast("double")
+            ).alias("waste_ratio"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="padding_waste_buckets",
+        description="padded-batch waste per power-of-two length bucket "
+        "(exact bit-arithmetic buckets; batching-efficiency audit)",
+        spark=q_padding_waste_buckets,
+        oracle="""
+            WITH b AS (
+                SELECT CASE WHEN n_chars <= 1 THEN CAST(1 AS BIGINT)
+                            ELSE CAST(1 AS BIGINT)
+                                 << CAST(length(bin(n_chars - 1)) AS INTEGER)
+                       END AS bucket,
+                       CAST(n_chars AS BIGINT) AS n_chars
+                FROM documents
+            ), agg AS (
+                SELECT bucket,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                FROM b GROUP BY bucket
+            )
+            SELECT bucket, n_docs, sum_chars,
+                   bucket * n_docs AS padded_chars,
+                   CAST(bucket * n_docs - sum_chars AS DOUBLE)
+                   / CAST(bucket * n_docs AS DOUBLE) AS waste_ratio
+            FROM agg
+        """,
+    )
+)
+
+
+def q_label_effective_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance report over the embedding labels: label count,
+    vector count, Herfindahl concentration sum(n_i^2)/N^2, and the
+    effective number of classes N^2/sum(n_i^2) (inverse-Simpson — the
+    "how many balanced classes is this really" number a sampler reads
+    before reweighting), plus the largest label's exact share.
+
+    Exactness: all-int64 aggregation; the three ratios are single
+    divisions of exact int64 casts (correctly rounded, both engines).
+    int64 bound: sum(n_i^2) and N^2 stay exact while N < 3.03e9
+    vectors; past that, apportion per-shard and combine the shard
+    moments (sums of n_i and n_i^2 add exactly).
+
+    Plan: one scan, one small per-label agg, one 1-row reduce.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    counts = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        F.max("n").cast("long").alias("max_label_vecs"),
+    ).select(
+        "n_labels",
+        "n_vecs",
+        "sum_sq",
+        "max_label_vecs",
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("n_vecs") * F.col("n_vecs")).cast("double")
+        ).alias("herfindahl"),
+        (
+            (F.col("n_vecs") * F.col("n_vecs")).cast("double")
+            / F.col("sum_sq").cast("double")
+        ).alias("effective_classes"),
+        (
+            F.col("max_label_vecs").cast("double")
+            / F.col("n_vecs").cast("double")
+        ).alias("max_share"),
+    )
+
+
+register(
+    QuerySpec(
+        name="label_effective_classes",
+        description="class-balance report: Herfindahl concentration + "
+        "effective class count (inverse Simpson) over embedding labels",
+        spark=q_label_effective_classes,
+        oracle="""
+            WITH c AS (
+                SELECT label, CAST(count(*) AS BIGINT) AS n
+                FROM embeddings GROUP BY label
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_labels,
+                       CAST(sum(n) AS BIGINT) AS n_vecs,
+                       CAST(sum(n * n) AS BIGINT) AS sum_sq,
+                       CAST(max(n) AS BIGINT) AS max_label_vecs
+                FROM c
+            )
+            SELECT n_labels, n_vecs, sum_sq, max_label_vecs,
+                   CAST(sum_sq AS DOUBLE)
+                   / CAST(n_vecs * n_vecs AS DOUBLE) AS herfindahl,
+                   CAST(n_vecs * n_vecs AS DOUBLE)
+                   / CAST(sum_sq AS DOUBLE) AS effective_classes,
+                   CAST(max_label_vecs AS DOUBLE)
+                   / CAST(n_vecs AS DOUBLE) AS max_share
+            FROM agg
+        """,
+    )
+)
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility — chars per BPE-ish token and
+    BPE tokens per whitespace word, the two ratios that decide how a
+    byte budget converts to a token budget per language (fertility
+    drifts hard across scripts; a mixer that ignores it misallocates
+    multilingual quotas).
+
+    Reuses token_count_bpe's lookahead-free GPT2-style pre-tokenizer
+    (operators/text.py BPE_PATTERN — RE2 and Java regex count it
+    identically). Integer sums are exact; the ratios are single exact
+    int64 -> double divisions, NULL-guarded for empty groups.
+
+    Plan: one scan, per-row regexp counts inside codegen, one ~4-row
+    map-side-combined agg.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("sum_chars"),
+        F.sum(X.ws_token_count(F.col("text")).cast("long"))
+        .cast("long")
+        .alias("sum_ws_tokens"),
+        F.sum(X.bpe_token_estimate(F.col("text")).cast("long"))
+        .cast("long")
+        .alias("sum_bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "sum_ws_tokens",
+        "sum_bpe_tokens",
+        F.when(
+            F.col("sum_bpe_tokens") > 0,
+            F.col("sum_chars").cast("double")
+            / F.col("sum_bpe_tokens").cast("double"),
+        ).alias("chars_per_bpe_token"),
+        F.when(
+            F.col("sum_ws_tokens") > 0,
+            F.col("sum_bpe_tokens").cast("double")
+            / F.col("sum_ws_tokens").cast("double"),
+        ).alias("bpe_per_ws_token"),
+    )
+
+
+_BPE_RX_SQL = X.BPE_PATTERN.replace("'", "''")
+
+register(
+    QuerySpec(
+        name="tokenizer_fertility_by_lang",
+        description="per-language tokenizer fertility: chars per BPE-ish "
+        "token + BPE tokens per whitespace word (byte->token budgeting)",
+        spark=q_tokenizer_fertility,
+        oracle=f"""
+            WITH agg AS (
+                SELECT lang,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                       CAST(sum(len(regexp_extract_all(text, '\\S+')))
+                            AS BIGINT) AS sum_ws_tokens,
+                       CAST(sum(len(regexp_extract_all(text, '{_BPE_RX_SQL}')))
+                            AS BIGINT) AS sum_bpe_tokens
+                FROM documents GROUP BY lang
+            )
+            SELECT lang, n_docs, sum_chars, sum_ws_tokens, sum_bpe_tokens,
+                   CASE WHEN sum_bpe_tokens > 0
+                        THEN CAST(sum_chars AS DOUBLE)
+                             / CAST(sum_bpe_tokens AS DOUBLE) END
+                     AS chars_per_bpe_token,
+                   CASE WHEN sum_ws_tokens > 0
+                        THEN CAST(sum_bpe_tokens AS DOUBLE)
+                             / CAST(sum_ws_tokens AS DOUBLE) END
+                     AS bpe_per_ws_token
+            FROM agg
+        """,
+    )
+)
+
+
+def q_minhash_estimator_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash estimator calibration — per signature-match count m (the
+    only values the k=8 estimator can take), how far the estimated
+    Jaccard m/k sits from the EXACT shingle Jaccard over the LSH
+    candidate pairs. This is the estimator-quality audit a 100 TB dedup
+    run reads before trusting banding parameters: a drifting mean error
+    at some m means the s-curve assumption (independent permutations)
+    is off for this corpus and k/bands need retuning.
+
+    Exactness discipline: the exact Jaccard a/b is compared in FIXED
+    POINT — jac_fp = (10000*a) div b (integer floor division, identical
+    on both engines) against est_fp = 1250*m (= 10000*m/8 exactly), so
+    per-pair errors are int64 and their sums are exact; the two output
+    means are single int64 -> double divisions. int64 bound: 10000 *
+    intersection per pair and the per-bucket error sums are safely
+    inside int64 for any real candidate set (pairs_per_bucket < 9.2e14).
+
+    Plan: same shingle -> sign -> capped-band candidates spine as
+    minhash_lsh_neardups (reference: operators/dedup.py), two
+    signature/shingle joins, then ONE ~9-row hash agg; candidates are
+    bucket-capped so pair work stays corpus-linear.
+    """
+    docs = _augmented_docs(spark, sf_dir)
+    shingled = D.shingle_docs(
+        docs.filter(F.size(X.tokenize(F.col("text"))) >= F.lit(_MH_NGRAM)),
+        "text",
+        "doc_id",
+        _MH_NGRAM,
+    ).localCheckpoint()
+    signed = shingled.select(
+        "doc_id",
+        D.minhash_signature(F.col("shingles"), _MH_K).alias("signature"),
+    ).localCheckpoint()
+    pairs = D.lsh_candidate_pairs(
+        signed, _MH_K, _MH_BANDS, max_bucket=_MH_MAX_BUCKET
+    )
+    sa = signed.select(
+        F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    sb = signed.select(
+        F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    ha = shingled.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    hb = shingled.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    ).cast("long")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    per_pair = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            matches.alias("m"),
+            (F.lit(10_000) * inter).cast("long").alias("_scaled"),
+            union.alias("_union"),
+        )
+        .select(
+            "m",
+            F.expr("_scaled div _union").cast("long").alias("jac_fp"),
+        )
+    )
+    return (
+        per_pair.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("jac_fp")).cast("long").alias("sum_jac_fp"),
+            F.sum(F.abs(F.lit(1250) * F.col("m") - F.col("jac_fp")))
+            .cast("long")
+            .alias("sum_err_fp"),
+        )
+        .select(
+            F.col("m").alias("sig_matches"),
+            (F.col("m").cast("double") / F.lit(8.0)).alias("est_jaccard"),
+            "n_pairs",
+            (
+                F.col("sum_jac_fp").cast("double")
+                / (F.lit(10_000) * F.col("n_pairs")).cast("double")
+            ).alias("mean_exact_jaccard"),
+            (
+                F.col("sum_err_fp").cast("double")
+                / (F.lit(10_000) * F.col("n_pairs")).cast("double")
+            ).alias("mean_abs_error"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="minhash_estimator_calibration",
+        description="MinHash estimate (m/8) vs exact Jaccard per "
+        "signature-match count over LSH candidates — fixed-point error "
+        "sums, the dedup estimator-quality audit",
+        spark=q_minhash_estimator_calibration,
+        oracle=f"""
+            WITH aug AS ({_AUG_DOCS_SQL}),
+            sh AS (
+                SELECT doc_id,
+                       {_shingles_sql(_TOKENS_SQL, _MH_NGRAM)} AS shingles
+                FROM aug
+            ),
+            sh2 AS MATERIALIZED (
+                SELECT * FROM sh WHERE len(shingles) > 0
+            ),
+            sig AS MATERIALIZED (
+                SELECT doc_id, shingles, [{_MH_SIG_ENTRIES}] AS mh FROM sh2
+            ),
+            bands AS (
+                SELECT doc_id, band_id, band_hashes[band_id + 1] AS band_hash
+                FROM (SELECT doc_id, [{_MH_BAND_ENTRIES}] AS band_hashes
+                      FROM sig),
+                     range({_MH_BANDS}) r(band_id)
+            ),
+            bok AS (
+                SELECT band_id, band_hash FROM bands
+                GROUP BY band_id, band_hash HAVING count(*) <= {_MH_MAX_BUCKET}
+            ),
+            bands2 AS (
+                SELECT b.* FROM bands b JOIN bok USING (band_id, band_hash)
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands2 l JOIN bands2 r
+                  ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                     AND l.doc_id < r.doc_id
+            ),
+            per_pair AS (
+                SELECT CAST(len(list_filter(range(1, {_MH_K} + 1),
+                                i -> a.mh[i] = b.mh[i])) AS BIGINT) AS m,
+                       CAST(10000 * len(list_intersect(a.shingles, b.shingles))
+                            AS BIGINT)
+                       // CAST(len(list_distinct(
+                              list_concat(a.shingles, b.shingles)))
+                            AS BIGINT) AS jac_fp
+                FROM cand c
+                JOIN sig a ON c.id_a = a.doc_id
+                JOIN sig b ON c.id_b = b.doc_id
+            )
+            SELECT m AS sig_matches,
+                   CAST(m AS DOUBLE) / 8.0 AS est_jaccard,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(jac_fp) AS DOUBLE)
+                   / CAST(10000 * count(*) AS DOUBLE) AS mean_exact_jaccard,
+                   CAST(sum(abs(1250 * m - jac_fp)) AS DOUBLE)
+                   / CAST(10000 * count(*) AS DOUBLE) AS mean_abs_error
+            FROM per_pair
+            GROUP BY m
+        """,
+    )
+)
