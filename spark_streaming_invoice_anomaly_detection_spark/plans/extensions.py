@@ -20,7 +20,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.fplog2 import fp_log2
+from ..functions.fplog2 import fp_log2, fp_log2_sql
 from ..operators import cleaning as C
 from ..operators import dedup as D
 from ..operators import graph as G
@@ -5225,6 +5225,209 @@ register(
                    / CAST(10000 * count(*) AS DOUBLE) AS mean_abs_error
             FROM per_pair
             GROUP BY m
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Zipf law fit: fixed-point log-log OLS slope of the rank/frequency curve
+# ---------------------------------------------------------------------------
+
+
+def q_zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source: OLS slope of log2(frequency) against
+    log2(rank) over the term frequency table — the distribution-shape
+    audit a corpus-mixing pipeline reads to spot degenerate sources
+    (template spam reads near 0, natural text near -1).
+
+    Exactness: both logs are fp_log2 (functions/fplog2.py) — exact
+    1/256-bit fixed point, no libm on either engine — so the OLS
+    moment sums are all-int64 and the slope is ONE exact int64/int64
+    double division. int64 bound: vocab * sxy needs
+    V^2 * (256*log2 V) * (256*log2 maxfreq) < 2^63, which holds to
+    V ~ 4e5 terms per source at trillion-token frequencies — the
+    realistic ceiling for a BPE-ish vocab; for raw-word vocabs beyond
+    it, center the logs per source first (two passes) and the moments
+    drop by ~V.
+
+    Plan: explode tokens -> per-(source, term) count (map-side
+    combined, the only corpus-sized shuffle) -> per-source rank window
+    over the vocab-sized aggregate -> 5-moment agg -> 20-row result.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "source",
+        F.explode(F.split(X.ascii_lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = words.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    ranked = counts.select(
+        "source", "n", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    logs = ranked.select(
+        "source", fp_log2("rnk").alias("x"), fp_log2("n").alias("y")
+    )
+    agg = logs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("vocab") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("vocab") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "source",
+        "vocab",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("zipf_slope"),
+    )
+
+
+register(
+    QuerySpec(
+        name="zipf_slope_by_source",
+        description="Zipf-law fit per source: fixed-point log-log OLS "
+        "slope of the term rank/frequency curve (distribution-shape "
+        "audit for corpus mixing)",
+        spark=q_zipf_slope_by_source,
+        oracle=f"""
+            WITH words AS (
+                SELECT source, unnest({_TOKENS_SQL}) AS term
+                FROM documents
+            ), counts AS (
+                SELECT source, term, CAST(count(*) AS BIGINT) AS n
+                FROM words GROUP BY source, term
+            ), ranked AS (
+                SELECT source, n,
+                       CAST(row_number() OVER (
+                            PARTITION BY source
+                            ORDER BY n DESC, term ASC) AS BIGINT) AS rnk
+                FROM counts
+            ), logs AS (
+                SELECT source,
+                       CAST({fp_log2_sql('rnk', 'duckdb')} AS BIGINT) AS x,
+                       CAST({fp_log2_sql('n', 'duckdb')} AS BIGINT) AS y
+                FROM ranked
+            ), agg AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS vocab,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(x * y) AS BIGINT) AS sxy
+                FROM logs GROUP BY source
+            )
+            SELECT source, vocab,
+                   vocab * sxy - sx * sy AS slope_num,
+                   vocab * sxx - sx * sx AS slope_den,
+                   CASE WHEN vocab * sxx - sx * sx <> 0
+                        THEN CAST(vocab * sxy - sx * sy AS DOUBLE)
+                             / CAST(vocab * sxx - sx * sx AS DOUBLE)
+                   END AS zipf_slope
+            FROM agg
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: first-occurrence attribution in ingestion order
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty per source: of each source's per-doc
+    distinct 5-gram occurrences, how many are the gram's FIRST
+    appearance corpus-wide in doc_id (ingestion) order — the "how much
+    new content does this source actually add" census behind
+    incremental-crawl triage, the attribution twin of
+    source_overlap_matrix's symmetric shared-gram counts.
+
+    Exactness: grams are the shared h60 5-gram hashes; the first
+    occurrence is min(doc_id) per gram, attributed via Spark
+    min(struct(doc_id, source)) == DuckDB arg_min(source, doc_id) —
+    deterministic because (gram, doc_id) pairs are distinct, so the
+    min is unique. novelty_rate is ONE exact int64 division.
+
+    Plan: explode per-doc-distinct grams (word_ngrams array_distincts
+    in the generate, no separate distinct shuffle) -> per-source total
+    (map-side combined) and per-gram min-struct agg (the one
+    gram-keyed shuffle) -> regroup the gram aggregate by source ->
+    20x20 broadcast join. No fact-to-fact join anywhere.
+    """
+    docs = spread_if_narrow(load_table(spark, "documents", sf_dir))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(X.word_ngrams(X.tokenize(F.col("text")), 5)).alias("gram"),
+    ).select("doc_id", "source", X.h60(F.col("gram")).alias("g"))
+    totals = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    firsts = grams.groupBy("g").agg(
+        F.min(F.struct("doc_id", "source")).alias("first")
+    )
+    novel = firsts.groupBy(F.col("first.source").alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    return (
+        totals.join(F.broadcast(novel), "source", "left")
+        .select(
+            "source",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="ngram_novelty_by_source",
+        description="first-occurrence 5-gram novelty per source in "
+        "ingestion order (incremental-crawl value census)",
+        spark=q_ngram_novelty_by_source,
+        oracle=f"""
+            WITH grams AS (
+                SELECT doc_id, source, {h60_sql('gram')} AS g
+                FROM (SELECT doc_id, source,
+                             unnest({_shingles_sql(_TOKENS_SQL, 5)}) AS gram
+                      FROM documents)
+            ), tot AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+                FROM grams GROUP BY source
+            ), firsts AS (
+                SELECT g, arg_min(source, doc_id) AS first_source
+                FROM grams GROUP BY g
+            ), nov AS (
+                SELECT first_source AS source,
+                       CAST(count(*) AS BIGINT) AS n_novel
+                FROM firsts GROUP BY first_source
+            )
+            SELECT t.source, t.n_grams,
+                   COALESCE(n.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+                   CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+                   / CAST(t.n_grams AS DOUBLE) AS novelty_rate
+            FROM tot t LEFT JOIN nov n ON t.source = n.source
         """,
     )
 )
