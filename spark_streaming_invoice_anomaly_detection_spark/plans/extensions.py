@@ -5431,3 +5431,126 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: approximate paths scored against the exact top-k
+# ---------------------------------------------------------------------------
+
+
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of both approximate ANN paths (multi-probe RP-LSH and
+    IVF cell probe) against the exact brute-force cosine top-25 for the
+    fixed query vector — the index-quality audit that decides probe
+    widths before an ANN index serves retrieval at scale, the
+    similarity-family twin of minhash_estimator_calibration.
+
+    Exactness: all three pipelines are the already-oracled deterministic
+    ones (shared QUERY_VEC / plane / centroid literals); the overlap is
+    an exact 25-row id join and recall is ONE division by the literal k.
+
+    Plan: three corpus scans (one per pipeline, each ending in a 25-row
+    TakeOrdered — no global sort); the exact result is localCheckpointed
+    once so the two overlap joins (both broadcast, 25x25) reuse it
+    instead of re-scanning the corpus.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    brute = (
+        S.brute_force_topk(emb, QUERY_VEC, k=_TOPK)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    lsh = S.lsh_topk(
+        emb, QUERY_VEC, k=_TOPK, num_planes=_LSH_PLANES, dim=64,
+        n_probe_bits=_LSH_PROBE_BITS,
+    ).select("vec_id")
+    ivf = S.ivf_topk(
+        emb, QUERY_VEC, k=_TOPK, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        dim=64,
+    ).select("vec_id")
+
+    def hits(approx: DataFrame, method: str) -> DataFrame:
+        return (
+            approx.join(F.broadcast(brute), "vec_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(
+                F.lit(method).alias("method"),
+                "n_hits",
+                (
+                    F.col("n_hits").cast("double") / F.lit(float(_TOPK))
+                ).alias("recall_at_k"),
+            )
+        )
+
+    return hits(lsh, "rp_lsh").unionByName(hits(ivf, "ivf"))
+
+
+register(
+    QuerySpec(
+        name="ann_recall_audit",
+        description="recall@25 of the RP-LSH and IVF ANN paths vs the "
+        "exact brute-force top-25 (index-quality audit)",
+        spark=q_ann_recall_audit,
+        oracle=f"""
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                FROM embeddings
+            ),
+            brute AS MATERIALIZED (
+                SELECT vec_id,
+                       list_dot_product(embedding, {_QUERY_SQL})
+                       / (sqrt(list_dot_product(embedding, embedding))
+                          * sqrt(list_dot_product({_QUERY_SQL},
+                                                  {_QUERY_SQL})))
+                         AS cos_sim
+                FROM base
+                ORDER BY cos_sim DESC, vec_id
+                LIMIT {_TOPK}
+            ),
+            sigs AS (
+                SELECT vec_id, embedding, {_LSH_SIG_SQL} AS bucket FROM base
+            ),
+            lsh AS (
+                SELECT vec_id,
+                       list_dot_product(embedding, {_QUERY_SQL})
+                       / (sqrt(list_dot_product(embedding, embedding))
+                          * sqrt(list_dot_product({_QUERY_SQL},
+                                                  {_QUERY_SQL})))
+                         AS cos_sim
+                FROM sigs
+                WHERE bucket IN ({", ".join(str(b) for b in _LSH_PROBES)})
+                ORDER BY cos_sim DESC, vec_id
+                LIMIT {_TOPK}
+            ),
+            dists AS (SELECT vec_id, embedding, {_IVF_DIST_COLS} FROM base),
+            cells AS (
+                SELECT vec_id, embedding, {_IVF_CELL_CASE} AS cell
+                FROM (SELECT *, {_IVF_LEAST} AS m FROM dists)
+            ),
+            ivf AS (
+                SELECT vec_id,
+                       list_dot_product(embedding, {_QUERY_SQL})
+                       / (sqrt(list_dot_product(embedding, embedding))
+                          * sqrt(list_dot_product({_QUERY_SQL},
+                                                  {_QUERY_SQL})))
+                         AS cos_sim
+                FROM cells
+                WHERE cell IN ({", ".join(str(p) for p in _IVF_PROBE_CELLS)})
+                ORDER BY cos_sim DESC, vec_id
+                LIMIT {_TOPK}
+            ),
+            hits AS (
+                SELECT 'rp_lsh' AS method,
+                       CAST(count(*) AS BIGINT) AS n_hits
+                FROM lsh l JOIN brute b ON l.vec_id = b.vec_id
+                UNION ALL
+                SELECT 'ivf' AS method,
+                       CAST(count(*) AS BIGINT) AS n_hits
+                FROM ivf i JOIN brute b ON i.vec_id = b.vec_id
+            )
+            SELECT method, n_hits,
+                   CAST(n_hits AS DOUBLE) / {float(_TOPK)!r} AS recall_at_k
+            FROM hits
+        """,
+    )
+)
