@@ -898,3 +898,142 @@ class TestCentroidParityDrift:
         }
         assert got[1] == 1.0
         assert got[2] == -1.0
+
+
+class TestZipfSlope:
+    """zipf_slope_by_source vs an independent pure-Python twin.
+
+    The oracle pins cross-engine agreement; this pins the algebra —
+    tokenization, rank tie-breaking, fp_log2 moments, and the single
+    final division — against a from-scratch implementation. Floats are
+    compared bitwise (the slope is one int64/int64 double division)."""
+
+    def test_matches_pure_python_reference(self, spark, sf_dir):
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from spark_streaming_invoice_anomaly_detection_spark.functions.fplog2 import (
+            fp_log2_py,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.plans import (
+            extensions as _ext,  # noqa: F401 - populates REGISTRY
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
+            REGISTRY,
+        )
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+        fold = str.maketrans(
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+        )
+        counts: dict[str, Counter] = {}
+        for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            c = counts.setdefault(src, Counter())
+            for w in re.split("[^a-z0-9]+", (txt or "").translate(fold)):
+                if w:
+                    c[w] += 1
+        want = {}
+        for src, c in counts.items():
+            ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            xs = [fp_log2_py(r + 1) for r in range(len(ranked))]
+            ys = [fp_log2_py(n) for _, n in ranked]
+            v = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(x * x for x in xs)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            num, den = v * sxy - sx * sy, v * sxx - sx * sx
+            want[src] = (v, num, den, num / den if den else None)
+
+        got = REGISTRY["zipf_slope_by_source"].spark(spark, sf_dir).collect()
+        assert len(got) == len(want)
+        for row in got:
+            v, num, den, slope = want[row["source"]]
+            assert row["vocab"] == v
+            assert row["slope_num"] == num
+            assert row["slope_den"] == den
+            assert row["zipf_slope"] == slope, row["source"]
+            # natural-ish corpora slope downward: freq falls with rank
+            assert row["slope_num"] <= 0
+
+
+class TestNgramNovelty:
+    """ngram_novelty_by_source vs a pure-Python twin on gram STRINGS.
+
+    Counts from raw gram strings equal counts from h60 hashes unless
+    h60 collides (60-bit, deterministic — passes once, passes always),
+    so this independently pins the per-doc dedup, the min-doc_id
+    attribution, and the conservation law sum(n_novel) == |distinct
+    grams corpus-wide|."""
+
+    def test_matches_pure_python_reference(self, spark, sf_dir):
+        import re
+
+        import pyarrow.parquet as pq
+
+        from spark_streaming_invoice_anomaly_detection_spark.plans import (
+            extensions as _ext,  # noqa: F401 - populates REGISTRY
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
+            REGISTRY,
+        )
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "text"],
+        )
+        fold = str.maketrans(
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+        )
+        totals: dict[str, int] = {}
+        first: dict[str, tuple[int, str]] = {}
+        for did, src, txt in sorted(
+            zip(
+                t["doc_id"].to_pylist(),
+                t["source"].to_pylist(),
+                t["text"].to_pylist(),
+            )
+        ):
+            toks = [
+                w
+                for w in re.split("[^a-z0-9]+", (txt or "").translate(fold))
+                if w
+            ]
+            grams = {
+                " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+            }
+            totals[src] = totals.get(src, 0) + len(grams)
+            for g in grams:
+                if g not in first:
+                    first[g] = (did, src)
+        novel: dict[str, int] = {}
+        for _, src in first.values():
+            novel[src] = novel.get(src, 0) + 1
+
+        got = REGISTRY["ngram_novelty_by_source"].spark(spark, sf_dir).collect()
+        assert len(got) == len(totals)
+        for row in got:
+            assert row["n_grams"] == totals[row["source"]]
+            assert row["n_novel"] == novel.get(row["source"], 0)
+            assert row["novelty_rate"] == row["n_novel"] / row["n_grams"]
+        # conservation: every distinct gram is novel exactly once
+        assert sum(r["n_novel"] for r in got) == len(first)
+
+
+class TestAnnRecallAudit:
+    def test_invariants_and_method_set(self, spark, sf_dir):
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            _TOPK,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
+            REGISTRY,
+        )
+
+        rows = REGISTRY["ann_recall_audit"].spark(spark, sf_dir).collect()
+        assert {r["method"] for r in rows} == {"rp_lsh", "ivf"}
+        for r in rows:
+            assert 0 <= r["n_hits"] <= _TOPK
+            assert r["recall_at_k"] == r["n_hits"] / float(_TOPK)
