@@ -15,7 +15,7 @@ operators — deterministic, seedable, and reproducible by the DuckDB oracle
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import cosine
@@ -357,4 +357,127 @@ def lsh_topk(
         .select(F.col(id_col), cosine_to_query(vec_col, query).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def sparse_cosine_join(
+    tf: DataFrame,
+    tau_num: int,
+    tau_den: int,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    tf_col: str = "tf",
+) -> DataFrame:
+    """Exact all-pairs sparse-cosine similarity join (APSS) with prefix
+    filtering — every unordered pair whose term-frequency cosine meets
+    ``tau_num/tau_den``, without the naive token self-join.
+
+    Input is the sparse matrix as (id, token, tf>=1) rows, one row per
+    distinct (id, token). Output: ``id_a < id_b``, the exact int64
+    ``dot`` = sum(tf_a*tf_b), both squared norms, and ``cos_sq_bp`` =
+    floor(10000 * dot^2 / (norm_a*norm_b)) — cosine-squared in basis
+    points, all-integer so cross-engine hashes stay exact.
+
+    The at-scale story is the candidate cut (Bayardo et al., WWW'07 /
+    Xiao et al., WWW'08 prefix filtering), which keeps the result EXACT:
+    order each vector's tokens by global document frequency ascending and
+    index only the shortest prefix whose remaining suffix satisfies
+    ``tau_den^2 * suffix_norm_sq < tau_num^2 * norm_sq``. For any pair
+    with cos >= tau, some shared token must lie in each side's prefix
+    (if all shared tokens sat in a's suffix, Cauchy-Schwarz gives
+    dot <= ||a_suffix|| * ||b|| < tau * ||a|| * ||b||), so joining
+    prefix entries against the full matrix on the token misses nothing.
+    High-df tokens sort LAST and drop out of prefixes, so the quadratic
+    blowup of hot tokens ("the") never reaches the join; a naive token
+    self-join pays sum(df^2) — at corpus scale that single term dwarfs
+    everything else in the plan.
+
+    Plan: one map-side-combined df agg (vocab-sized), one per-id window
+    for the suffix cumsum (partitions are single documents — bounded,
+    skew-free), the prefix semi-join for candidates, and one exact
+    verification agg keyed on (pair, token). No Python in the row path.
+
+    Exactness bound: products are int64; ``10000 * dot^2`` requires
+    ``dot < 3.03e7`` (sum tf^2 per doc <= n_tokens^2, so any document
+    under ~5,500 tokens is safe; filter products ``tau_den^2 * dot^2``
+    need ``tau_den * dot < 3.03e9``).
+    """
+    if not (0 < tau_num <= tau_den):
+        raise ValueError("require 0 < tau_num <= tau_den")
+    # The sparse matrix feeds FOUR consumers (df agg, norm agg, probe side,
+    # both verification sides) and its lineage usually contains the corpus
+    # tokenize+explode — materialize once instead of re-tokenizing per
+    # consumer. Same for the doc-count-sized norm table (three consumers).
+    t = tf.select(
+        F.col(id_col).alias("id"),
+        F.col(token_col).alias("token"),
+        F.col(tf_col).cast("long").alias("tf"),
+    ).localCheckpoint()
+    df_tok = t.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nrm = (
+        t.groupBy("id")
+        .agg(F.sum(F.col("tf") * F.col("tf")).alias("nsq"))
+        .localCheckpoint()
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy(F.asc("df"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        t.join(df_tok, "token")
+        .join(nrm, "id")
+        .withColumn("cum", F.sum(F.col("tf") * F.col("tf")).over(w))
+    )
+    # suffix_sq at this row = nsq - cum + tf^2 (this row inclusive); index
+    # while tau_den^2 * suffix_sq >= tau_num^2 * nsq. A single-token
+    # vector always indexes its one token (suffix_sq == nsq, tau <= 1).
+    suffix_sq = F.col("nsq") - F.col("cum") + F.col("tf") * F.col("tf")
+    prefix = ranked.filter(
+        F.lit(tau_den * tau_den) * suffix_sq
+        >= F.lit(tau_num * tau_num) * F.col("nsq")
+    ).select(F.col("id").alias("pid"), "token")
+    probe = t.select(F.col("id").alias("qid"), "token")
+    cand = (
+        prefix.join(probe, "token")
+        .filter(F.col("pid") != F.col("qid"))
+        .select(
+            F.least("pid", "qid").alias("id_a"),
+            F.greatest("pid", "qid").alias("id_b"),
+        )
+        .distinct()
+    )
+    ta = t.select(
+        F.col("id").alias("id_a"), "token", F.col("tf").alias("tf_a")
+    )
+    tb = t.select(
+        F.col("id").alias("id_b"), "token", F.col("tf").alias("tf_b")
+    )
+    dots = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = nrm.select(F.col("id").alias("id_a"), F.col("nsq").alias("norm_sq_a"))
+    nb = nrm.select(F.col("id").alias("id_b"), F.col("nsq").alias("norm_sq_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.lit(tau_den * tau_den) * F.col("dot") * F.col("dot")
+            >= F.lit(tau_num * tau_num)
+            * F.col("norm_sq_a")
+            * F.col("norm_sq_b")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            "norm_sq_a",
+            "norm_sq_b",
+            F.expr(
+                "(10000 * dot * dot) div (norm_sq_a * norm_sq_b)"
+            ).alias("cos_sq_bp"),
+        )
     )

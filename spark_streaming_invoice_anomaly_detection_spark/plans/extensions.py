@@ -5554,3 +5554,293 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact all-pairs sparse-cosine similarity join (APSS, prefix filtering)
+# ---------------------------------------------------------------------------
+
+#: Deterministic corpus slice for the APSS query: the ORACLE verifies by
+#: brute force (token self-join, sum(df^2) intermediate rows), which is
+#: tractable at sf0.01 only on a slice; the Spark side runs the real
+#: prefix-filtered operator, whose exactness the oracle then certifies.
+_APSS_MOD = 17
+
+#: Similarity threshold 19/20 = 0.95 (measured on the slice: 24 pairs at
+#: sf0.01 inc. the planted truncation twins; 0.8 would pass 59 — the
+#: synthetic ~30-word vocab makes random docs far more cosine-similar
+#: than natural text).
+_APSS_TAU = (19, 20)
+
+
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with term-frequency cosine >= 0.95 over a
+    deterministic corpus slice + planted truncation twins, via the exact
+    prefix-filtered APSS join (operators/similarity.sparse_cosine_join).
+
+    The slice (doc_id % 17 == 0) exists for the ORACLE's sake — DuckDB
+    verifies with the naive token self-join, whose sum(df^2) cost is the
+    very thing prefix filtering removes. The Spark plan is the full
+    operator: df agg, per-doc suffix-norm window, prefix semi-join,
+    exact verification agg — all int64 until the final basis-point
+    floor-div, so the hash check is bit-exact.
+    """
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % _APSS_MOD == 0)
+        .select("doc_id", "text")
+    )
+    aug = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + _AUG_OFFSET).alias("doc_id"),
+            F.substring(F.col("text"), 21, 1_000_000).alias("text"),
+        )
+    )
+    tf = (
+        aug.select(
+            "doc_id", F.explode(X.tokenize(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return S.sparse_cosine_join(tf, *_APSS_TAU)
+
+
+register(
+    QuerySpec(
+        name="sparse_cosine_pairs",
+        description="exact all-pairs tf-cosine >= 0.95 via prefix-filtered "
+        "APSS join (Bayardo/Xiao candidate cut, int64 verification)",
+        spark=q_sparse_cosine_pairs,
+        oracle=f"""
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % {_APSS_MOD} = 0
+            ),
+            aug AS (
+                SELECT doc_id, text FROM base
+                UNION ALL
+                SELECT doc_id + {_AUG_OFFSET} AS doc_id,
+                       substring(text, 21, 1000000) AS text
+                FROM base
+            ),
+            tk AS (
+                SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM aug
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2
+            ),
+            nrm AS (
+                SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nsq
+                FROM tf GROUP BY 1
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+                FROM tf a JOIN tf b
+                  ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, dot,
+                   x.nsq AS norm_sq_a,
+                   y.nsq AS norm_sq_b,
+                   (10000 * dot * dot) // (x.nsq * y.nsq) AS cos_sq_bp
+            FROM pairs
+            JOIN nrm x ON id_a = x.doc_id
+            JOIN nrm y ON id_b = y.doc_id
+            WHERE {_APSS_TAU[1] * _APSS_TAU[1]} * dot * dot
+                  >= {_APSS_TAU[0] * _APSS_TAU[0]} * x.nsq * y.nsq
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# True time-debounce dedup: keep an event only if >= T after the last KEPT
+# event of its (user, type) — iterative semantics no SQL window expresses
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_US = 86_400 * 1_000_000  # 1 day (median in-group gap is ~35 h)
+
+
+def q_event_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True debounce over the event log: an event survives iff it is more
+    than _DEBOUNCE_US after the last SURVIVING event of its (user_id,
+    event_type) — the alert/notification rate-limit semantics.
+
+    This is NOT the lag-gap filter (sessionize_events): the reference
+    point is the last KEPT event, so three events at t, t+0.6T, t+1.2T
+    keep {t, t+1.2T} where a lag filter keeps only {t}. That running
+    state makes it inexpressible as a SQL window function — it is the
+    batch twin of the streaming session-state operator, expressed
+    natively: ONE shuffle groups each key's events, array_sort orders
+    them (ts_us, event_id), and F.aggregate folds left-to-right carrying
+    (last_kept, kept-list) entirely inside codegen — no Python, no UDF,
+    per-group state bounded by group cardinality (the same boundedness
+    the streaming sessionizer assumes; max 29 events/key in testdata).
+    The oracle replays the identical fold as a recursive CTE marching
+    row_number order, so the check is exact.
+    """
+    seq_t = "array<struct<ts_us:bigint,event_id:bigint>>"
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    grouped = e.groupBy("user_id", "event_type").agg(
+        F.array_sort(F.collect_list(F.struct("ts_us", "event_id"))).alias(
+            "seq"
+        )
+    )
+    kept = F.aggregate(
+        "seq",
+        F.struct(
+            F.lit(None).cast("long").alias("last_kept"),
+            F.array().cast(seq_t).alias("kept"),
+        ),
+        lambda acc, x: F.when(
+            acc["last_kept"].isNull()
+            | (x["ts_us"] - acc["last_kept"] > F.lit(_DEBOUNCE_US)),
+            F.struct(
+                x["ts_us"].alias("last_kept"),
+                F.array_append(acc["kept"], x).alias("kept"),
+            ),
+        ).otherwise(acc),
+    )["kept"]
+    return (
+        grouped.select(
+            "user_id", "event_type", F.explode(kept).alias("k")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("k.event_id").alias("event_id"),
+            F.col("k.ts_us").alias("ts_us"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="event_debounce_dedup",
+        description="true debounce vs last-KEPT event per (user, type): "
+        "native ordered fold, one shuffle; recursive-CTE oracle",
+        spark=q_event_debounce_dedup,
+        oracle=f"""
+            WITH RECURSIVE s AS (
+                SELECT user_id, event_type, event_id,
+                       epoch_us(ts) AS ts_us,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY epoch_us(ts), event_id
+                       ) AS rn
+                FROM events
+            ),
+            walk AS (
+                SELECT user_id, event_type, event_id, ts_us, rn,
+                       ts_us AS last_kept, TRUE AS kept
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.user_id, s.event_type, s.event_id, s.ts_us, s.rn,
+                       CASE WHEN s.ts_us - w.last_kept > {_DEBOUNCE_US}
+                            THEN s.ts_us ELSE w.last_kept END,
+                       s.ts_us - w.last_kept > {_DEBOUNCE_US}
+                FROM walk w
+                JOIN s ON s.user_id = w.user_id
+                      AND s.event_type = w.event_type
+                      AND s.rn = w.rn + 1
+            )
+            SELECT user_id, event_type, event_id, ts_us
+            FROM walk WHERE kept
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-document tf-idf keyword extraction (fp_log2 fixed-point idf)
+# ---------------------------------------------------------------------------
+
+_KEYWORDS_PER_DOC = 3
+
+
+def q_tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document: score = tf * (fp_log2(N) -
+    fp_log2(df)) — all-int64 fixed-point idf (1/256-bit units), so the
+    ranking and the hash are cross-engine exact with zero libm.
+
+    Plan: one map-side-combined tf agg, a vocab-sized df agg joined back
+    on the token key, the corpus count as a 1-row broadcast (crossJoin
+    of an aggregate, never a collected scalar), and one per-doc window
+    for the top-3 cut — partitions are single documents, so the sort is
+    bounded by document length, never corpus size.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(X.tokenize(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfv = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfv, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_fp",
+            F.col("tf") * (fp_log2("n") - fp_log2("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_fp"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KEYWORDS_PER_DOC)
+        .select("doc_id", "token", "tf", "df", "score_fp", "rk")
+    )
+
+
+register(
+    QuerySpec(
+        name="tfidf_doc_keywords",
+        description="top-3 tf-idf keywords per doc, fp_log2 fixed-point "
+        "idf, exact int64 scores",
+        spark=q_tfidf_doc_keywords,
+        oracle=f"""
+            WITH tk AS (
+                SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2
+            ),
+            dfv AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY 1
+            ),
+            nd AS (SELECT count(*) AS n FROM documents),
+            sc AS (
+                SELECT doc_id, token, tf, df,
+                       tf * ({fp_log2_sql('n', 'duckdb')}
+                             - {fp_log2_sql('df', 'duckdb')}) AS score_fp
+                FROM tf JOIN dfv USING (token) CROSS JOIN nd
+            ),
+            ranked AS (
+                SELECT doc_id, token, tf, df, score_fp,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score_fp DESC, token
+                       ) AS rk
+                FROM sc
+            )
+            SELECT doc_id, token,
+                   CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(score_fp AS BIGINT) AS score_fp,
+                   CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= {_KEYWORDS_PER_DOC}
+        """,
+    )
+)

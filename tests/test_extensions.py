@@ -1037,3 +1037,256 @@ class TestAnnRecallAudit:
         for r in rows:
             assert 0 <= r["n_hits"] <= _TOPK
             assert r["recall_at_k"] == r["n_hits"] / float(_TOPK)
+
+
+class TestSparseCosineJoin:
+    """Exact-equality pins for operators/similarity.sparse_cosine_join:
+    the prefix-filtered plan must return BYTE-identical results to a
+    from-scratch Python brute force on corpora engineered to stress the
+    candidate cut (hot tokens shared by everyone, single-token vectors,
+    near-twins straddling the threshold)."""
+
+    @staticmethod
+    def _brute(tfs: dict[int, dict[str, int]], tau_num: int, tau_den: int):
+        ids = sorted(tfs)
+        nsq = {i: sum(v * v for v in tfs[i].values()) for i in ids}
+        out = []
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                shared = set(tfs[a]) & set(tfs[b])
+                dot = sum(tfs[a][t] * tfs[b][t] for t in shared)
+                if (
+                    tau_den * tau_den * dot * dot
+                    >= tau_num * tau_num * nsq[a] * nsq[b]
+                    and dot > 0
+                ):
+                    out.append(
+                        (
+                            a,
+                            b,
+                            dot,
+                            nsq[a],
+                            nsq[b],
+                            (10000 * dot * dot) // (nsq[a] * nsq[b]),
+                        )
+                    )
+        return sorted(out)
+
+    def _run(self, spark, tfs, tau_num, tau_den):
+        from spark_streaming_invoice_anomaly_detection_spark.operators.similarity import (
+            sparse_cosine_join,
+        )
+
+        rows = [
+            (i, t, c) for i, v in tfs.items() for t, c in v.items()
+        ]
+        tf = spark.createDataFrame(rows, "doc_id long, token string, tf long")
+        got = sorted(
+            tuple(r)
+            for r in sparse_cosine_join(tf, tau_num, tau_den).collect()
+        )
+        assert got == self._brute(tfs, tau_num, tau_den)
+
+    def test_hot_token_and_twins(self, spark):
+        # every doc shares 'the' (the naive join's quadratic token);
+        # only the engineered twins may qualify at tau=0.9
+        tfs = {
+            1: {"the": 3, "alpha": 5, "beta": 4},
+            2: {"the": 3, "alpha": 5, "beta": 4},          # exact twin of 1
+            3: {"the": 3, "alpha": 5, "beta": 4, "gap": 1},  # near twin
+            4: {"the": 9, "gamma": 2},
+            5: {"the": 1, "delta": 7, "epsilon": 1},
+            6: {"the": 40},                                 # single-token
+            7: {"the": 2, "zeta": 3, "eta": 3, "theta": 3},
+        }
+        self._run(spark, tfs, 9, 10)
+
+    def test_single_token_vectors_always_match_each_other(self, spark):
+        # cos(single-token, same-token single-token) == 1 regardless of tf;
+        # the prefix rule must index the lone token (suffix_sq == nsq)
+        tfs = {1: {"x": 2}, 2: {"x": 31}, 3: {"y": 4}}
+        self._run(spark, tfs, 99, 100)
+
+    def test_threshold_one_keeps_only_parallel_vectors(self, spark):
+        # tau = 1: only exactly-parallel tf vectors qualify
+        tfs = {
+            1: {"a": 2, "b": 4},
+            2: {"a": 3, "b": 6},   # parallel to 1
+            3: {"a": 4, "b": 7},   # nearly parallel
+        }
+        self._run(spark, tfs, 1, 1)
+
+    def test_property_random_corpora_match_brute_force(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        vocab = ["t0", "t1", "t2", "t3", "t4"]
+        doc = st.dictionaries(
+            st.sampled_from(vocab), st.integers(1, 9), min_size=1, max_size=5
+        )
+        corpus = st.lists(doc, min_size=2, max_size=7)
+
+        @given(corpus=corpus, tau=st.sampled_from([(1, 2), (4, 5), (19, 20)]))
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        def check(corpus, tau):
+            tfs = {i + 1: d for i, d in enumerate(corpus)}
+            self._run(spark, tfs, *tau)
+
+        check()
+
+
+class TestEventDebounceDedup:
+    """event_debounce_dedup vs a from-scratch Python replay: the fold's
+    last-KEPT reference point (not last-seen) is the semantics under
+    test, so the twin replays the sequential rule imperatively."""
+
+    def test_matches_pure_python_replay(self, spark, sf_dir):
+        import pyarrow.parquet as pq
+
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            _DEBOUNCE_US,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
+            REGISTRY,
+        )
+
+        t = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "event_id", "ts"],
+        )
+        # raw int64 in the column's own unit -> floor-converted micros,
+        # matching catalog.py (`div 1000` for nanos, passthrough for
+        # micros — testdata has shipped both units across rounds)
+        unit = t.schema.field("ts").type.unit
+        div, mul = {"ns": (1000, 1), "us": (1, 1), "ms": (1, 1000)}[unit]
+        ts_raw = t["ts"].cast("int64").to_pylist()
+        groups: dict[tuple, list] = {}
+        for u, et, eid, raw in zip(
+            t["user_id"].to_pylist(),
+            t["event_type"].to_pylist(),
+            t["event_id"].to_pylist(),
+            ts_raw,
+        ):
+            groups.setdefault((u, et), []).append((raw // div * mul, eid))
+        want = set()
+        n_total = 0
+        for (u, et), seq in groups.items():
+            last_kept = None
+            for ts_us, eid in sorted(seq):
+                n_total += 1
+                if last_kept is None or ts_us - last_kept > _DEBOUNCE_US:
+                    last_kept = ts_us
+                    want.add((u, et, eid, ts_us))
+
+        got_rows = REGISTRY["event_debounce_dedup"].spark(spark, sf_dir).collect()
+        got = {
+            (r["user_id"], r["event_type"], r["event_id"], r["ts_us"])
+            for r in got_rows
+        }
+        assert len(got_rows) == len(got)  # no duplicate emissions
+        assert got == want
+        # the rule must actually bite at this threshold: something kept,
+        # something dropped (vacuity guard)
+        assert 0 < len(want) < n_total
+
+    def test_differs_from_lag_gap_semantics(self, spark):
+        """Three events at t, t+0.6T, t+1.2T: debounce keeps {1st, 3rd}
+        (3rd is 1.2T after the last KEPT), a lag filter would keep only
+        the 1st (each consecutive gap is 0.6T < T). Planted via a tiny
+        in-memory frame run through the same fold expression."""
+        from spark_streaming_invoice_anomaly_detection_spark.plans import (
+            extensions as ext,
+        )
+
+        T = ext._DEBOUNCE_US
+        base = 1_700_000_000_000_000
+        rows = [
+            (1, "click", 10, base),
+            (1, "click", 11, base + int(0.6 * T)),
+            (1, "click", 12, base + int(1.2 * T)),
+        ]
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, event_id long, ts_us long"
+        ).select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+            got = sorted(
+                r["event_id"]
+                for r in ext.q_event_debounce_dedup(spark, d).collect()
+            )
+        assert got == [10, 12]
+
+
+class TestTfidfDocKeywords:
+    """tfidf_doc_keywords vs a from-scratch Python twin (tokenization,
+    df, fp_log2 idf, per-doc (score desc, token asc) top-3)."""
+
+    def test_matches_pure_python_reference(self, spark, sf_dir):
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from spark_streaming_invoice_anomaly_detection_spark.functions.fplog2 import (
+            fp_log2_py,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.plans.extensions import (
+            _KEYWORDS_PER_DOC,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
+            REGISTRY,
+        )
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        fold = str.maketrans(
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+        )
+        tfs: dict[int, Counter] = {}
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = tfs.setdefault(did, Counter())
+            for w in re.split("[^a-z0-9]+", (txt or "").translate(fold)):
+                if w:
+                    c[w] += 1
+        n_docs = len(t)
+        dfv = Counter()
+        for c in tfs.values():
+            for tok in c:
+                dfv[tok] += 1
+        want = {}
+        for did, c in tfs.items():
+            scored = sorted(
+                (
+                    (-tf * (fp_log2_py(n_docs) - fp_log2_py(dfv[tok])), tok, tf)
+                    for tok, tf in c.items()
+                ),
+            )[:_KEYWORDS_PER_DOC]
+            for rk, (neg, tok, tf) in enumerate(scored, 1):
+                want[(did, rk)] = (tok, tf, dfv[tok], -neg)
+
+        rows = REGISTRY["tfidf_doc_keywords"].spark(spark, sf_dir).collect()
+        got = {
+            (r["doc_id"], r["rk"]): (r["token"], r["tf"], r["df"], r["score_fp"])
+            for r in rows
+        }
+        assert got == want
+        # idf must bite: some doc's top keyword is not its max-tf token
+        assert any(
+            want[(did, 1)][0] != max(c.items(), key=lambda kv: (kv[1], kv[0]))[0]
+            for did, c in tfs.items()
+        )
