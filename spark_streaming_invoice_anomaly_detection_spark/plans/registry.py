@@ -24,6 +24,7 @@ sides; min/max/count and integer-valued sums are exact and left unrounded.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -60,9 +61,14 @@ def register(spec: QuerySpec) -> QuerySpec:
 #      (fingerprint mismatch vs plans/fingerprints.json — round-7 VERDICT
 #      "missing" #1: minhash_lsh_neardups was reworked in r7 but its
 #      green row was pre-change r5; a green row for old semantics proves
-#      nothing about the new ones), together with queries never sampled
-#      in any round,
-#   3. green-and-unchanged queries, oldest round first (stalest
+#      nothing about the new ones),
+#   3. green-and-unchanged queries within one round of the staleness SLA
+#      (at-risk promotion, r9 VERDICT #2: new registrations have no
+#      deadline, the stale cohort does — without this, a round that
+#      registers many new queries displaces the oldest cohort toward a
+#      suite-redding breach of test_verification_staleness),
+#   4. queries never sampled in any round,
+#   5. remaining green-and-unchanged queries, oldest round first (stalest
 #      verification re-checked before fresher ones).
 
 
@@ -402,21 +408,54 @@ _COSTLY: frozenset[str] = frozenset({
 })
 
 
+#: Driver correctness slots per round (observed constant since r5). Kept
+#: here (and imported by tests/test_verification_staleness.py) so the
+#: staleness SLA and the at-risk promotion below derive from one number.
+DRIVER_SLOTS = 50
+
+
+def max_age_rounds() -> int:
+    """Staleness SLA: one full rotation of the registry plus one round of
+    slack (mirrors tests/test_verification_staleness.py, which fails the
+    suite when any query's latest driver row is older than this)."""
+    return math.ceil(len(REGISTRY) / DRIVER_SLOTS) + 1
+
+
 def _ordered_names() -> list[str]:
     hist = _DRIVER_HISTORY
     changed = changed_since_verification()
     failed = [n for n in REGISTRY if n in hist and not hist[n][1]]
-    # changed-since-green rides the never-sampled tier: a green row for a
-    # prior definition is no fresher evidence than no row at all
-    never = [n for n in REGISTRY if n not in hist or n in changed]
+    # changed-since-green sorts with tier urgency just below failed: a
+    # green row for a prior definition is no fresher evidence than no row
+    # at all, AND these are usually this round's perf-path edits whose
+    # "done" criterion is a re-green oracle row.
+    changed_tier = [n for n in REGISTRY if n in hist and n in changed]
+    never = [n for n in REGISTRY if n not in hist]
     green = [
         n for n in REGISTRY if n in hist and hist[n][1] and n not in changed
     ]
-    cheap_first = lambda names: sorted(names, key=lambda n: n in _COSTLY)
     # Green tier: stalest external verification first, cheap before costly
     # within the same round.
     green.sort(key=lambda n: (hist[n][0], n in _COSTLY))
-    return cheap_first(failed) + cheap_first(never) + green
+    # At-risk promotion (r9 VERDICT "Next round" #2): a green query whose
+    # verification age at the NEXT judging would sit within one round of
+    # the staleness SLA must not be displaced by never-sampled NEW
+    # registrations — the new ones have no deadline, the stale cohort
+    # does. Without this, every round that registers >~(SLOTS - cohort)
+    # new queries silently pushes the oldest cohort toward a suite-redding
+    # breach.
+    newest = max((rnd for rnd, _ok in hist.values()), default=0)
+    threshold = max_age_rounds() - 1
+    at_risk = [n for n in green if newest + 1 - hist[n][0] >= threshold]
+    rest = [n for n in green if newest + 1 - hist[n][0] < threshold]
+    cheap_first = lambda names: sorted(names, key=lambda n: n in _COSTLY)
+    return (
+        cheap_first(failed)
+        + cheap_first(changed_tier)
+        + at_risk
+        + cheap_first(never)
+        + rest
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -31,7 +31,9 @@ from spark_streaming_invoice_anomaly_detection_spark.plans import registry
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Driver slots per round (observed constant since r5; r4 had 30).
-DRIVER_SLOTS = 50
+#: Canonical value lives in the registry so the at-risk promotion in
+#: _ordered_names derives from the same number this SLA does.
+DRIVER_SLOTS = registry.DRIVER_SLOTS
 
 
 def _max_age_rounds() -> int:
@@ -39,7 +41,11 @@ def _max_age_rounds() -> int:
     (new registrations and changed-tier re-checks displace green slots).
     Derived, not hardcoded (round-7 VERDICT #8): with 179 queries and 50
     slots this is 4; it grows automatically as the registry does."""
-    return math.ceil(len(registry.queries()) / DRIVER_SLOTS) + 1
+    registry.queries()  # force _load_all so REGISTRY is populated
+    assert registry.max_age_rounds() == (
+        math.ceil(len(registry.REGISTRY) / DRIVER_SLOTS) + 1
+    ), "registry.max_age_rounds drifted from the SLA derivation"
+    return registry.max_age_rounds()
 
 
 def _history() -> tuple[int, dict[str, int]]:
@@ -79,31 +85,79 @@ def test_no_query_verification_older_than_max_age():
     )
 
 
+def _at_risk_names() -> set[str]:
+    """Green-and-unchanged queries within one round of the staleness SLA
+    at the NEXT judging — the cohort the r9-VERDICT-#2 promotion moves
+    ahead of never-sampled new registrations."""
+    hist = registry._DRIVER_HISTORY
+    changed = registry.changed_since_verification()
+    newest = max((rnd for rnd, _ok in hist.values()), default=0)
+    threshold = registry.max_age_rounds() - 1
+    return {
+        n
+        for n in registry.REGISTRY
+        if n in hist
+        and hist[n][1]
+        and n not in changed
+        and newest + 1 - hist[n][0] >= threshold
+    }
+
+
 def test_unverified_definitions_are_frontloaded():
     """Never-sampled AND changed-since-green queries must sort before
-    every green-and-unchanged query: a green row for a prior definition
-    is no fresher evidence than no row at all (round-7 VERDICT #1), and
-    a new registration must not starve at the tail the way the round-1
-    ML entries did. Failed-tier queries legitimately sort even earlier
-    (round-7 ADVICE: presence in history != green)."""
+    every green-and-unchanged query EXCEPT the at-risk cohort: a green
+    row for a prior definition is no fresher evidence than no row at all
+    (round-7 VERDICT #1), and a new registration must not starve at the
+    tail the way the round-1 ML entries did — but neither may it displace
+    a query about to breach the staleness SLA (r9 VERDICT #2; the at-risk
+    cohort has a deadline, new registrations do not). Failed-tier queries
+    legitimately sort even earlier (round-7 ADVICE: presence in history
+    != green)."""
     max_round, latest = _history()
     if max_round == 0:
         pytest.skip("no CORRECTNESS history on disk")
     hist = registry._DRIVER_HISTORY
     changed = registry.changed_since_verification()
     order = list(registry.queries())
-    seen_green = False
+    at_risk = _at_risk_names()
+    seen_fresh_green = False
     for name in order:
         latest_green = name in hist and hist[name][1]
-        if latest_green and name not in changed:
-            seen_green = True
+        if latest_green and name not in changed and name not in at_risk:
+            seen_fresh_green = True
         elif not latest_green or name in changed:
-            assert not seen_green, (
+            assert not seen_fresh_green, (
                 f"unverified-definition query {name!r} (never-sampled, "
-                "failed, or changed-since-green) sorts after verified "
+                "failed, or changed-since-green) sorts after fresh green "
                 "ones — it would starve under the driver's wall-clock "
                 "budget"
             )
+
+
+def test_at_risk_cohort_beats_new_registrations():
+    """Every at-risk green query must sort before every never-sampled
+    query, and the at-risk block must itself stay stalest-first; changed
+    and failed tiers still precede both."""
+    max_round, latest = _history()
+    if max_round == 0:
+        pytest.skip("no CORRECTNESS history on disk")
+    hist = registry._DRIVER_HISTORY
+    order = list(registry.queries())
+    at_risk = _at_risk_names()
+    if not at_risk:
+        pytest.skip("no at-risk cohort at current history")
+    pos = {n: i for i, n in enumerate(order)}
+    never = [n for n in order if n not in hist]
+    for risky in at_risk:
+        for new in never:
+            assert pos[risky] < pos[new], (
+                f"at-risk query {risky!r} (deadline) sorts after "
+                f"never-sampled {new!r} (no deadline)"
+            )
+    risk_rounds = [hist[n][0] for n in order if n in at_risk]
+    assert risk_rounds == sorted(risk_rounds), (
+        "at-risk block is not stalest-first"
+    )
 
 
 def test_green_tier_sorted_stalest_first():
