@@ -5844,3 +5844,515 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: order-insensitive dedup, corpus-overlap measures, chunk planning
+# ---------------------------------------------------------------------------
+
+
+def q_bow_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: group documents by their SORTED token multiset
+    (h60 of the space-joined sorted token list), catching word-order-
+    shuffled duplicates that byte-exact dedup misses. The corpus has no
+    natural reorderings, so the input is augmented with a token-REVERSED
+    copy of every document (id+1e6): byte-distinct, bag-identical.
+
+    Scale: the group key is a 60-bit int64 hash, never the sorted string
+    itself, so the shuffle carries 8 bytes per doc; the per-doc sort is
+    bounded by document length. n_texts counts byte-distinct members per
+    bag group (2 for every planted pair — reversal changes the bytes),
+    separating true reorderings from verbatim copies at no extra shuffle.
+    """
+    docs = spread_if_narrow(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + _AUG_OFFSET).alias("doc_id"),
+        F.array_join(F.reverse(X.tokenize(F.col("text"))), " ").alias("text"),
+    )
+    aug = docs.unionByName(mutated)
+    sig = X.h60(F.array_join(F.array_sort(X.tokenize(F.col("text"))), " "))
+    return (
+        aug.select(
+            sig.alias("sig"),
+            X.h60(F.col("text")).alias("th"),
+            "doc_id",
+        )
+        .groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("th").alias("n_texts"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+register(
+    QuerySpec(
+        name="bow_dedup_groups",
+        description="order-insensitive dedup: sorted-token-multiset h60 "
+        "groups over documents + token-reversed copies",
+        spark=q_bow_dedup_groups,
+        oracle=f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + {_AUG_OFFSET} AS doc_id,
+                       array_to_string(list_reverse({_TOKENS_SQL}), ' ')
+                           AS text
+                FROM documents
+            ),
+            sg AS (
+                SELECT doc_id,
+                       {h60_sql(f"array_to_string(list_sort({_TOKENS_SQL}), ' ')")}
+                           AS sig,
+                       {h60_sql('text')} AS th
+                FROM aug
+            )
+            SELECT sig,
+                   count(*) AS n_docs,
+                   count(DISTINCT th) AS n_texts,
+                   min(doc_id) AS min_doc_id
+            FROM sg GROUP BY sig HAVING count(*) >= 2
+        """,
+    )
+)
+
+
+def q_weighted_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard overlap between every source pair: each
+    token's weight is its fixed-point idf (fp_log2(N) - fp_log2(df), all
+    int64), weighted Jaccard = sum(w over shared vocab) / sum(w over
+    union vocab) — shared rare vocabulary counts for more than shared
+    stopwords, the standard corpus-overlap refinement of raw Jaccard.
+
+    Plan: ONE token-keyed aggregation produces df and the (<=20-element)
+    source set per token; pairs are generated from the sorted set with a
+    nested array transform (fan-out <= C(20,2) per token, no self-join,
+    no second shuffle over the vocabulary), and per-source totals reuse
+    the same localCheckpointed frame. Exact while vocab * max(w) < 2^63
+    (w <= 256*log2(N) fixed-point units — ~2^13 at a trillion docs, so
+    safe to ~2^50 distinct tokens).
+    """
+    docs = spread_if_narrow(
+        load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    )
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    base = docs.select(
+        "doc_id", "source", F.explode(X.tokenize(F.col("text"))).alias("token")
+    ).distinct()
+    tokw = (
+        base.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_sort(F.collect_set("source")).alias("sources"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("w", fp_log2("n") - fp_log2("df"))
+        .select("token", "sources", "w")
+        .localCheckpoint()
+    )
+    tot = (
+        tokw.select(F.explode("sources").alias("source"), "w")
+        .groupBy("source")
+        .agg(F.sum("w").alias("tot"))
+    )
+    pairs = tokw.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sources, (x, i) -> "
+                "transform(slice(sources, i + 2, size(sources)), "
+                "y -> struct(x AS source_a, y AS source_b))))"
+            )
+        ).alias("p"),
+        "w",
+    ).select("p.source_a", "p.source_b", "w")
+    inter = pairs.groupBy("source_a", "source_b").agg(
+        F.sum("w").alias("inter_w")
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("tot").alias("tot_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("tot").alias("tot_b")
+    )
+    return (
+        inter.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter_w",
+            (F.col("tot_a") + F.col("tot_b") - F.col("inter_w")).alias(
+                "union_w"
+            ),
+            (
+                F.col("inter_w").cast("double")
+                / (F.col("tot_a") + F.col("tot_b") - F.col("inter_w")).cast(
+                    "double"
+                )
+            ).alias("weighted_jaccard"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="weighted_jaccard_sources",
+        description="idf-weighted Jaccard vocabulary overlap for every "
+        "source pair, int64 fixed-point weights",
+        spark=q_weighted_jaccard_sources,
+        oracle=f"""
+            WITH base AS MATERIALIZED (
+                SELECT DISTINCT doc_id, source, token FROM (
+                    SELECT doc_id, source, unnest({_TOKENS_SQL}) AS token
+                    FROM documents
+                )
+            ),
+            nd AS (SELECT count(*) AS n FROM documents),
+            w AS MATERIALIZED (
+                SELECT token,
+                       ({fp_log2_sql('n', 'duckdb')}
+                        - {fp_log2_sql('df', 'duckdb')}) AS w
+                FROM (
+                    SELECT token, count(DISTINCT doc_id) AS df
+                    FROM base GROUP BY 1
+                ) CROSS JOIN nd
+            ),
+            stw AS MATERIALIZED (
+                SELECT s.source, s.token, w.w
+                FROM (SELECT DISTINCT source, token FROM base) s
+                JOIN w USING (token)
+            ),
+            tot AS (
+                SELECT source, CAST(sum(w) AS BIGINT) AS tot
+                FROM stw GROUP BY 1
+            ),
+            inter AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(sum(a.w) AS BIGINT) AS inter_w
+                FROM stw a JOIN stw b
+                  ON a.token = b.token AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, inter_w,
+                   ta.tot + tb.tot - inter_w AS union_w,
+                   CAST(inter_w AS DOUBLE)
+                       / CAST(ta.tot + tb.tot - inter_w AS DOUBLE)
+                       AS weighted_jaccard
+            FROM inter
+            JOIN tot ta ON inter.source_a = ta.source
+            JOIN tot tb ON inter.source_b = tb.source
+        """,
+    )
+)
+
+
+_CHUNK_SIZE = 512  #: RAG/context chunk size in (BPE-estimate) tokens
+_CHUNK_OVERLAP = 64  #: tokens shared between consecutive chunks
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+def q_doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-chunking plan: per source, how many size-512/overlap-64
+    chunks the corpus yields and how much of the chunk capacity is
+    padding. n_chunks = 1 if T <= 512 else 1 + ceil((T-512)/448) (integer
+    ceil via (x + 447) div 448 — no float division anywhere), padding =
+    n*512 - (n-1)*64 - T, the unfilled tail of the last chunk.
+
+    One corpus scan, one 20-group aggregation; everything per-doc is a
+    projection, so the plan is a map + tiny hash-agg at any scale.
+    """
+    docs = spread_if_narrow(
+        load_table(spark, "documents", sf_dir).select("source", "text")
+    )
+    t = X.bpe_token_estimate(F.col("text")).cast("long")
+    n_chunks = F.when(
+        F.col("n_tok") <= _CHUNK_SIZE, F.lit(1).cast("long")
+    ).otherwise(
+        F.lit(1)
+        + F.expr(
+            f"(CAST({_CHUNK_STRIDE - 1} AS BIGINT) + n_tok"
+            f" - {_CHUNK_SIZE}) div {_CHUNK_STRIDE}"
+        )
+    )
+    per_doc = docs.select("source", t.alias("n_tok")).select(
+        "source",
+        "n_tok",
+        n_chunks.alias("n_chunks"),
+    )
+    pad = (
+        F.col("n_chunks") * _CHUNK_SIZE
+        - (F.col("n_chunks") - 1) * _CHUNK_OVERLAP
+        - F.col("n_tok")
+    )
+    return (
+        per_doc.withColumn("pad", pad)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chunks").alias("total_chunks"),
+            F.sum("pad").alias("total_pad"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_chunks",
+            "total_pad",
+            (
+                F.col("total_pad").cast("double")
+                / (F.col("total_tokens") + F.col("total_pad")).cast("double")
+            ).alias("pad_frac"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="doc_chunk_plan",
+        description="per-source 512/64 retrieval-chunk counts and padding "
+        "fraction, all-integer ceil arithmetic",
+        spark=q_doc_chunk_plan,
+        oracle=f"""
+            WITH t AS (
+                SELECT source,
+                       CAST(len(regexp_extract_all(text, '{_BPE_SQL}'))
+                            AS BIGINT) AS n_tok
+                FROM documents
+            ),
+            c AS (
+                SELECT source, n_tok,
+                       CASE WHEN n_tok <= {_CHUNK_SIZE} THEN CAST(1 AS BIGINT)
+                            ELSE 1 + (n_tok - {_CHUNK_SIZE}
+                                      + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE}
+                       END AS n_chunks
+                FROM t
+            ),
+            p AS (
+                SELECT source, n_tok, n_chunks,
+                       n_chunks * {_CHUNK_SIZE}
+                       - (n_chunks - 1) * {_CHUNK_OVERLAP}
+                       - n_tok AS pad
+                FROM c
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+                   CAST(sum(pad) AS BIGINT) AS total_pad,
+                   CAST(sum(pad) AS DOUBLE)
+                       / CAST(sum(n_tok) + sum(pad) AS DOUBLE) AS pad_frac
+            FROM p GROUP BY source
+        """,
+    )
+)
+
+
+def q_token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration per source: the Gini coefficient of the
+    per-token frequency distribution — G = (2*sum(i*c_i) - (n+1)*sum(c))
+    / (n*sum(c)) with counts sorted ascending. High Gini = a few tokens
+    dominate (boilerplate-heavy source); low = flat vocabulary.
+
+    Scale: the textbook formulation ranks every (source, token) row with
+    one window per source — a single-task sort over the whole vocabulary
+    of the largest source. This plan ELIMINATES the per-token rank
+    algebraically: ranks within an equal-count block B+1..B+k contribute
+    c*(k*B + k(k+1)/2), so only the per-source DISTINCT COUNT VALUES
+    (heavy-tailed: thousands, not millions) go through the window. The
+    oracle uses the row_number formulation — same integers, different
+    plan. Exact while c*k*(B+k) < 2^63 per block (~1e9-row vocabularies
+    with 1e9-count heads; shard and re-sum past that).
+    """
+    docs = spread_if_narrow(
+        load_table(spark, "documents", sf_dir).select("source", "text")
+    )
+    tc = (
+        docs.select("source", F.explode(X.tokenize(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    by_c = tc.groupBy("source", "c").agg(F.count(F.lit(1)).alias("k"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blocks = by_c.withColumn(
+        "b", F.coalesce(F.sum("k").over(w), F.lit(0).cast("long"))
+    )
+    contrib = F.col("c") * (
+        F.col("k") * F.col("b")
+        + F.expr("(k * (k + 1)) div 2")
+    )
+    return (
+        blocks.withColumn("s_contrib", contrib)
+        .groupBy("source")
+        .agg(
+            F.sum("k").alias("n_vocab"),
+            F.sum(F.col("c") * F.col("k")).alias("total_tokens"),
+            F.sum("s_contrib").alias("s_ic"),
+        )
+        .select(
+            "source",
+            "n_vocab",
+            "total_tokens",
+            "s_ic",
+            (
+                (
+                    2 * F.col("s_ic")
+                    - (F.col("n_vocab") + 1) * F.col("total_tokens")
+                ).cast("double")
+                / (F.col("n_vocab") * F.col("total_tokens")).cast("double")
+            ).alias("gini"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="token_gini_by_source",
+        description="per-source Gini coefficient of token frequencies, "
+        "rank-eliminated exact integer formulation",
+        spark=q_token_gini_by_source,
+        oracle=f"""
+            WITH tok AS (
+                SELECT source, unnest({_TOKENS_SQL}) AS token FROM documents
+            ),
+            tc AS (
+                SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT source, c,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY c, token
+                       ) AS i
+                FROM tc
+            ),
+            g AS (
+                SELECT source,
+                       count(*) AS n_vocab,
+                       CAST(sum(c) AS BIGINT) AS total_tokens,
+                       CAST(sum(i * c) AS BIGINT) AS s_ic
+                FROM r GROUP BY 1
+            )
+            SELECT source, n_vocab, total_tokens, s_ic,
+                   CAST(2 * s_ic - (n_vocab + 1) * total_tokens AS DOUBLE)
+                       / CAST(n_vocab * total_tokens AS DOUBLE) AS gini
+            FROM g
+        """,
+    )
+)
+
+
+def q_source_bigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stylistic similarity between sources: cosine of their bigram
+    count vectors — numerator sum(cA*cB) over shared bigrams, int64
+    exact; the only floats are the final correctly-rounded sqrt/divide,
+    identical IEEE-754 ops in both engines.
+
+    Plan: one bigram-keyed aggregation collects the (<=20-entry)
+    per-source count list; pairs come from a nested array transform
+    (fan-out <= C(20,2) per bigram — no vocabulary self-join); per-source
+    sum-of-squares is a second pass over the same localCheckpointed
+    frame. Exact while sum(c^2) < 2^63 per source (c <= ~3e9 bigram
+    occurrences; shard and re-sum past that).
+    """
+    docs = spread_if_narrow(
+        load_table(spark, "documents", sf_dir).select("source", "text")
+    )
+    toks = X.tokenize(F.col("text"))
+    n = F.size(toks)
+    grams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    tc = (
+        docs.select("source", F.explode(grams).alias("bigram"))
+        .groupBy("source", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_gram = (
+        tc.groupBy("bigram")
+        .agg(F.array_sort(F.collect_list(F.struct("source", "c"))).alias("sc"))
+        .localCheckpoint()
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sc, (x, i) -> "
+                "transform(slice(sc, i + 2, size(sc)), "
+                "y -> struct(x.source AS source_a, y.source AS source_b, "
+                "x.c * y.c AS p))))"
+            )
+        ).alias("pp")
+    ).select("pp.source_a", "pp.source_b", "pp.p")
+    num = pairs.groupBy("source_a", "source_b").agg(F.sum("p").alias("num"))
+    sq = tc.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).alias("ss"))
+    sa = sq.select(F.col("source").alias("source_a"), F.col("ss").alias("ss_a"))
+    sb = sq.select(F.col("source").alias("source_b"), F.col("ss").alias("ss_b"))
+    return (
+        num.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "num",
+            (
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("ss_a").cast("double"))
+                    * F.sqrt(F.col("ss_b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="source_bigram_cosine",
+        description="pairwise source cosine over bigram count vectors, "
+        "int64 numerator, sqrt-only floats",
+        spark=q_source_bigram_cosine,
+        oracle=f"""
+            WITH t AS (
+                SELECT source, {_TOKENS_SQL} AS toks FROM documents
+            ),
+            g AS (
+                SELECT source,
+                       unnest(list_transform(
+                           range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                FROM t WHERE len(toks) >= 2
+            ),
+            tc AS MATERIALIZED (
+                SELECT source, bigram, count(*) AS c FROM g GROUP BY 1, 2
+            ),
+            num AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(sum(a.c * b.c) AS BIGINT) AS num
+                FROM tc a JOIN tc b
+                  ON a.bigram = b.bigram AND a.source < b.source
+                GROUP BY 1, 2
+            ),
+            sq AS (
+                SELECT source, CAST(sum(c * c) AS BIGINT) AS ss
+                FROM tc GROUP BY 1
+            )
+            SELECT source_a, source_b, num,
+                   CAST(num AS DOUBLE)
+                       / (sqrt(CAST(ta.ss AS DOUBLE))
+                          * sqrt(CAST(tb.ss AS DOUBLE))) AS cosine
+            FROM num
+            JOIN sq ta ON num.source_a = ta.source
+            JOIN sq tb ON num.source_b = tb.source
+        """,
+    )
+)

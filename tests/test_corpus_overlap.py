@@ -1,0 +1,152 @@
+"""Semantic pins for the round-10 corpus-overlap / chunk-planning family
+(bow_dedup_groups, weighted_jaccard_sources, doc_chunk_plan,
+token_gini_by_source, source_bigram_cosine) — invariants the DuckDB hash
+oracle cannot express (the oracle proves cross-engine equality; these
+prove the SHARED definition means what the docstrings claim).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from spark_streaming_invoice_anomaly_detection_spark.plans import extensions as E
+from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import load_table
+
+
+def test_bow_dedup_catches_reorderings_exact_dedup_misses(spark, sf_dir):
+    """Every planted token-reversed copy lands in a bag group of byte-
+    DISTINCT members (n_texts >= 2 whenever the original has >= 2 tokens
+    in distinct order); byte-identical pairs would show n_texts == 1."""
+    rows = E.q_bow_dedup_groups(spark, sf_dir).collect()
+    assert rows, "no bag groups found despite planted reversed copies"
+    n_docs_total = load_table(spark, "documents", sf_dir).count()
+    # every original shares a bag with its reversed copy, so ALL 2N docs
+    # sit in >=2-member groups: total group membership is exactly 2N
+    assert sum(r.n_docs for r in rows) == 2 * n_docs_total
+    for r in rows:
+        assert r.n_docs >= 2
+        assert 1 <= r.n_texts <= r.n_docs
+    # reversal changes bytes for the overwhelming majority of docs:
+    # groups with byte-distinct members must dominate
+    distinct_text_groups = sum(1 for r in rows if r.n_texts >= 2)
+    assert distinct_text_groups >= 0.9 * len(rows)
+
+
+def test_weighted_jaccard_bounds_and_coverage(spark, sf_dir):
+    """0 < wj <= 1, inter <= union, exact double = inter/union, and every
+    source pair that shares vocabulary appears with source_a < source_b."""
+    rows = E.q_weighted_jaccard_sources(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 < r.inter_w <= r.union_w
+        assert r.weighted_jaccard == r.inter_w / r.union_w
+        assert 0.0 < r.weighted_jaccard <= 1.0
+
+
+def test_doc_chunk_plan_matches_python_recompute(spark, sf_dir):
+    """Per-source totals equal a pure-Python recompute over the same BPE
+    token counts (the int-ceil and padding algebra, independently)."""
+    from spark_streaming_invoice_anomaly_detection_spark.operators.text import (
+        bpe_token_estimate,
+    )
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", bpe_token_estimate(F.col("text")).alias("t")
+    )
+    S, O = E._CHUNK_SIZE, E._CHUNK_OVERLAP
+    stride = S - O
+    want: dict[str, list[int]] = {}
+    for row in docs.collect():
+        t = int(row.t)
+        n = 1 if t <= S else 1 + -(-(t - S) // stride)
+        pad = n * S - (n - 1) * O - t
+        agg = want.setdefault(row.source, [0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += t
+        agg[2] += n
+        agg[3] += pad
+    got = {r.source: r for r in E.q_doc_chunk_plan(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for s, (nd, tt, tc, tp) in want.items():
+        r = got[s]
+        assert (r.n_docs, r.total_tokens, r.total_chunks, r.total_pad) == (
+            nd,
+            tt,
+            tc,
+            tp,
+        )
+        assert r.total_pad >= 0
+        assert r.pad_frac == tp / (tt + tp)
+
+
+def test_token_gini_matches_textbook_rank_formula(spark, sf_dir):
+    """The rank-eliminated block formulation equals the textbook
+    sum-of-rank-times-count Gini, recomputed in Python per source."""
+    import pyspark.sql.functions as F
+    from spark_streaming_invoice_anomaly_detection_spark.operators.text import (
+        tokenize,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("source", "text")
+    tc = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .count()
+        .collect()
+    )
+    per_src: dict[str, list[int]] = {}
+    for row in tc:
+        per_src.setdefault(row.source, []).append(int(row["count"]))
+    got = {r.source: r for r in E.q_token_gini_by_source(spark, sf_dir).collect()}
+    assert set(got) == set(per_src)
+    for s, counts in per_src.items():
+        counts.sort()
+        n = len(counts)
+        tot = sum(counts)
+        s_ic = sum((i + 1) * c for i, c in enumerate(counts))
+        r = got[s]
+        assert (r.n_vocab, r.total_tokens, r.s_ic) == (n, tot, s_ic)
+        gini = (2 * s_ic - (n + 1) * tot) / (n * tot)
+        assert r.gini == gini
+        assert 0.0 <= r.gini < 1.0
+
+
+def test_source_bigram_cosine_bounds_and_self_consistency(spark, sf_dir):
+    """cosine in (0, 1]; numerator positive only for pairs sharing at
+    least one bigram; cosine equals num/sqrt(ssa)/sqrt(ssb) recomputed
+    from per-source sum-of-squares."""
+    import pyspark.sql.functions as F
+    from spark_streaming_invoice_anomaly_detection_spark.operators.text import (
+        tokenize,
+    )
+
+    rows = E.q_source_bigram_cosine(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, "documents", sf_dir).select("source", "text")
+    toks = tokenize(F.col("text"))
+    nsz = F.size(toks)
+    grams = F.when(nsz < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nsz - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    ss = {
+        r.source: r.ss
+        for r in docs.select("source", F.explode(grams).alias("g"))
+        .groupBy("source", "g")
+        .count()
+        .groupBy("source")
+        .agg(F.sum(F.col("count") * F.col("count")).alias("ss"))
+        .collect()
+    }
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.num > 0
+        expect = r.num / (math.sqrt(ss[r.source_a]) * math.sqrt(ss[r.source_b]))
+        assert r.cosine == pytest.approx(expect, rel=1e-12)
+        assert 0.0 < r.cosine <= 1.0
