@@ -1428,3 +1428,132 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination (round 10): compose the Hamilton eval split with
+# the MinHash-LSH near-dup detector — the audit every benchmark-holdout
+# pipeline runs before trusting its eval numbers.
+# ---------------------------------------------------------------------------
+
+
+def q_eval_train_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage between the materialized eval split and its
+    training remainder: an eval document is CONTAMINATED when the
+    MinHash-LSH detector links it to any non-eval document. The pair
+    corpus is documents + planted prefix-truncated near-dup copies
+    (id+1e6, never eval members), so every eval doc has a train twin by
+    construction and the detector's recall on the leak path gets
+    externally verified numbers, not an assumed 0.
+
+    Plan: the (session-cached) LSH pair frame is filtered down with one
+    semi-join + one anti-join per side against the eval membership —
+    eval is ~2% of the corpus, so these are key-only shuffle joins, no
+    broadcast of corpus-scale state; the census is a 20-group agg. At
+    100 TB the whole query rides the already-bounded LSH candidate
+    pipeline plus two joins keyed on int64 doc ids.
+    """
+    from .extensions import _near_dup_pairs
+
+    ev = (
+        q_eval_split_members(spark, sf_dir)
+        .select("source", "doc_id")
+        .localCheckpoint()
+    )
+    pairs = _near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    ev_a = ev.select(F.col("doc_id").alias("id_a"))
+    ev_b = ev.select(F.col("doc_id").alias("id_b"))
+    a_leaks = (
+        pairs.join(ev_a, "id_a", "semi")
+        .join(ev_b, "id_b", "anti")
+        .select(
+            F.col("id_a").alias("eval_id"), F.col("id_b").alias("train_id")
+        )
+    )
+    b_leaks = (
+        pairs.join(ev_b, "id_b", "semi")
+        .join(ev_a, "id_a", "anti")
+        .select(
+            F.col("id_b").alias("eval_id"), F.col("id_a").alias("train_id")
+        )
+    )
+    leaks = a_leaks.unionByName(b_leaks)
+    per_src = (
+        leaks.join(
+            ev.select(F.col("doc_id").alias("eval_id"), "source"), "eval_id"
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct("eval_id").alias("n_contaminated"),
+            F.count(F.lit(1)).alias("n_leak_pairs"),
+        )
+    )
+    n_eval = ev.groupBy("source").agg(F.count(F.lit(1)).alias("n_eval"))
+    return n_eval.join(per_src, "source", "left").select(
+        "source",
+        "n_eval",
+        F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
+            "n_contaminated"
+        ),
+        F.coalesce(F.col("n_leak_pairs"), F.lit(0).cast("long")).alias(
+            "n_leak_pairs"
+        ),
+        (
+            F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).cast(
+                "double"
+            )
+            / F.col("n_eval").cast("double")
+        ).alias("contamination_rate"),
+    )
+
+
+def _eval_contamination_oracle() -> str:
+    from .extensions import _MINHASH_ORACLE
+    from .registry import REGISTRY
+
+    eval_sql = REGISTRY["eval_split_members"].oracle
+    return f"""
+        WITH ev AS MATERIALIZED (
+            SELECT source, doc_id FROM ( {eval_sql} )
+        ),
+        pairs AS MATERIALIZED ( {_MINHASH_ORACLE} ),
+        leaks AS (
+            SELECT p.id_a AS eval_id, p.id_b AS train_id FROM pairs p
+            WHERE p.id_a IN (SELECT doc_id FROM ev)
+              AND p.id_b NOT IN (SELECT doc_id FROM ev)
+            UNION ALL
+            SELECT p.id_b AS eval_id, p.id_a AS train_id FROM pairs p
+            WHERE p.id_b IN (SELECT doc_id FROM ev)
+              AND p.id_a NOT IN (SELECT doc_id FROM ev)
+        ),
+        agg AS (
+            SELECT e.source,
+                   count(DISTINCT l.eval_id) AS n_contaminated,
+                   count(*) AS n_leak_pairs
+            FROM leaks l JOIN ev e ON l.eval_id = e.doc_id
+            GROUP BY 1
+        ),
+        ne AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_eval
+            FROM ev GROUP BY 1
+        )
+        SELECT ne.source,
+               ne.n_eval,
+               CAST(COALESCE(a.n_contaminated, 0) AS BIGINT)
+                   AS n_contaminated,
+               CAST(COALESCE(a.n_leak_pairs, 0) AS BIGINT) AS n_leak_pairs,
+               CAST(COALESCE(a.n_contaminated, 0) AS DOUBLE)
+                   / CAST(ne.n_eval AS DOUBLE) AS contamination_rate
+        FROM ne LEFT JOIN agg a ON ne.source = a.source
+    """
+
+
+register(
+    QuerySpec(
+        name="eval_train_contamination",
+        description="near-dup leakage census between the Hamilton eval "
+        "split and its training remainder via the MinHash-LSH detector",
+        spark=q_eval_train_contamination,
+        oracle=_eval_contamination_oracle(),
+    )
+)

@@ -150,3 +150,25 @@ def test_source_bigram_cosine_bounds_and_self_consistency(spark, sf_dir):
         expect = r.num / (math.sqrt(ss[r.source_a]) * math.sqrt(ss[r.source_b]))
         assert r.cosine == pytest.approx(expect, rel=1e-12)
         assert 0.0 < r.cosine <= 1.0
+
+
+def test_eval_train_contamination_detects_planted_twins(spark, sf_dir):
+    """Every eval doc has a planted prefix-truncated train twin; the LSH
+    detector must flag the overwhelming majority (all, at test SFs — a
+    miss requires the twin's shingle set to fall under the Jaccard
+    threshold or an empty mutated text). Rate algebra is exact."""
+    from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
+        q_eval_train_contamination,
+    )
+
+    rows = q_eval_train_contamination(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_eval
+        assert r.n_leak_pairs >= r.n_contaminated
+        assert r.contamination_rate == r.n_contaminated / r.n_eval
+    tot_e = sum(r.n_eval for r in rows)
+    tot_c = sum(r.n_contaminated for r in rows)
+    assert tot_c >= 0.8 * tot_e, (
+        f"planted-twin recall collapsed: {tot_c}/{tot_e} eval docs flagged"
+    )
