@@ -215,6 +215,10 @@ PRE_REP = {
     "neardup_components_star": _reset_pairs_cache,
     "neardup_components_auto": _reset_pairs_cache,
     "pagerank_neardup_graph": _reset_pairs_cache,
+    # r10: the eval-decontamination audit rides the same memoized LSH
+    # pair frame — without the reset its timed reps measure only the
+    # post-LSH joins, not the candidate pipeline the query claims to pay.
+    "eval_train_contamination": _reset_pairs_cache,
 }
 
 #: Iterative / multi-round queries whose join count scales with the

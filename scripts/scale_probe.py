@@ -78,6 +78,15 @@ PROBE_QUERIES = (
     "bm25_search_topk",
     # r10: the GK-prefiltered quota selection (sorted volume ~2% of corpus)
     "eval_split_members",
+    # r10: corpus-overlap family (token/bigram-keyed aggregations whose
+    # pair fan-out is bounded by the 20-source set, never the vocabulary)
+    # and the composed eval-decontamination audit riding the LSH pipeline
+    "bow_dedup_groups",
+    "weighted_jaccard_sources",
+    "token_gini_by_source",
+    "source_bigram_cosine",
+    "doc_chunk_plan",
+    "eval_train_contamination",
 )
 
 
