@@ -6356,3 +6356,156 @@ register(
         """,
     )
 )
+
+
+_PFX_K = 24  #: bucket key = first K chars (crawl-truncation artifacts)
+_PFX_CAP = 32  #: bounded-recall bucket cap, the LSH-cap posture
+
+
+def q_prefix_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation dedup: documents whose full text is a STRICT prefix of
+    another document's text (the crawl-refetch / snippet artifact exact
+    and MinHash dedup both treat as distinct). Candidates bucket on the
+    h60 of the first 24 characters — a contained doc (>= 24 chars)
+    always shares its container's bucket — then verify
+    substring(container, 1, len(contained)) equality. Planted copies
+    truncated to 60% of each doc's chars make the path fire.
+
+    Bounded recall, observed not assumed: buckets over _PFX_CAP docs
+    (boilerplate-prefix pileups — the quadratic risk at 100 TB) are
+    dropped BEFORE the in-bucket join and REPORTED in the output
+    (n_dropped_buckets / n_dropped_docs, same posture as the capped
+    LSH family); docs shorter than 24 chars key on their whole text and
+    can only match equal-prefix containers coincidentally (documented
+    miss, separately recoverable by an exact short-doc pass).
+    """
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    plants = docs.select(
+        (F.col("doc_id") + _AUG_OFFSET).alias("doc_id"),
+        "source",
+        F.expr(
+            "substring(text, 1, CAST((length(text) * 3) div 5 AS INT))"
+        ).alias("text"),
+    )
+    aug = docs.unionByName(plants)
+    keyed = aug.select(
+        "doc_id",
+        "source",
+        "text",
+        F.length("text").alias("len"),
+        X.h60(F.substring(F.col("text"), 1, _PFX_K)).alias("bk"),
+    )
+    sizes = keyed.groupBy("bk").agg(F.count(F.lit(1)).alias("bn"))
+    ok = sizes.filter(F.col("bn") <= _PFX_CAP).select("bk")
+    dropped = (
+        sizes.filter(F.col("bn") > _PFX_CAP)
+        .agg(
+            F.count(F.lit(1)).alias("n_dropped_buckets"),
+            F.coalesce(F.sum("bn"), F.lit(0).cast("long")).alias(
+                "n_dropped_docs"
+            ),
+        )
+    )
+    k2 = keyed.join(ok, "bk", "semi")
+    a = k2.select(
+        "bk",
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src_a"),
+        F.col("len").alias("len_a"),
+        F.col("text").alias("text_a"),
+    )
+    b = k2.select(
+        "bk",
+        F.col("doc_id").alias("id_b"),
+        F.col("len").alias("len_b"),
+        F.col("text").alias("text_b"),
+    )
+    pairs = a.join(b, "bk").filter(
+        (F.col("len_a") < F.col("len_b"))
+        & (
+            F.expr("substring(text_b, 1, CAST(len_a AS INT))")
+            == F.col("text_a")
+        )
+    )
+    per_src = pairs.groupBy("src_a").agg(
+        F.countDistinct("id_a").alias("n_contained"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    n_docs = aug.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n_docs.join(per_src, n_docs.source == per_src.src_a, "left")
+        .crossJoin(F.broadcast(dropped))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_contained"), F.lit(0).cast("long")).alias(
+                "n_contained"
+            ),
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias(
+                "n_pairs"
+            ),
+            "n_dropped_buckets",
+            "n_dropped_docs",
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="prefix_containment_dups",
+        description="truncation dedup: strict-prefix containment via "
+        "capped first-24-char buckets, dropped buckets reported",
+        spark=q_prefix_containment_dups,
+        oracle=f"""
+            WITH aug AS (
+                SELECT doc_id, source, text FROM documents
+                UNION ALL
+                SELECT doc_id + {_AUG_OFFSET} AS doc_id, source,
+                       substring(text, 1, (length(text) * 3) // 5) AS text
+                FROM documents
+            ),
+            keyed AS (
+                SELECT doc_id, source, text,
+                       CAST(length(text) AS BIGINT) AS len,
+                       {h60_sql(f'substring(text, 1, {_PFX_K})')} AS bk
+                FROM aug
+            ),
+            sizes AS (
+                SELECT bk, count(*) AS bn FROM keyed GROUP BY bk
+            ),
+            ok AS (SELECT bk FROM sizes WHERE bn <= {_PFX_CAP}),
+            dropped AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_dropped_buckets,
+                       CAST(COALESCE(sum(bn), 0) AS BIGINT)
+                           AS n_dropped_docs
+                FROM sizes WHERE bn > {_PFX_CAP}
+            ),
+            k2 AS MATERIALIZED (
+                SELECT k.* FROM keyed k JOIN ok USING (bk)
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, a.source AS src_a
+                FROM k2 a JOIN k2 b
+                  ON a.bk = b.bk AND a.len < b.len
+                     AND substring(b.text, 1, a.len) = a.text
+            ),
+            per_src AS (
+                SELECT src_a, count(DISTINCT id_a) AS n_contained,
+                       count(*) AS n_pairs
+                FROM pairs GROUP BY 1
+            ),
+            nd AS (
+                SELECT source, count(*) AS n_docs FROM aug GROUP BY 1
+            )
+            SELECT nd.source, nd.n_docs,
+                   CAST(COALESCE(p.n_contained, 0) AS BIGINT)
+                       AS n_contained,
+                   CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   d.n_dropped_buckets, d.n_dropped_docs
+            FROM nd LEFT JOIN per_src p ON nd.source = p.src_a
+            CROSS JOIN dropped d
+        """,
+    )
+)

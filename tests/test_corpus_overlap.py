@@ -172,3 +172,20 @@ def test_eval_train_contamination_detects_planted_twins(spark, sf_dir):
     assert tot_c >= 0.8 * tot_e, (
         f"planted-twin recall collapsed: {tot_c}/{tot_e} eval docs flagged"
     )
+
+
+def test_prefix_containment_catches_planted_truncations(spark, sf_dir):
+    """Every planted 60%-truncation is a strict prefix of its original
+    and (being >= 24 chars at test SFs) shares its bucket, so with no
+    dropped buckets the contained count must cover at least the plant
+    count; census columns are internally consistent."""
+    rows = E.q_prefix_containment_dups(spark, sf_dir).collect()
+    assert rows
+    n_orig = load_table(spark, "documents", sf_dir).count()
+    assert sum(r.n_docs for r in rows) == 2 * n_orig
+    for r in rows:
+        assert 0 <= r.n_contained <= r.n_docs
+        assert r.n_pairs >= r.n_contained
+        assert r.n_dropped_buckets == rows[0].n_dropped_buckets  # global col
+    if rows[0].n_dropped_buckets == 0:
+        assert sum(r.n_contained for r in rows) >= n_orig
