@@ -6294,7 +6294,15 @@ def q_source_bigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pp")
     ).select("pp.source_a", "pp.source_b", "pp.p")
     num = pairs.groupBy("source_a", "source_b").agg(F.sum("p").alias("num"))
-    sq = tc.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).alias("ss"))
+    # sum-of-squares from the SAME checkpointed per-gram frame (re-deriving
+    # it from tc would rebuild the tokenize+explode pipeline a second time:
+    # two extra corpus-scale shuffles for numbers already in `sc`)
+    sq = (
+        per_gram.select(F.explode("sc").alias("e"))
+        .select(F.col("e.source").alias("source"), F.col("e.c").alias("c"))
+        .groupBy("source")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("ss"))
+    )
     sa = sq.select(F.col("source").alias("source_a"), F.col("ss").alias("ss_a"))
     sb = sq.select(F.col("source").alias("source_b"), F.col("ss").alias("ss_b"))
     return (
@@ -6373,11 +6381,20 @@ def q_prefix_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bounded recall, observed not assumed: buckets over _PFX_CAP docs
     (boilerplate-prefix pileups — the quadratic risk at 100 TB) are
-    dropped BEFORE the in-bucket join and REPORTED in the output
+    dropped BEFORE pair generation and REPORTED in the output
     (n_dropped_buckets / n_dropped_docs, same posture as the capped
     LSH family); docs shorter than 24 chars key on their whole text and
     can only match equal-prefix containers coincidentally (documented
     miss, separately recoverable by an exact short-doc pass).
+
+    Physical shape mirrors operators/dedup.py:lsh_candidate_pairs'
+    capped branch: ONE bucket aggregation collects the (len, id, source)
+    triples — 20 bytes per member, never the text — candidate ORDERED
+    pairs fan out in-array (len_a < len_b, bounded by cap^2/2), and only
+    that bounded candidate set joins the corpus texts back (two int64-
+    keyed joins) for the strict-prefix verification. The census and the
+    dropped-bucket audit reuse the same checkpointed bucket frame, so
+    the corpus is tokenized and shuffled exactly once.
     """
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "source", "text"
@@ -6393,38 +6410,49 @@ def q_prefix_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = aug.select(
         "doc_id",
         "source",
-        "text",
         F.length("text").alias("len"),
         X.h60(F.substring(F.col("text"), 1, _PFX_K)).alias("bk"),
     )
-    sizes = keyed.groupBy("bk").agg(F.count(F.lit(1)).alias("bn"))
-    ok = sizes.filter(F.col("bn") <= _PFX_CAP).select("bk")
-    dropped = (
-        sizes.filter(F.col("bn") > _PFX_CAP)
+    grouped = (
+        keyed.groupBy("bk")
         .agg(
-            F.count(F.lit(1)).alias("n_dropped_buckets"),
-            F.coalesce(F.sum("bn"), F.lit(0).cast("long")).alias(
-                "n_dropped_docs"
-            ),
+            F.count(F.lit(1)).alias("bn"),
+            F.array_sort(
+                F.collect_list(F.struct("len", "doc_id", "source"))
+            ).alias("members"),
         )
+        .localCheckpoint()
     )
-    k2 = keyed.join(ok, "bk", "semi")
-    a = k2.select(
-        "bk",
-        F.col("doc_id").alias("id_a"),
-        F.col("source").alias("src_a"),
-        F.col("len").alias("len_a"),
-        F.col("text").alias("text_a"),
+    dropped = grouped.filter(F.col("bn") > _PFX_CAP).agg(
+        F.count(F.lit(1)).alias("n_dropped_buckets"),
+        F.coalesce(F.sum("bn"), F.lit(0).cast("long")).alias(
+            "n_dropped_docs"
+        ),
     )
-    b = k2.select(
-        "bk",
-        F.col("doc_id").alias("id_b"),
-        F.col("len").alias("len_b"),
-        F.col("text").alias("text_b"),
+    # ordered candidate pairs: members sorted by (len, doc_id), so the
+    # nested transform pairs each doc only with LONGER (or equal-len,
+    # filtered at verify) successors — the strict-prefix direction
+    cand = (
+        grouped.filter(F.col("bn") <= _PFX_CAP)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(filter(slice(members, i + 2, size(members)),"
+                    " y -> y.len > x.len), "
+                    "y -> struct(x.doc_id AS id_a, x.source AS src_a, "
+                    "x.len AS len_a, y.doc_id AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.src_a", "p.len_a", "p.id_b")
     )
-    pairs = a.join(b, "bk").filter(
-        (F.col("len_a") < F.col("len_b"))
-        & (
+    ta = aug.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = aug.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(
             F.expr("substring(text_b, 1, CAST(len_a AS INT))")
             == F.col("text_a")
         )
@@ -6433,9 +6461,15 @@ def q_prefix_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("id_a").alias("n_contained"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
-    n_docs = aug.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = (
+        grouped.select(F.explode("members").alias("m"))
+        .groupBy(F.col("m.source").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     return (
-        n_docs.join(per_src, n_docs.source == per_src.src_a, "left")
+        n_docs.join(
+            F.broadcast(per_src), n_docs.source == per_src.src_a, "left"
+        )
         .crossJoin(F.broadcast(dropped))
         .select(
             "source",

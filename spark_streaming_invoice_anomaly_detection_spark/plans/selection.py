@@ -1461,35 +1461,31 @@ def q_eval_train_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     pairs = _near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
-    ev_a = ev.select(F.col("doc_id").alias("id_a"))
-    ev_b = ev.select(F.col("doc_id").alias("id_b"))
-    a_leaks = (
-        pairs.join(ev_a, "id_a", "semi")
-        .join(ev_b, "id_b", "anti")
-        .select(
-            F.col("id_a").alias("eval_id"), F.col("id_b").alias("train_id")
-        )
+    # membership flags via TWO left joins (not semi+anti per side, which
+    # costs four shuffle joins for the same predicate): a pair leaks when
+    # exactly one side is an eval member, and the leak's source comes
+    # along on the same join — no third attribution join
+    ev_a = ev.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
     )
-    b_leaks = (
-        pairs.join(ev_b, "id_b", "semi")
-        .join(ev_a, "id_a", "anti")
-        .select(
-            F.col("id_b").alias("eval_id"), F.col("id_a").alias("train_id")
-        )
+    ev_b = ev.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
     )
-    leaks = a_leaks.unionByName(b_leaks)
-    per_src = (
-        leaks.join(
-            ev.select(F.col("doc_id").alias("eval_id"), "source"), "eval_id"
-        )
-        .groupBy("source")
-        .agg(
-            F.countDistinct("eval_id").alias("n_contaminated"),
-            F.count(F.lit(1)).alias("n_leak_pairs"),
-        )
+    flagged = pairs.join(ev_a, "id_a", "left").join(ev_b, "id_b", "left")
+    leaks = flagged.filter(
+        F.col("src_a").isNotNull() != F.col("src_b").isNotNull()
+    ).select(
+        F.coalesce(F.col("src_a"), F.col("src_b")).alias("source"),
+        F.when(F.col("src_a").isNotNull(), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("eval_id"),
+    )
+    per_src = leaks.groupBy("source").agg(
+        F.countDistinct("eval_id").alias("n_contaminated"),
+        F.count(F.lit(1)).alias("n_leak_pairs"),
     )
     n_eval = ev.groupBy("source").agg(F.count(F.lit(1)).alias("n_eval"))
-    return n_eval.join(per_src, "source", "left").select(
+    return n_eval.join(F.broadcast(per_src), "source", "left").select(
         "source",
         "n_eval",
         F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(

@@ -296,6 +296,13 @@ def test_registry_plan_hygiene(spark, sf_dir):
     queries()
     # fixed-iteration label propagation: one shuffle per iteration by design
     shuffle_allow = {"pagerank_neardup_graph"}
+    # pipeline composition, not a runaway: the eval-decontamination audit
+    # joins the (persisted) LSH pair frame against the ~2% eval membership
+    # on both pair sides — two int64-keyed joins (4 exchanges), a
+    # countDistinct two-phase agg, and two 20-group census aggs. Every
+    # exchange carries ids or 20-row aggregates; the corpus-scale work
+    # lives behind the memoized pair frame, same as the graph family.
+    shuffle_allow.add("eval_train_contamination")
     # training queries execute .fit() at build time — cost, not plan shape;
     # their serving plans are pinned in tests/test_ml.py
     skip_build = {"kmeans_invoice_anomalies", "bisecting_invoice_anomalies"}
