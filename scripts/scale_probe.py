@@ -87,6 +87,8 @@ PROBE_QUERIES = (
     "source_bigram_cosine",
     "doc_chunk_plan",
     "eval_train_contamination",
+    # r10: capped prefix-bucket containment dedup (LSH-cap physical shape)
+    "prefix_containment_dups",
 )
 
 

@@ -5897,16 +5897,19 @@ register(
         spark=q_bow_dedup_groups,
         oracle=f"""
             WITH aug AS (
+                -- COALESCE: duckdb array_to_string([]) is NULL, spark
+                -- array_join([]) is '' — empty-token (non-ASCII) docs
+                -- must agree (caught by the unicode sweep)
                 SELECT doc_id, text FROM documents
                 UNION ALL
                 SELECT doc_id + {_AUG_OFFSET} AS doc_id,
-                       array_to_string(list_reverse({_TOKENS_SQL}), ' ')
-                           AS text
+                       COALESCE(array_to_string(
+                           list_reverse({_TOKENS_SQL}), ' '), '') AS text
                 FROM documents
             ),
             sg AS (
                 SELECT doc_id,
-                       {h60_sql(f"array_to_string(list_sort({_TOKENS_SQL}), ' ')")}
+                       {h60_sql(f"COALESCE(array_to_string(list_sort({_TOKENS_SQL}), ' '), '')")}
                            AS sig,
                        {h60_sql('text')} AS th
                 FROM aug
