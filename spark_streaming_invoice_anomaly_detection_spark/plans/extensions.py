@@ -197,12 +197,16 @@ _MH_BAND_ENTRIES = ", ".join(
     for b in range(_MH_BANDS)
 )
 
-def _minhash_oracle(cap: int) -> str:
+def _minhash_oracle(cap: int, threshold: float | None = None) -> str:
     """Full MinHash-LSH oracle with the band-bucket cap parameterized —
     shared by the standard query (cap far above the content-bound
     envelope) and the cap-binding variant (cap=3 BINDS at driver SFs,
     so the drop-the-mega-bucket branch gets its own external rows,
-    round-7 VERDICT "missing" #2)."""
+    round-7 VERDICT "missing" #2). ``threshold`` defaults to the
+    registered _MH_THRESHOLD; the r10 threshold-sweep query passes 0.0
+    to get every verified candidate with its exact Jaccard."""
+    if threshold is None:
+        threshold = _MH_THRESHOLD
     return f"""
     WITH aug AS ({_AUG_DOCS_SQL}),
     sh AS (
@@ -241,7 +245,7 @@ def _minhash_oracle(cap: int) -> str:
         FROM cand c
         JOIN sh2 a ON c.id_a = a.doc_id
         JOIN sh2 b ON c.id_b = b.doc_id
-    ) WHERE jaccard >= {_MH_THRESHOLD!r}
+    ) WHERE jaccard >= {threshold!r}
 """
 
 
@@ -6543,6 +6547,164 @@ register(
                    d.n_dropped_buckets, d.n_dropped_docs
             FROM nd LEFT JOIN per_src p ON nd.source = p.src_a
             CROSS JOIN dropped d
+        """,
+    )
+)
+
+
+#: Candidate thresholds swept by q_minhash_threshold_sweep — the knob a
+#: pipeline owner tunes; 0.3 is the registered production _MH_THRESHOLD.
+_SWEEP_THRESHOLDS = (0.2, 0.3, 0.5, 0.7, 0.9)
+
+
+def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold operating curve: for each candidate Jaccard
+    threshold, how many verified LSH pairs survive and how many distinct
+    documents they touch — the numbers that decide where to set the
+    near-dup cutoff before committing a 100 TB dedup pass. One LSH
+    candidate generation at threshold 0 (same banded pipeline, exact
+    Jaccard on every candidate), then a 5-way cumulative census via a
+    literal-array explode: the expensive pair work is paid once, the
+    sweep itself is a fan-out of 5 over the bounded pair set.
+    """
+    pairs0 = D.minhash_near_dups(
+        _augmented_docs(spark, sf_dir),
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        threshold=0.0,
+        max_bucket=_MH_MAX_BUCKET,
+    ).localCheckpoint()
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    swept = pairs0.select("id_a", "id_b", "jaccard", thr).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    n_pairs = swept.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    n_docs = (
+        swept.select(
+            "threshold",
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("id").alias("n_docs"))
+    )
+    return n_pairs.join(F.broadcast(n_docs), "threshold").select(
+        "threshold", "n_pairs", "n_docs"
+    )
+
+
+register(
+    QuerySpec(
+        name="minhash_threshold_sweep",
+        description="near-dup threshold operating curve: surviving pair "
+        "and doc counts at 5 candidate Jaccard cutoffs",
+        spark=q_minhash_threshold_sweep,
+        oracle=f"""
+            WITH pairs AS MATERIALIZED ( {_minhash_oracle(_MH_MAX_BUCKET, threshold=0.0)} ),
+            thr AS (SELECT unnest({list(_SWEEP_THRESHOLDS)!r}) AS threshold),
+            swept AS (
+                SELECT t.threshold, p.id_a, p.id_b
+                FROM pairs p CROSS JOIN thr t
+                WHERE p.jaccard >= t.threshold
+            ),
+            np AS (
+                SELECT threshold, count(*) AS n_pairs
+                FROM swept GROUP BY 1
+            ),
+            ids AS (
+                SELECT threshold, id_a AS id FROM swept
+                UNION ALL
+                SELECT threshold, id_b AS id FROM swept
+            ),
+            ndocs AS (
+                SELECT threshold, count(DISTINCT id) AS n_docs
+                FROM ids GROUP BY 1
+            )
+            SELECT np.threshold,
+                   CAST(np.n_pairs AS BIGINT) AS n_pairs,
+                   CAST(ndocs.n_docs AS BIGINT) AS n_docs
+            FROM np JOIN ndocs USING (threshold)
+        """,
+    )
+)
+
+
+_SHARD_N = 64  #: output shards for the writer-layout audit
+
+
+def q_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-side layout plan: assign every document to one of 64
+    output shards by salted h60(doc_id) and audit the per-shard token
+    balance — skew = shard tokens / ideal share. The question a 100 TB
+    materialization asks before writing: does hash sharding give
+    balanced files, or does a heavy tail need size-aware packing? One
+    corpus scan, one 64-group aggregation, total as a 1-row broadcast.
+    """
+    docs = spread_if_narrow(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+    per_doc = docs.select(
+        F.pmod(
+            X.h60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            F.lit(_SHARD_N),
+        ).alias("shard"),
+        X.bpe_token_estimate(F.col("text")).cast("long").alias("n_tok"),
+    )
+    per_shard = per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    total = per_shard.groupBy().agg(
+        F.sum("n_tokens").alias("total_tokens")
+    )
+    return (
+        per_shard.crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double")
+                * float(_SHARD_N)
+                / F.col("total_tokens").cast("double")
+            ).alias("skew"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="shard_balance_audit",
+        description="64-shard writer layout: per-shard doc/token counts "
+        "and token skew vs the ideal share",
+        spark=q_shard_balance_audit,
+        oracle=f"""
+            WITH per_doc AS (
+                SELECT {h60_sql("'shard:' || CAST(doc_id AS VARCHAR)")}
+                           % {_SHARD_N} AS shard,
+                       CAST(len(regexp_extract_all(text, '{_BPE_SQL}'))
+                            AS BIGINT) AS n_tok
+                FROM documents
+            ),
+            per_shard AS (
+                SELECT shard, count(*) AS n_docs,
+                       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                FROM per_doc GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+                FROM per_shard
+            )
+            SELECT shard,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   n_tokens,
+                   CAST(n_tokens AS DOUBLE) * {float(_SHARD_N)!r}
+                       / CAST(total_tokens AS DOUBLE) AS skew
+            FROM per_shard CROSS JOIN tot
         """,
     )
 )

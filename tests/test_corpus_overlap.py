@@ -189,3 +189,36 @@ def test_prefix_containment_catches_planted_truncations(spark, sf_dir):
         assert r.n_dropped_buckets == rows[0].n_dropped_buckets  # global col
     if rows[0].n_dropped_buckets == 0:
         assert sum(r.n_contained for r in rows) >= n_orig
+
+
+def test_minhash_threshold_sweep_monotone(spark, sf_dir):
+    """Cumulative operating curve: pair and doc counts are non-increasing
+    in the threshold, every count is consistent (n_docs <= 2*n_pairs),
+    and the registered production threshold's row agrees with the
+    standalone minhash query's pair count."""
+    rows = sorted(
+        E.q_minhash_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == sorted(E._SWEEP_THRESHOLDS)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs >= b.n_docs
+    for r in rows:
+        assert 0 < r.n_docs <= 2 * r.n_pairs
+    at_prod = next(r for r in rows if r.threshold == E._MH_THRESHOLD)
+    n_registered = E.q_minhash_lsh(spark, sf_dir).count()
+    assert at_prod.n_pairs == n_registered
+
+
+def test_shard_balance_audit_partitions_the_corpus(spark, sf_dir):
+    """Shards partition the corpus exactly: doc counts sum to N, token
+    skews average to 1, every shard id is in range."""
+    rows = E.q_shard_balance_audit(spark, sf_dir).collect()
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(0 <= r.shard < E._SHARD_N for r in rows)
+    total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        assert r.skew == r.n_tokens * E._SHARD_N / total
+    assert abs(sum(r.skew for r in rows) / len(rows) - E._SHARD_N / len(rows)) < 1e-9
