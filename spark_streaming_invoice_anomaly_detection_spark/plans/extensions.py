@@ -6605,7 +6605,10 @@ register(
         spark=q_minhash_threshold_sweep,
         oracle=f"""
             WITH pairs AS MATERIALIZED ( {_minhash_oracle(_MH_MAX_BUCKET, threshold=0.0)} ),
-            thr AS (SELECT unnest({list(_SWEEP_THRESHOLDS)!r}) AS threshold),
+            -- CAST: a bare decimal-literal list unnests as DECIMAL(2,1),
+            -- which pandas renders differently from Spark's float64
+            thr AS (SELECT unnest(CAST({list(_SWEEP_THRESHOLDS)!r}
+                                       AS DOUBLE[])) AS threshold),
             swept AS (
                 SELECT t.threshold, p.id_a, p.id_b
                 FROM pairs p CROSS JOIN thr t
