@@ -89,6 +89,9 @@ PROBE_QUERIES = (
     "eval_train_contamination",
     # r10: capped prefix-bucket containment dedup (LSH-cap physical shape)
     "prefix_containment_dups",
+    # r10: threshold-0 LSH operating curve and the writer-layout audit
+    "minhash_threshold_sweep",
+    "shard_balance_audit",
 )
 
 
