@@ -405,6 +405,13 @@ def changed_since_verification() -> set[str]:
 # r2) stay sorted last within their tier.
 _COSTLY: frozenset[str] = frozenset({
     "kmeans_invoice_anomalies", "bisecting_invoice_anomalies",
+    # r10: the two heaviest oracle rounds of the round's additions —
+    # eval_train_contamination nests the full eval-split + MinHash SQL
+    # (~10 s DuckDB side at sf0.01), minhash_threshold_sweep re-verifies
+    # every threshold-0 candidate. Sorting them last WITHIN their tier
+    # keeps the driver's wall-clock budget on the cheap majority; they
+    # still verify this round (the never tier fits the ~50-slot sample).
+    "eval_train_contamination", "minhash_threshold_sweep",
 })
 
 
