@@ -92,6 +92,8 @@ PROBE_QUERIES = (
     # r10: threshold-0 LSH operating curve and the writer-layout audit
     "minhash_threshold_sweep",
     "shard_balance_audit",
+    # r10 capstone: four detectors vs four plant families, real pipelines
+    "dedup_recall_matrix",
 )
 
 

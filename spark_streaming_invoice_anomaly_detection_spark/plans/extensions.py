@@ -197,18 +197,24 @@ _MH_BAND_ENTRIES = ", ".join(
     for b in range(_MH_BANDS)
 )
 
-def _minhash_oracle(cap: int, threshold: float | None = None) -> str:
+def _minhash_oracle(
+    cap: int, threshold: float | None = None, aug_sql: str | None = None
+) -> str:
     """Full MinHash-LSH oracle with the band-bucket cap parameterized —
     shared by the standard query (cap far above the content-bound
     envelope) and the cap-binding variant (cap=3 BINDS at driver SFs,
     so the drop-the-mega-bucket branch gets its own external rows,
     round-7 VERDICT "missing" #2). ``threshold`` defaults to the
     registered _MH_THRESHOLD; the r10 threshold-sweep query passes 0.0
-    to get every verified candidate with its exact Jaccard."""
+    to get every verified candidate with its exact Jaccard. ``aug_sql``
+    swaps the pair corpus (default: the shared suffix-copy augmentation;
+    the r10 recall matrix passes its four-plant corpus)."""
     if threshold is None:
         threshold = _MH_THRESHOLD
+    if aug_sql is None:
+        aug_sql = _AUG_DOCS_SQL
     return f"""
-    WITH aug AS ({_AUG_DOCS_SQL}),
+    WITH aug AS ({aug_sql}),
     sh AS (
         SELECT doc_id, {_shingles_sql(_TOKENS_SQL, _MH_NGRAM)} AS shingles
         FROM aug
@@ -6709,5 +6715,245 @@ register(
                        / CAST(total_tokens AS DOUBLE) AS skew
             FROM per_shard CROSS JOIN tot
         """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup-modality recall matrix: which detector catches which dup pattern.
+# Four plant families over the same corpus, four real detectors, one table.
+# ---------------------------------------------------------------------------
+
+#: (kind, doc_id offset) for the planted copy families. Offsets stay clear
+#: of the +1e6 shared augmentation and under the scale probe's 1e7 copy
+#: stride so recall runs are valid on replicated corpora too.
+_RECALL_PLANTS = (
+    ("verbatim", 2_000_000),
+    ("token_reversed", 3_000_000),
+    ("prefix_truncated", 4_000_000),
+    ("head_dropped", 5_000_000),
+)
+
+
+def q_dedup_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of each dedup modality against each planted duplicate
+    pattern — the table that says WHICH detectors a 100 TB pipeline
+    needs: exact (byte hash) sees only verbatim copies; bag-of-words
+    adds token reorderings; prefix-containment adds truncations;
+    MinHash-LSH adds head-dropped near-dups and (at Jaccard ~0.6)
+    truncations, but not reorderings (3-gram shingles break).
+
+    The detectors run FOR REAL where recall is capacity-limited: the
+    MinHash column joins the planted pairs against the full banded
+    pipeline's verified output over the 5N corpus, and the containment
+    column enforces the same 24-char bucket + cap-32 gate the registered
+    query ships — only the signature-equality modalities (exact, bag)
+    reduce to comparing the two sides' signatures, which is exactly what
+    their corpus-wide groupBy would conclude for a planted pair.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mk = {
+        "verbatim": F.col("text"),
+        "token_reversed": F.array_join(
+            F.reverse(X.tokenize(F.col("text"))), " "
+        ),
+        "prefix_truncated": F.expr(
+            "substring(text, 1, CAST((length(text) * 3) div 5 AS INT))"
+        ),
+        "head_dropped": F.substring(F.col("text"), 21, 1_000_000),
+    }
+    plants = [
+        docs.select(
+            (F.col("doc_id") + off).alias("doc_id"), mk[kind].alias("text")
+        )
+        for kind, off in _RECALL_PLANTS
+    ]
+    aug = reduce(lambda a, b: a.unionByName(b), plants, docs)
+    mh_pairs = (
+        D.minhash_near_dups(
+            aug,
+            ngram=_MH_NGRAM,
+            num_hashes=_MH_K,
+            bands=_MH_BANDS,
+            threshold=_MH_THRESHOLD,
+            max_bucket=_MH_MAX_BUCKET,
+        )
+        .select("id_a", "id_b")
+        # the banded pipeline runs once, eagerly; downstream the planted
+        # join sees a flat bounded pair frame (same lineage-truncation
+        # the graph family applies to this pipeline)
+        .localCheckpoint()
+    )
+    bksize = (
+        aug.groupBy(
+            X.h60(F.substring(F.col("text"), 1, _PFX_K)).alias("bk")
+        )
+        .agg(F.count(F.lit(1)).alias("bn"))
+    )
+    bag = lambda c: X.h60(F.array_join(F.array_sort(X.tokenize(c)), " "))
+    planted = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            docs.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + off).alias("id_b"),
+                F.lit(kind).alias("plant_kind"),
+                F.col("text").alias("text_a"),
+                mk[kind].alias("text_b"),
+            )
+            for kind, off in _RECALL_PLANTS
+        ],
+    )
+    flagged = (
+        planted.join(
+            mh_pairs.withColumn("mh", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .withColumn(
+            "bk_b", X.h60(F.substring(F.col("text_b"), 1, _PFX_K))
+        )
+        .join(
+            bksize.select(F.col("bk").alias("bk_b"), "bn"), "bk_b", "left"
+        )
+        .select(
+            "plant_kind",
+            (F.col("text_a") == F.col("text_b")).alias("c_exact"),
+            (bag(F.col("text_a")) == bag(F.col("text_b"))).alias("c_bag"),
+            (
+                (F.length("text_b") < F.length("text_a"))
+                & (
+                    F.expr(
+                        "substring(text_a, 1, CAST(length(text_b) AS INT))"
+                    )
+                    == F.col("text_b")
+                )
+                & (
+                    X.h60(F.substring(F.col("text_b"), 1, _PFX_K))
+                    == X.h60(F.substring(F.col("text_a"), 1, _PFX_K))
+                )
+                & (F.coalesce(F.col("bn"), F.lit(0)) <= _PFX_CAP)
+            ).alias("c_prefix"),
+            F.col("mh").isNotNull().alias("c_minhash"),
+        )
+    )
+    melted = flagged.select(
+        "plant_kind",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("exact").alias("modality"),
+                    F.col("c_exact").alias("caught"),
+                ),
+                F.struct(
+                    F.lit("bag_of_words").alias("modality"),
+                    F.col("c_bag").alias("caught"),
+                ),
+                F.struct(
+                    F.lit("prefix_containment").alias("modality"),
+                    F.col("c_prefix").alias("caught"),
+                ),
+                F.struct(
+                    F.lit("minhash_lsh").alias("modality"),
+                    F.col("c_minhash").alias("caught"),
+                ),
+            )
+        ).alias("m"),
+    ).select("plant_kind", "m.modality", "m.caught")
+    return (
+        melted.groupBy("modality", "plant_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_planted"),
+            F.sum(F.col("caught").cast("long")).alias("n_caught"),
+        )
+        .select(
+            "modality",
+            "plant_kind",
+            "n_planted",
+            "n_caught",
+            (
+                F.col("n_caught").cast("double")
+                / F.col("n_planted").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+def _recall_oracle() -> str:
+    lo = X.ascii_lower_sql  # noqa: N806 — SQL twin of the tokenizer fold
+    tok = lambda c: f"regexp_extract_all({lo(c)}, '[A-Za-z0-9]+')"
+    bag = lambda c: h60_sql(
+        f"COALESCE(array_to_string(list_sort({tok(c)}), ' '), '')"
+    )
+    mk_sql = {
+        "verbatim": "text",
+        "token_reversed": (
+            f"COALESCE(array_to_string(list_reverse({tok('text')}), ' '), '')"
+        ),
+        "prefix_truncated": "substring(text, 1, (length(text) * 3) // 5)",
+        "head_dropped": "substring(text, 21, 1000000)",
+    }
+    aug_sql = "SELECT doc_id, text FROM documents" + "".join(
+        f" UNION ALL SELECT doc_id + {off} AS doc_id, {mk_sql[kind]} AS text"
+        " FROM documents"
+        for kind, off in _RECALL_PLANTS
+    )
+    planted_sql = " UNION ALL ".join(
+        f"SELECT doc_id AS id_a, doc_id + {off} AS id_b,"
+        f" '{kind}' AS plant_kind, text AS text_a, {mk_sql[kind]} AS text_b"
+        " FROM documents"
+        for kind, off in _RECALL_PLANTS
+    )
+    melt_sql = " UNION ALL ".join(
+        f"SELECT plant_kind, '{m}' AS modality, {c} AS caught FROM flagged"
+        for m, c in (
+            ("exact", "c_exact"),
+            ("bag_of_words", "c_bag"),
+            ("prefix_containment", "c_prefix"),
+            ("minhash_lsh", "c_minhash"),
+        )
+    )
+    return f"""
+        WITH recall_aug AS MATERIALIZED ({aug_sql}),
+        mhp AS MATERIALIZED (
+            {_minhash_oracle(_MH_MAX_BUCKET,
+                             aug_sql="SELECT doc_id, text FROM recall_aug")}
+        ),
+        bksize AS (
+            SELECT {h60_sql('substring(text, 1, 24)')} AS bk,
+                   count(*) AS bn
+            FROM recall_aug GROUP BY 1
+        ),
+        planted AS MATERIALIZED ({planted_sql}),
+        flagged AS (
+            SELECT p.plant_kind,
+                   (p.text_a = p.text_b) AS c_exact,
+                   ({bag('p.text_a')} = {bag('p.text_b')}) AS c_bag,
+                   (length(p.text_b) < length(p.text_a)
+                    AND substring(p.text_a, 1, length(p.text_b)) = p.text_b
+                    AND {h60_sql('substring(p.text_b, 1, 24)')}
+                        = {h60_sql('substring(p.text_a, 1, 24)')}
+                    AND COALESCE(bs.bn, 0) <= {_PFX_CAP}) AS c_prefix,
+                   (m.id_a IS NOT NULL) AS c_minhash
+            FROM planted p
+            LEFT JOIN mhp m ON p.id_a = m.id_a AND p.id_b = m.id_b
+            LEFT JOIN bksize bs
+              ON {h60_sql('substring(p.text_b, 1, 24)')} = bs.bk
+        ),
+        melted AS ({melt_sql})
+        SELECT modality, plant_kind,
+               CAST(count(*) AS BIGINT) AS n_planted,
+               CAST(sum(CAST(caught AS INT)) AS BIGINT) AS n_caught,
+               CAST(sum(CAST(caught AS INT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS recall
+        FROM melted GROUP BY 1, 2
+    """
+
+
+register(
+    QuerySpec(
+        name="dedup_recall_matrix",
+        description="recall of exact / bag-of-words / prefix-containment "
+        "/ MinHash-LSH dedup against four planted duplicate patterns",
+        spark=q_dedup_recall_matrix,
+        oracle=_recall_oracle(),
     )
 )

@@ -412,6 +412,7 @@ _COSTLY: frozenset[str] = frozenset({
     # keeps the driver's wall-clock budget on the cheap majority; they
     # still verify this round (the never tier fits the ~50-slot sample).
     "eval_train_contamination", "minhash_threshold_sweep",
+    "dedup_recall_matrix",
 })
 
 

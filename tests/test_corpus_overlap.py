@@ -222,3 +222,35 @@ def test_shard_balance_audit_partitions_the_corpus(spark, sf_dir):
     for r in rows:
         assert r.skew == r.n_tokens * E._SHARD_N / total
     assert abs(sum(r.skew for r in rows) / len(rows) - E._SHARD_N / len(rows)) < 1e-9
+
+
+def test_dedup_recall_matrix_shape(spark, sf_dir):
+    """The theory-predicted support pattern: exact catches ONLY verbatim
+    (recall 1); bag-of-words exactly {verbatim, token_reversed} at 1;
+    prefix-containment exactly {prefix_truncated} at 1 (verbatim is not
+    a STRICT prefix); minhash misses token_reversed entirely (3-gram
+    shingles break) but catches verbatim at 1 and most head_dropped."""
+    rows = E.q_dedup_recall_matrix(spark, sf_dir).collect()
+    got = {(r.modality, r.plant_kind): r for r in rows}
+    kinds = {k for k, _ in E._RECALL_PLANTS}
+    assert set(got) == {
+        (m, k)
+        for m in ("exact", "bag_of_words", "prefix_containment", "minhash_lsh")
+        for k in kinds
+    }
+    n = got[("exact", "verbatim")].n_planted
+    for r in rows:
+        assert r.n_planted == n
+        assert 0 <= r.n_caught <= n
+        assert r.recall == r.n_caught / n
+    assert got[("exact", "verbatim")].recall == 1.0
+    assert got[("exact", "token_reversed")].n_caught == 0
+    assert got[("exact", "prefix_truncated")].n_caught == 0
+    assert got[("bag_of_words", "verbatim")].recall == 1.0
+    assert got[("bag_of_words", "token_reversed")].recall == 1.0
+    assert got[("bag_of_words", "prefix_truncated")].n_caught == 0
+    assert got[("prefix_containment", "prefix_truncated")].recall == 1.0
+    assert got[("prefix_containment", "verbatim")].n_caught == 0
+    assert got[("minhash_lsh", "verbatim")].recall == 1.0
+    assert got[("minhash_lsh", "token_reversed")].n_caught == 0
+    assert got[("minhash_lsh", "head_dropped")].recall >= 0.9

@@ -303,6 +303,11 @@ def test_registry_plan_hygiene(spark, sf_dir):
     # exchange carries ids or 20-row aggregates; the corpus-scale work
     # lives behind the memoized pair frame, same as the graph family.
     shuffle_allow.add("eval_train_contamination")
+    # same composition argument: the recall matrix joins planted pairs
+    # against the checkpointed LSH output (2 exchanges), the bucket-size
+    # gate (2), plus one bucket-stats agg and one 16-group census — each
+    # keyed on int64 ids or 60-bit bucket hashes, nothing quadratic.
+    shuffle_allow.add("dedup_recall_matrix")
     # training queries execute .fit() at build time — cost, not plan shape;
     # their serving plans are pinned in tests/test_ml.py
     skip_build = {"kmeans_invoice_anomalies", "bisecting_invoice_anomalies"}
