@@ -254,3 +254,123 @@ def test_dedup_recall_matrix_shape(spark, sf_dir):
     assert got[("minhash_lsh", "verbatim")].recall == 1.0
     assert got[("minhash_lsh", "token_reversed")].n_caught == 0
     assert got[("minhash_lsh", "head_dropped")].recall >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# Pure-math property pins (hypothesis): the algebra the Spark plans encode,
+# checked against brute force on inputs the parquet fixture can't hit.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+class TestChunkPlanAlgebra:
+    S, O = 512, 64
+    STRIDE = S - O
+
+    def _n_chunks(self, t: int) -> int:
+        if t <= self.S:
+            return 1
+        return 1 + (t - self.S + self.STRIDE - 1) // self.STRIDE
+
+    @given(st.integers(min_value=0, max_value=10_000_000))
+    @settings(max_examples=300, deadline=None)
+    def test_chunks_cover_and_padding_nonnegative(self, t):
+        """n chunks of size S with O overlap cover exactly t tokens with
+        pad >= 0, and n-1 chunks would NOT cover (minimality)."""
+        n = self._n_chunks(t)
+        capacity = n * self.S - (n - 1) * self.O
+        assert capacity >= t, "chunks do not cover the document"
+        pad = capacity - t
+        assert 0 <= pad
+        if n > 1:
+            prev_capacity = (n - 1) * self.S - (n - 2) * self.O
+            assert prev_capacity < t, "one fewer chunk would already cover"
+        assert pad < self.STRIDE or n == 1, (
+            "padding >= stride means the last chunk was unnecessary"
+        )
+
+
+class TestGiniRankElimination:
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=10_000), min_size=1, max_size=60
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_block_formula_equals_rank_formula(self, counts):
+        """sum(i * c_i) over ascending ranks == sum over equal-count
+        blocks of c * (k*B + k(k+1)/2) — the identity that lets the
+        Spark plan window over distinct count VALUES instead of every
+        token (tie order inside a block provably cannot matter)."""
+        counts.sort()
+        s_rank = sum((i + 1) * c for i, c in enumerate(counts))
+        from collections import Counter
+
+        blocks = sorted(Counter(counts).items())
+        b = 0
+        s_block = 0
+        for c, k in blocks:
+            s_block += c * (k * b + k * (k + 1) // 2)
+            b += k
+        assert s_block == s_rank
+
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=1000), min_size=2, max_size=50
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_gini_bounds_and_invariance(self, counts):
+        """Gini in [0, 1); 0 exactly for uniform counts; permutation of
+        the input cannot change it (the sort is part of the formula)."""
+        n, tot = len(counts), sum(counts)
+        asc = sorted(counts)
+        s_ic = sum((i + 1) * c for i, c in enumerate(asc))
+        gini = (2 * s_ic - (n + 1) * tot) / (n * tot)
+        assert 0.0 <= gini < 1.0
+        if len(set(counts)) == 1:
+            assert gini == 0.0
+        import random
+
+        shuffled = counts[:]
+        random.Random(42).shuffle(shuffled)
+        asc2 = sorted(shuffled)
+        s2 = sum((i + 1) * c for i, c in enumerate(asc2))
+        assert (2 * s2 - (n + 1) * tot) / (n * tot) == gini
+
+
+class TestWeightedJaccardAlgebra:
+    @given(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=50),
+            st.tuples(st.booleans(), st.booleans()),
+            min_size=1,
+            max_size=50,
+        ),
+        st.data(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_reduces_to_plain_jaccard_on_unit_weights(self, tokens, data):
+        """With every token weight 1, weighted Jaccard == |A∩B|/|A∪B|;
+        with idf-style weights it equals sum-min/sum-max over indicator
+        vectors (the closed form the one-aggregation plan relies on)."""
+        w = {
+            t: data.draw(st.integers(min_value=1, max_value=100))
+            for t in tokens
+        }
+        a = {t for t, (ina, _inb) in tokens.items() if ina}
+        bset = {t for t, (_ina, inb) in tokens.items() if inb}
+        if not (a | bset):
+            return
+        inter_w = sum(w[t] for t in a & bset)
+        union_w = sum(w[t] for t in a | bset)
+        # sum-min / sum-max over weighted indicator vectors
+        smin = sum(min(w[t] * (t in a), w[t] * (t in bset)) for t in w)
+        smax = sum(max(w[t] * (t in a), w[t] * (t in bset)) for t in w)
+        assert inter_w == smin and union_w == smax
+        if a | bset:
+            unit_inter = len(a & bset)
+            unit_union = len(a | bset)
+            if all(v == 1 for v in w.values()):
+                assert inter_w == unit_inter and union_w == unit_union
