@@ -408,3 +408,38 @@ def test_const_repr_is_deterministic_and_selective():
     ):
         assert cr(excluded) is None, f"{excluded!r} must not be hashed"
     assert cr(frozenset()) == "frozenset{}"  # immutable empty is stable
+
+
+def test_at_risk_promotion_on_synthetic_history(monkeypatch):
+    """The promotion must work whenever history puts a green cohort
+    within one round of the SLA — pinned on a crafted history so the
+    guarantee doesn't silently lose coverage when the LIVE history has
+    no at-risk cohort (the test above skips then)."""
+    registry.queries()
+    names = list(registry.REGISTRY)
+    fail_q, risk1, risk2, fresh1, fresh2 = names[:5]
+    never_qs = set(names[5:])
+    newest = 9
+    threshold = registry.max_age_rounds() - 1
+    risky_round = newest + 1 - threshold  # exactly at the promotion edge
+    hist = {
+        fail_q: (newest, False),
+        risk1: (risky_round, True),
+        risk2: (risky_round - 1, True),  # even staler, must sort first
+        fresh1: (newest, True),
+        fresh2: (newest - 1, True),
+    }
+    monkeypatch.setattr(registry, "_DRIVER_HISTORY", hist)
+    monkeypatch.setattr(registry, "changed_since_verification", lambda: set())
+    order = registry._ordered_names()
+    pos = {n: i for i, n in enumerate(order)}
+    assert pos[fail_q] == 0, "failed tier must lead"
+    assert pos[risk2] < pos[risk1], "at-risk block must be stalest-first"
+    first_never = min(pos[n] for n in never_qs)
+    assert pos[risk1] < first_never and pos[risk2] < first_never, (
+        "at-risk green queries must precede never-sampled ones"
+    )
+    assert pos[fresh1] > max(pos[n] for n in never_qs if n not in registry._COSTLY), (
+        "fresh green must not displace the never tier"
+    )
+    assert pos[fresh2] < pos[fresh1], "green tier stalest-first"
