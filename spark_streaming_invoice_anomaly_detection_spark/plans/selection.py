@@ -1553,3 +1553,144 @@ register(
         oracle=_eval_contamination_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Doc-level repetition plan: materialize the UniMax allocation (round 10).
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize UniMax down to documents: each source's allocation
+    becomes ``full_epochs`` verbatim repeats of the whole source plus a
+    deterministic greedy prefix (docs ordered by salted hash, taken
+    while the running char sum fits the remainder) for the fractional
+    epoch — the per-doc repeat factors a mixture-building job actually
+    executes. Census per source: how many docs ride the extra epoch,
+    the chars they fill, and the unfilled quantization gap (bounded by
+    one document, never split).
+
+    Exactness: everything is int64 (floor div / mod / running sum);
+    ``realized_epochs`` is one correctly-rounded double division.
+    Plan: the 20-row allocation localCheckpoints; the per-source
+    running sum is one window over (source) — the same shape as
+    eval_split_members' plain ranking, and the same GK-prefilter
+    two-phase cut applies verbatim at 100 TB (only docs near the
+    remainder boundary need exact ranks; see q_eval_split_members).
+    """
+    ua = (
+        q_unimax_allocation(spark, sf_dir)
+        .select("source", "size_chars", "alloc_chars")
+        .localCheckpoint()
+    )
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", "doc_id", "n_chars"
+    )
+    rk = X.h60(F.concat(F.lit("rep:"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("_rk").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        docs.withColumn("_rk", rk)
+        .withColumn("cum_chars", F.sum("n_chars").over(w).cast("long"))
+        .join(F.broadcast(ua), "source")
+        .withColumn(
+            "rem_chars", F.expr("alloc_chars % size_chars").cast("long")
+        )
+        .withColumn("selected", F.col("cum_chars") <= F.col("rem_chars"))
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("selected")).cast("long").alias("n_extra_docs"),
+            F.sum(F.when(F.col("selected"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("extra_chars"),
+        )
+        .join(F.broadcast(ua), "source")
+        .select(
+            "source",
+            "n_docs",
+            F.expr("alloc_chars div size_chars").alias("full_epochs"),
+            "n_extra_docs",
+            "extra_chars",
+            (
+                F.expr("(alloc_chars div size_chars) * size_chars")
+                + F.col("extra_chars")
+            ).alias("planned_chars"),
+            (
+                F.col("alloc_chars")
+                - F.expr("(alloc_chars div size_chars) * size_chars")
+                - F.col("extra_chars")
+            ).alias("unfilled_chars"),
+            (
+                (
+                    F.expr("(alloc_chars div size_chars) * size_chars")
+                    + F.col("extra_chars")
+                ).cast("double")
+                / F.col("size_chars").cast("double")
+            ).alias("realized_epochs"),
+        )
+    )
+
+
+def _repetition_oracle() -> str:
+    from .registry import REGISTRY
+
+    ua_sql = REGISTRY["unimax_allocation"].oracle
+    rk_sql = h60_sql("'rep:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH ua AS MATERIALIZED (
+            SELECT source, size_chars, alloc_chars FROM ( {ua_sql} )
+        ),
+        cum AS (
+            SELECT d.source, d.n_chars,
+                   CAST(sum(d.n_chars) OVER (
+                        PARTITION BY d.source
+                        ORDER BY {rk_sql} ASC, d.doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_chars,
+                   u.size_chars, u.alloc_chars,
+                   u.alloc_chars % u.size_chars AS rem_chars
+            FROM documents d JOIN ua u ON d.source = u.source
+        ),
+        g AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(COALESCE(count(*) FILTER (
+                        WHERE cum_chars <= rem_chars), 0) AS BIGINT)
+                     AS n_extra_docs,
+                   CAST(COALESCE(sum(n_chars) FILTER (
+                        WHERE cum_chars <= rem_chars), 0) AS BIGINT)
+                     AS extra_chars
+            FROM cum GROUP BY 1
+        )
+        SELECT g.source,
+               CAST(g.n_docs AS BIGINT) AS n_docs,
+               u.alloc_chars // u.size_chars AS full_epochs,
+               g.n_extra_docs,
+               g.extra_chars,
+               (u.alloc_chars // u.size_chars) * u.size_chars
+                   + g.extra_chars AS planned_chars,
+               u.alloc_chars
+                   - (u.alloc_chars // u.size_chars) * u.size_chars
+                   - g.extra_chars AS unfilled_chars,
+               CAST((u.alloc_chars // u.size_chars) * u.size_chars
+                    + g.extra_chars AS DOUBLE)
+                   / CAST(u.size_chars AS DOUBLE) AS realized_epochs
+        FROM g JOIN ua u ON g.source = u.source
+    """
+
+
+register(
+    QuerySpec(
+        name="repetition_plan",
+        description="doc-level UniMax materialization: full-epoch repeats "
+        "plus a hash-ordered greedy prefix for the fractional epoch",
+        spark=q_repetition_plan,
+        oracle=_repetition_oracle(),
+    )
+)

@@ -374,3 +374,28 @@ class TestWeightedJaccardAlgebra:
             unit_union = len(a | bset)
             if all(v == 1 for v in w.values()):
                 assert inter_w == unit_inter and union_w == unit_union
+
+
+def test_repetition_plan_quantization_bounds(spark, sf_dir):
+    """The greedy prefix never overshoots: planned_chars <= alloc_chars,
+    the unfilled gap is smaller than the largest unselected document of
+    the source (greedy maximality), and realized epochs never exceed
+    the UniMax epoch cap."""
+    from spark_streaming_invoice_anomaly_detection_spark.plans import (
+        selection as SEL,
+    )
+
+    ua = {
+        r.source: r
+        for r in SEL.q_unimax_allocation(spark, sf_dir).collect()
+    }
+    rows = SEL.q_repetition_plan(spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(ua)
+    for r in rows:
+        u = ua[r.source]
+        assert r.planned_chars == r.full_epochs * u.size_chars + r.extra_chars
+        assert r.planned_chars <= u.alloc_chars
+        assert 0 <= r.unfilled_chars
+        assert r.realized_epochs == r.planned_chars / u.size_chars
+        assert r.realized_epochs <= SEL._UNIMAX_EPOCH_CAP + 1e-12
+        assert 0 <= r.n_extra_docs <= r.n_docs
