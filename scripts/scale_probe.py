@@ -94,6 +94,8 @@ PROBE_QUERIES = (
     "shard_balance_audit",
     # r10 capstone: four detectors vs four plant families, real pipelines
     "dedup_recall_matrix",
+    # r10: doc-level UniMax materialization (per-source running-sum window)
+    "repetition_plan",
 )
 
 
