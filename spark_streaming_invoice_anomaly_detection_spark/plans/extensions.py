@@ -6572,6 +6572,17 @@ def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard on every candidate), then a 5-way cumulative census via a
     literal-array explode: the expensive pair work is paid once, the
     sweep itself is a fan-out of 5 over the bounded pair set.
+
+    Both census columns come from ONE groupBy over the exploded-ids
+    frame (each surviving pair contributes exactly 2 id rows, so
+    ``n_pairs = count/2``) — no join at all, which also removes the
+    fragile DOUBLE-threshold join key the r10 ADVICE flagged.
+
+    Audit cadence: once-per-corpus-revision tuning audit (same contract
+    as ``dedup_recall_matrix``), not a routine query — at x100 it
+    measured 36.8x / 85.8 s (scripts/probe_results/r10_*.json), the cost
+    of exact-Jaccard-verifying every threshold-0 candidate; it is paid
+    when the corpus or the dedup knobs change.
     """
     pairs0 = D.minhash_near_dups(
         _augmented_docs(spark, sf_dir),
@@ -6587,19 +6598,13 @@ def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     swept = pairs0.select("id_a", "id_b", "jaccard", thr).filter(
         F.col("jaccard") >= F.col("threshold")
     )
-    n_pairs = swept.groupBy("threshold").agg(
-        F.count(F.lit(1)).alias("n_pairs")
+    ids = swept.select(
+        "threshold",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
     )
-    n_docs = (
-        swept.select(
-            "threshold",
-            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
-        )
-        .groupBy("threshold")
-        .agg(F.countDistinct("id").alias("n_docs"))
-    )
-    return n_pairs.join(F.broadcast(n_docs), "threshold").select(
-        "threshold", "n_pairs", "n_docs"
+    return ids.groupBy("threshold").agg(
+        (F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_pairs"),
+        F.countDistinct("id").alias("n_docs"),
     )
 
 
@@ -6918,7 +6923,7 @@ def _recall_oracle() -> str:
                              aug_sql="SELECT doc_id, text FROM recall_aug")}
         ),
         bksize AS (
-            SELECT {h60_sql('substring(text, 1, 24)')} AS bk,
+            SELECT {h60_sql(f'substring(text, 1, {_PFX_K})')} AS bk,
                    count(*) AS bn
             FROM recall_aug GROUP BY 1
         ),
@@ -6929,14 +6934,14 @@ def _recall_oracle() -> str:
                    ({bag('p.text_a')} = {bag('p.text_b')}) AS c_bag,
                    (length(p.text_b) < length(p.text_a)
                     AND substring(p.text_a, 1, length(p.text_b)) = p.text_b
-                    AND {h60_sql('substring(p.text_b, 1, 24)')}
-                        = {h60_sql('substring(p.text_a, 1, 24)')}
+                    AND {h60_sql(f'substring(p.text_b, 1, {_PFX_K})')}
+                        = {h60_sql(f'substring(p.text_a, 1, {_PFX_K})')}
                     AND COALESCE(bs.bn, 0) <= {_PFX_CAP}) AS c_prefix,
                    (m.id_a IS NOT NULL) AS c_minhash
             FROM planted p
             LEFT JOIN mhp m ON p.id_a = m.id_a AND p.id_b = m.id_b
             LEFT JOIN bksize bs
-              ON {h60_sql('substring(p.text_b, 1, 24)')} = bs.bk
+              ON {h60_sql(f'substring(p.text_b, 1, {_PFX_K})')} = bs.bk
         ),
         melted AS ({melt_sql})
         SELECT modality, plant_kind,

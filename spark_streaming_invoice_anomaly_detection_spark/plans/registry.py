@@ -452,6 +452,18 @@ def _ordered_names() -> list[str]:
     # does. Without this, every round that registers >~(SLOTS - cohort)
     # new queries silently pushes the oldest cohort toward a suite-redding
     # breach.
+    #
+    # Margin (r10 ADVICE, intentional): the promotion fires at age >=
+    # max_age_rounds()-1 at the next judging while the SLA test only
+    # breaches at age > max_age_rounds(), i.e. the cohort is promoted
+    # ~2 rounds BEFORE an actual breach. That 2-round cushion is
+    # deliberate: a promoted query is only *offered* to the driver — a
+    # crowded changed/failed tier or a driver sampling hiccup can still
+    # skip it for a round, and the cushion absorbs exactly one such miss
+    # without redding the suite. Do not "align" either side alone: the
+    # threshold here and the strict > in
+    # tests/test_verification_staleness.py encode the same SLA with the
+    # safety margin split between them.
     newest = max((rnd for rnd, _ok in hist.values()), default=0)
     threshold = max_age_rounds() - 1
     at_risk = [n for n in green if newest + 1 - hist[n][0] >= threshold]
