@@ -788,3 +788,109 @@ def semantic_dedup_census(
             ).alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact-substring dedup (Lee et al. 2022, arXiv:2107.06499)
+# ---------------------------------------------------------------------------
+
+
+def sampled_spans(
+    text_col: Column | str,
+    window: int = 8,
+    anchor: int = 3,
+    mod: int = 2,
+) -> Column:
+    """Content-anchored sampled span strings: the Spark-first primitive
+    for SPAN-level exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 —
+    public knowledge). Doc-level detectors (exact hash, bag-of-words,
+    prefix containment, MinHash) all treat the document as the unit, so a
+    verbatim chunk duplicated INSIDE otherwise-distinct documents
+    (license headers, boilerplate, quoted passages) escapes every one of
+    them; this primitive fingerprints fixed-length token windows instead.
+
+    The paper builds a corpus-wide suffix array — inherently sequential
+    and RAM-bound. The distributed re-expression is mod-p ANCHOR
+    sampling (Manber 1994 sif / Broder "0 mod p" fingerprint selection):
+    a window STARTS at token position i iff
+    ``h60('sp:' || anchor-gram at i) % mod == 0``, i.e. the sampling
+    decision depends only on the local content, never on the position —
+    so a verbatim span long enough to contain a sampled anchor yields
+    byte-identical windows in every document that contains it,
+    regardless of alignment or surrounding text. A fixed-stride scheme
+    has no such guarantee (the two copies' strides need not line up),
+    and a rolling-hash state fold cannot run inside codegen.
+
+    Detection probability for a duplicated run of L tokens is
+    ``1 - (1 - 1/mod)^(L - window + 1)`` (each of its full-window
+    anchors samples independently-by-content at rate 1/mod) — the same
+    bounded-miss posture as the LSH band cap, and tunable: mod=1 is
+    exhaustive stride-1 fingerprinting; 100 TB posture raises window
+    (~50 tokens per the paper) and mod together so emitted volume stays
+    ~tokens/mod while the guarantee covers spans >= window + a few mods.
+
+    Returns ``array<string>`` of the sampled window strings
+    (space-joined tokens, duplicates kept — the same span occurring
+    twice in one document is two entries, which is what a
+    self-repetition census needs). Short docs (< window tokens) return
+    the empty array. Tokens are let-bound (see text.word_ngrams): the
+    tokenize regexp runs once per row, each gram is flat element_at
+    concat, and everything stays inside whole-stage codegen — no UDF,
+    no shuffle. The DuckDB twin (_spans_sql in plans/extensions.py)
+    reproduces every hash bit-for-bit.
+    """
+    if not (0 < anchor <= window):
+        raise ValueError(f"anchor must be in 1..window, got {anchor}/{window}")
+    if mod < 1:
+        raise ValueError(f"mod must be >= 1, got {mod}")
+    toks = tokenize(text_col)
+
+    def build(ts: Column) -> Column:
+        count = F.size(ts) - (window - 1)
+
+        def gram(i: Column, n: int) -> Column:
+            parts: list[Column] = []
+            for j in range(n):
+                if j:
+                    parts.append(F.lit(" "))
+                parts.append(F.element_at(ts, i + F.lit(j)))
+            return F.concat(*parts)
+
+        sampled = F.filter(
+            F.sequence(F.lit(1), count),
+            lambda i: F.pmod(
+                h60(F.concat(F.lit("sp:"), gram(i, anchor))), F.lit(mod)
+            )
+            == 0,
+        )
+        return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(sampled, lambda i: gram(i, window))
+        )
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
+
+
+def span_occurrences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    anchor: int = 3,
+    mod: int = 2,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Documents -> one row per sampled span occurrence:
+    ``(id, *extra_cols, span_hash)`` with ``span_hash = h60(span)``.
+    The census building block: a corpus-wide
+    ``groupBy(span_hash).agg(countDistinct(id))`` then tells which spans
+    recur across documents — one explode + one hash shuffle, linear in
+    sampled spans (~tokens/mod), no pair join anywhere, so unlike the
+    LSH bucket path there is NO quadratic term to cap: boilerplate
+    shared by a million documents is still one group."""
+    spans = sampled_spans(F.col(text_col), window, anchor, mod)
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], F.explode(spans).alias("span")
+    ).select(
+        id_col, *extra_cols, h60(F.col("span")).alias("span_hash")
+    )

@@ -6725,6 +6725,261 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# Span-level exact-substring dedup (Lee et al. 2022 — r10 VERDICT #1)
+# ---------------------------------------------------------------------------
+
+#: Span sampling parameters, sized for the ~54-token test docs: 8-token
+#: windows anchored on 3-gram hashes, 1-in-2 sampling. 100 TB posture per
+#: operators/dedup.sampled_spans: raise window (~50) and mod together —
+#: emitted volume stays ~tokens/mod, the match guarantee covers verbatim
+#: runs >= window + a few mods, and no stage below is anything but a
+#: linear explode + hash aggregations (no pair join to cap).
+_SPAN_W, _SPAN_ANCHOR, _SPAN_MOD = 8, 3, 2
+
+#: Planted boilerplate: every doc_id % 5 == 0 doc carries this 21-token
+#: header (the license-header case substring dedup exists to catch).
+#: _AUG_OFFSET % 5 == 0, so a mutated copy keeps its base's header status
+#: and the plant stays consistent across the augmented corpus.
+_SPAN_HEADER = (
+    "this dataset is provided under the standard open data license terms "
+    "all rights reserved consult the archive policy for redistribution "
+    "details"
+)
+
+
+def _spans_sql(
+    tokens: str,
+    window: int = _SPAN_W,
+    anchor: int = _SPAN_ANCHOR,
+    mod: int = _SPAN_MOD,
+) -> str:
+    """DuckDB twin of operators.dedup.sampled_spans, bit-for-bit: same
+    token list, same 'sp:'-seeded h60 anchor decision, same space-joined
+    window strings. ``tokens`` should be a cheap reference (a CTE column)
+    — it is interpolated once per gram element."""
+    t = f"({tokens})"
+    agram = " || ' ' || ".join(f"{t}[i+{j}]" for j in range(anchor))
+    wgram = " || ' ' || ".join(f"{t}[i+{j}]" for j in range(window))
+    return f"""list_transform(
+        list_filter(range(1, greatest(len({t}) - {window - 1}, 0) + 1),
+                    i -> ({h60_sql(f"'sp:' || {agram}")}) % {mod} = 0),
+        i -> {wgram})"""
+
+
+def _span_aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + head-dropped copies, with the boilerplate header
+    prefixed onto every doc_id % 5 == 0 row (base and copy alike)."""
+    docs = spread_if_narrow(
+        load_table(spark, "documents", sf_dir).select(
+            "doc_id", "text", "source"
+        )
+    )
+    aug = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + _AUG_OFFSET).alias("doc_id"),
+            F.substring(F.col("text"), 21, 1_000_000).alias("text"),
+            F.col("source"),
+        )
+    )
+    return aug.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_SPAN_HEADER), F.lit(" "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+
+
+_SPAN_AUG_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN '{_SPAN_HEADER}' || ' ' || text
+                ELSE text END AS text,
+           source
+    FROM (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + {_AUG_OFFSET} AS doc_id,
+               substring(text, 21, 1000000) AS text, source
+        FROM documents
+    )
+"""
+
+
+def q_substring_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source census of VERBATIM SPANS shared across documents — the
+    dedup modality the doc-level detectors cannot see (Lee et al. 2022):
+    license headers, boilerplate, and quoted chunks duplicated inside
+    otherwise-distinct documents. Corpus: documents + head-dropped
+    copies, with a 21-token license header planted on every 5th doc.
+
+    Shape (all linear, no pair join, nothing to cap): explode_outer the
+    sampled span fingerprints (~tokens/mod rows; zero-span docs ride as
+    one null row so EVERY doc reaches the per-doc rollup), ONE hash
+    aggregation for per-span distinct-doc counts, left-join the
+    occurrences back on span_hash (both sides already partitioned on
+    it), then per-doc and per-source rollups — 4 exchanges total, no
+    side frame for doc counts. Boilerplate shared by a million documents
+    is one group with a big count — the degenerate case that breaks LSH
+    bucketing is this operator's happy path.
+
+    Output per source: docs, docs containing >= 1 cross-doc span,
+    sampled span occurrences, occurrences whose span recurs in another
+    doc, and the duplicated-span fraction.
+    """
+    aug = _span_aug_docs(spark, sf_dir)
+    spans = D.sampled_spans(F.col("text"), _SPAN_W, _SPAN_ANCHOR, _SPAN_MOD)
+    occ = aug.select(
+        "source", "doc_id", F.explode_outer(spans).alias("span")
+    ).select("source", "doc_id", X.h60(F.col("span")).alias("span_hash"))
+    per_span = (
+        occ.filter(F.col("span_hash").isNotNull())
+        .groupBy("span_hash")
+        .agg(F.count_distinct("doc_id").alias("span_docs"))
+    )
+    per_doc = (
+        occ.join(per_span, "span_hash", "left")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count_if(F.col("span_hash").isNotNull())
+            .cast("long")
+            .alias("d_spans"),
+            F.count_if(F.col("span_docs") >= 2).cast("long").alias("d_dup"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("d_dup") > 0).cast("long").alias("dup_docs"),
+        F.sum("d_spans").cast("long").alias("n_spans"),
+        F.sum("d_dup").cast("long").alias("n_dup_spans"),
+    ).select(
+        "source",
+        "n_docs",
+        "dup_docs",
+        "n_spans",
+        "n_dup_spans",
+        F.when(
+            F.col("n_spans") > 0,
+            F.col("n_dup_spans").cast("double")
+            / F.col("n_spans").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_span_frac"),
+    )
+
+
+register(
+    QuerySpec(
+        name="substring_dup_census",
+        description="span-level exact-substring dedup census: per-source "
+        "counts and fraction of sampled spans recurring across docs",
+        spark=q_substring_dup_census,
+        oracle=f"""
+            WITH aug AS MATERIALIZED ( {_SPAN_AUG_SQL} ),
+            tok AS (
+                SELECT doc_id, source, {_TOKENS_SQL} AS t FROM aug
+            ),
+            occ AS (
+                SELECT doc_id, source,
+                       {h60_sql('s.span')} AS span_hash
+                FROM tok, unnest({_spans_sql('t')}) AS s(span)
+            ),
+            per_span AS (
+                SELECT span_hash, count(DISTINCT doc_id) AS span_docs
+                FROM occ GROUP BY 1
+            ),
+            per_doc AS (
+                SELECT o.source, o.doc_id,
+                       count(*) AS d_spans,
+                       sum(CASE WHEN p.span_docs >= 2 THEN 1 ELSE 0 END)
+                           AS d_dup
+                FROM occ o JOIN per_span p USING (span_hash)
+                GROUP BY 1, 2
+            ),
+            src_docs AS (
+                SELECT source, count(*) AS n_docs FROM aug GROUP BY 1
+            ),
+            census AS (
+                SELECT source,
+                       sum(CASE WHEN d_dup > 0 THEN 1 ELSE 0 END) AS dup_docs,
+                       sum(d_spans) AS n_spans,
+                       sum(d_dup) AS n_dup_spans
+                FROM per_doc GROUP BY 1
+            )
+            SELECT s.source,
+                   CAST(s.n_docs AS BIGINT) AS n_docs,
+                   CAST(COALESCE(c.dup_docs, 0) AS BIGINT) AS dup_docs,
+                   CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(c.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                   CASE WHEN COALESCE(c.n_spans, 0) > 0
+                        THEN CAST(c.n_dup_spans AS DOUBLE)
+                             / CAST(c.n_spans AS DOUBLE)
+                        ELSE 0.0 END AS dup_span_frac
+            FROM src_docs s LEFT JOIN census c USING (source)
+        """,
+    )
+)
+
+
+def q_top_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-20 verbatim spans by cross-document spread — the report a
+    pipeline owner reads to decide what boilerplate to strip before
+    training. Same sampled-span pipeline as the census, grouped by
+    span_hash (8-byte shuffle key; the span string rides along as min(),
+    identical within a group), filtered to cross-doc spans, TakeOrdered
+    by (docs, occurrences, hash) — fully deterministic, bounded output.
+    """
+    aug = _span_aug_docs(spark, sf_dir)
+    spans = D.sampled_spans(F.col("text"), _SPAN_W, _SPAN_ANCHOR, _SPAN_MOD)
+    occ = aug.select(
+        "doc_id", F.explode(spans).alias("span")
+    ).select("doc_id", "span", X.h60(F.col("span")).alias("span_hash"))
+    return (
+        occ.groupBy("span_hash")
+        .agg(
+            F.min("span").alias("span"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("span_hash")
+        )
+        .limit(20)
+        .select("span_hash", "span", "n_docs", "n_occ")
+    )
+
+
+register(
+    QuerySpec(
+        name="top_repeated_spans",
+        description="top-20 cross-document verbatim spans (boilerplate "
+        "report) by document spread",
+        spark=q_top_repeated_spans,
+        oracle=f"""
+            WITH aug AS MATERIALIZED ( {_SPAN_AUG_SQL} ),
+            tok AS (
+                SELECT doc_id, {_TOKENS_SQL} AS t FROM aug
+            ),
+            occ AS (
+                SELECT doc_id, s.span, {h60_sql('s.span')} AS span_hash
+                FROM tok, unnest({_spans_sql('t')}) AS s(span)
+            )
+            SELECT span_hash,
+                   min(span) AS span,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occ
+            FROM occ
+            GROUP BY span_hash
+            HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY n_docs DESC, n_occ DESC, span_hash
+            LIMIT 20
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # Dedup-modality recall matrix: which detector catches which dup pattern.
 # Four plant families over the same corpus, four real detectors, one table.
 # ---------------------------------------------------------------------------
@@ -6737,6 +6992,13 @@ _RECALL_PLANTS = (
     ("token_reversed", 3_000_000),
     ("prefix_truncated", 4_000_000),
     ("head_dropped", 5_000_000),
+    # r11: a ~30% chunk of the doc spliced MID-DOCUMENT between two
+    # char-reversed fillers (reversed text shares no token spans with the
+    # forward text) — the Lee et al. 2022 quoted-chunk case. Not exact,
+    # different bag, longer than the base (no prefix containment), and
+    # Jaccard ~ chunk/(2x doc + chunk) ~ 0.13 < the 0.3 MinHash gate:
+    # only the substring_span modality should light up on this row.
+    ("mid_spliced", 6_000_000),
 )
 
 
@@ -6746,15 +7008,32 @@ def q_dedup_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs: exact (byte hash) sees only verbatim copies; bag-of-words
     adds token reorderings; prefix-containment adds truncations;
     MinHash-LSH adds head-dropped near-dups and (at Jaccard ~0.6)
-    truncations, but not reorderings (3-gram shingles break).
+    truncations, but not reorderings (3-gram shingles break); the
+    substring_span modality (r11, Lee et al. 2022) adds verbatim chunks
+    spliced INSIDE otherwise-distinct documents, which every doc-level
+    detector misses.
 
     The detectors run FOR REAL where recall is capacity-limited: the
     MinHash column joins the planted pairs against the full banded
-    pipeline's verified output over the 5N corpus, and the containment
+    pipeline's verified output over the 6N corpus, and the containment
     column enforces the same 24-char bucket + cap-32 gate the registered
-    query ships — only the signature-equality modalities (exact, bag)
-    reduce to comparing the two sides' signatures, which is exactly what
-    their corpus-wide groupBy would conclude for a planted pair.
+    query ships — the signature-equality modalities (exact, bag) reduce
+    to comparing the two sides' signatures, and the span column to
+    intersecting the two sides' sampled-span sets, which is exactly what
+    their corpus-wide groupBy would conclude for a planted pair (the
+    census path has NO bucket cap, so the pairwise reduction loses
+    nothing). Span recall on the spliced row is governed by geometry,
+    not capacity: a doc's 30% chunk must hold >= window INTACT tokens
+    for any span to exist (short docs can't — they are the measured
+    ~23% miss at sf0.001), and each existing full window then samples
+    at 1/mod, an anchor-miss tail of (1 - 1/mod)^k. Both knobs (window,
+    mod) trade that operating point against emitted volume.
+
+    Audit cadence: once-per-corpus-revision (same contract as
+    minhash_threshold_sweep) — at x100 the r10 4-plant matrix measured
+    69.3x / 236.8 s (scripts/probe_results/), dominated by the banded
+    LSH pass over the planted corpus; it runs when the corpus or a
+    detector's knobs change, not per query.
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     mk = {
@@ -6766,6 +7045,12 @@ def q_dedup_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "substring(text, 1, CAST((length(text) * 3) div 5 AS INT))"
         ),
         "head_dropped": F.substring(F.col("text"), 21, 1_000_000),
+        "mid_spliced": F.expr(
+            "concat(reverse(text), ' ', "
+            "substring(text, CAST(length(text) div 3 AS INT), "
+            "CAST((length(text) * 3) div 10 AS INT)), ' ', "
+            "reverse(substring(text, 1, 40)))"
+        ),
     }
     plants = [
         docs.select(
@@ -6838,6 +7123,19 @@ def q_dedup_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.coalesce(F.col("bn"), F.lit(0)) <= _PFX_CAP)
             ).alias("c_prefix"),
             F.col("mh").isNotNull().alias("c_minhash"),
+            (
+                F.size(
+                    F.array_intersect(
+                        D.sampled_spans(
+                            F.col("text_a"), _SPAN_W, _SPAN_ANCHOR, _SPAN_MOD
+                        ),
+                        D.sampled_spans(
+                            F.col("text_b"), _SPAN_W, _SPAN_ANCHOR, _SPAN_MOD
+                        ),
+                    )
+                )
+                > 0
+            ).alias("c_span"),
         )
     )
     melted = flagged.select(
@@ -6859,6 +7157,10 @@ def q_dedup_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.lit("minhash_lsh").alias("modality"),
                     F.col("c_minhash").alias("caught"),
+                ),
+                F.struct(
+                    F.lit("substring_span").alias("modality"),
+                    F.col("c_span").alias("caught"),
                 ),
             )
         ).alias("m"),
@@ -6895,6 +7197,11 @@ def _recall_oracle() -> str:
         ),
         "prefix_truncated": "substring(text, 1, (length(text) * 3) // 5)",
         "head_dropped": "substring(text, 21, 1000000)",
+        "mid_spliced": (
+            "reverse(text) || ' ' || "
+            "substring(text, length(text) // 3, (length(text) * 3) // 10)"
+            " || ' ' || reverse(substring(text, 1, 40))"
+        ),
     }
     aug_sql = "SELECT doc_id, text FROM documents" + "".join(
         f" UNION ALL SELECT doc_id + {off} AS doc_id, {mk_sql[kind]} AS text"
@@ -6914,6 +7221,7 @@ def _recall_oracle() -> str:
             ("bag_of_words", "c_bag"),
             ("prefix_containment", "c_prefix"),
             ("minhash_lsh", "c_minhash"),
+            ("substring_span", "c_span"),
         )
     )
     return f"""
@@ -6928,6 +7236,10 @@ def _recall_oracle() -> str:
             FROM recall_aug GROUP BY 1
         ),
         planted AS MATERIALIZED ({planted_sql}),
+        ptok AS MATERIALIZED (
+            SELECT q.*, {tok('q.text_a')} AS ta, {tok('q.text_b')} AS tb
+            FROM planted q
+        ),
         flagged AS (
             SELECT p.plant_kind,
                    (p.text_a = p.text_b) AS c_exact,
@@ -6937,8 +7249,10 @@ def _recall_oracle() -> str:
                     AND {h60_sql(f'substring(p.text_b, 1, {_PFX_K})')}
                         = {h60_sql(f'substring(p.text_a, 1, {_PFX_K})')}
                     AND COALESCE(bs.bn, 0) <= {_PFX_CAP}) AS c_prefix,
-                   (m.id_a IS NOT NULL) AS c_minhash
-            FROM planted p
+                   (m.id_a IS NOT NULL) AS c_minhash,
+                   (len(list_intersect({_spans_sql('p.ta')},
+                                       {_spans_sql('p.tb')})) > 0) AS c_span
+            FROM ptok p
             LEFT JOIN mhp m ON p.id_a = m.id_a AND p.id_b = m.id_b
             LEFT JOIN bksize bs
               ON {h60_sql(f'substring(p.text_b, 1, {_PFX_K})')} = bs.bk
@@ -6957,7 +7271,8 @@ register(
     QuerySpec(
         name="dedup_recall_matrix",
         description="recall of exact / bag-of-words / prefix-containment "
-        "/ MinHash-LSH dedup against four planted duplicate patterns",
+        "/ MinHash-LSH / substring-span dedup against five planted "
+        "duplicate patterns",
         spark=q_dedup_recall_matrix,
         oracle=_recall_oracle(),
     )
