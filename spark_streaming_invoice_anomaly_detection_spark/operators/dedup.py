@@ -894,3 +894,43 @@ def span_occurrences(
     ).select(
         id_col, *extra_cols, h60(F.col("span")).alias("span_hash")
     )
+
+def token_lines(text_col: Column | str, width: int = 12) -> Column:
+    """Fixed-width token "lines": the structural unit for LINE-level
+    dedup (CCNet, Wenzek et al. 2020, arXiv:1911.00359; RefinedWeb,
+    Penedo et al. 2023, arXiv:2306.01116 — public knowledge), the cheap
+    boilerplate detector real pipelines run BEFORE MinHash. Web corpora
+    split on newlines; the test corpus is a flat word stream, so the
+    deterministic stand-in decomposes a document into consecutive
+    ``width``-token chunks (space-joined, last chunk ragged) — the
+    census/report queries plant literal boilerplate lines on top, which
+    is where the cross-document signal lives either way.
+
+    Returns ``array<string>``; the empty document returns the empty
+    array. Tokens are let-bound (one tokenize per row) and the whole
+    expression is flat sequence/transform/slice — inside whole-stage
+    codegen, no UDF, no shuffle. The DuckDB twin (_lines_sql in
+    plans/extensions.py) is bit-identical. Unlike sampled_spans there is
+    no sampling decision: line dedup is exhaustive over its units (the
+    unit count is ~tokens/width, already linear), so recall over planted
+    whole-line boilerplate is 1.0 by construction — the complementary
+    posture to the span detector's mod-p bounded miss.
+    """
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    toks = tokenize(text_col)
+
+    def build(ts: Column) -> Column:
+        n = F.ceil(F.size(ts) / F.lit(width)).cast("int")
+        return F.when(
+            F.size(ts) <= 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.array_join(
+                    F.slice(ts, (i - F.lit(1)) * width + F.lit(1), width), " "
+                ),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(toks), build), 1)

@@ -7277,3 +7277,252 @@ register(
         oracle=_recall_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-line boilerplate census (CCNet / RefinedWeb line-level dedup —
+# r10 VERDICT "Next round" #2). Companion to the span detector above: line
+# dedup is the cheap exhaustive pass real pipelines run BEFORE MinHash.
+# ---------------------------------------------------------------------------
+
+#: Line width for the deterministic line decomposition (operators/dedup.
+#: token_lines) and the short-line guard: a recurring line only counts as
+#: boilerplate when it has >= _LINE_MIN_TOK tokens (RefinedWeb discards
+#: very short lines — ragged 1-2 token tails from a small vocabulary
+#: recur by chance and would swamp the signal).
+_LINE_W, _LINE_MIN_TOK = 12, 5
+
+#: Planted boilerplate lines (the CCNet case: nav/footer chrome repeated
+#: across a site's pages). Lowercase ASCII words only, so the strings
+#: survive tokenization verbatim and line text == space-joined tokens.
+#: Plant moduli are COPRIME to the corpus's source stride (source =
+#: doc_id % 20), so every source gets carriers: header on every 7th doc,
+#: footer on every 9th, both on every 63rd.
+_LINE_HDR_MOD, _LINE_FTR_MOD = 7, 9
+_LINE_HEADER = (
+    "subscribe to our newsletter for weekly updates and accept all cookies"
+)
+_LINE_FOOTER = "all content copyright of the original site owner terms apply"
+
+
+def _lines_sql(tokens: str, width: int = _LINE_W) -> str:
+    """DuckDB twin of operators.dedup.token_lines, bit-for-bit: same
+    token list, same ceil(len/width) chunk count, same space-joined
+    ragged tail. ``tokens`` should be a cheap reference (a CTE column)."""
+    t = f"({tokens})"
+    return f"""list_transform(
+        range(1, CAST(ceil(len({t}) / {float(width)!r}) AS BIGINT) + 1),
+        i -> array_to_string({t}[((i-1)*{width}+1):(i*{width})], ' '))"""
+
+
+_LINED_DOCS_SQL = f"""
+    SELECT doc_id, source,
+           CASE WHEN doc_id % {_LINE_HDR_MOD} = 0 THEN ['{_LINE_HEADER}']
+                ELSE CAST([] AS VARCHAR[]) END
+           || {_lines_sql(_TOKENS_SQL)}
+           || CASE WHEN doc_id % {_LINE_FTR_MOD} = 0 THEN ['{_LINE_FOOTER}']
+                ELSE CAST([] AS VARCHAR[]) END AS lines
+    FROM documents
+"""
+
+
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, source, lines): the token_lines decomposition
+    with the header line planted on every 7th doc and the footer on every
+    9th (same doc, both, every 63rd — the multi-boilerplate case; both
+    moduli are coprime to the source stride so every source has carriers).
+    """
+    docs = spread_if_narrow(
+        load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    )
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        F.when(
+            F.col("doc_id") % _LINE_HDR_MOD == 0, F.array(F.lit(_LINE_HEADER))
+        ).otherwise(empty),
+        D.token_lines(F.col("text"), _LINE_W),
+        F.when(
+            F.col("doc_id") % _LINE_FTR_MOD == 0, F.array(F.lit(_LINE_FOOTER))
+        ).otherwise(empty),
+    )
+    return docs.select("doc_id", "source", lines.alias("lines"))
+
+
+def q_repeated_line_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cross-document repeated-LINE census — CCNet/RefinedWeb
+    line-level dedup, the boilerplate detector that runs before MinHash
+    in real web pipelines. A line is boilerplate when the SAME line
+    (exact hash) occurs in >= 2 distinct documents and carries >=
+    _LINE_MIN_TOK tokens (short ragged tails recur by chance and are
+    guarded out, per RefinedWeb).
+
+    Shape (mirrors substring_dup_census — all linear, no pair join,
+    nothing to cap): explode_outer the line decomposition (~tokens/width
+    rows; zero-line docs ride as one null row so every doc reaches the
+    rollup), ONE hash aggregation for per-line distinct-doc counts, a
+    line_hash-partitioned left join back onto the occurrences, then
+    per-doc and per-source rollups — 4 exchanges. A footer shared by a
+    million pages is ONE group with a big count: the degenerate case for
+    pairwise detectors is this operator's happy path, which is exactly
+    why pipelines run it first.
+
+    Output per source: docs, docs containing >= 1 boilerplate line,
+    line occurrences, boilerplate occurrences, boilerplate fraction.
+    """
+    occ = _lined_docs(spark, sf_dir).select(
+        "source", "doc_id", F.explode_outer("lines").alias("line")
+    ).select(
+        "source",
+        "doc_id",
+        X.h60(F.col("line")).alias("line_hash"),
+        F.size(F.split(F.col("line"), " ")).alias("line_tok"),
+    )
+    per_line = (
+        occ.filter(F.col("line_hash").isNotNull())
+        .groupBy("line_hash")
+        .agg(F.count_distinct("doc_id").alias("line_docs"))
+    )
+    per_doc = (
+        occ.join(per_line, "line_hash", "left")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count_if(F.col("line_hash").isNotNull())
+            .cast("long")
+            .alias("d_lines"),
+            F.count_if(
+                (F.col("line_docs") >= 2) & (F.col("line_tok") >= _LINE_MIN_TOK)
+            )
+            .cast("long")
+            .alias("d_rep"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("d_rep") > 0).cast("long").alias("boiler_docs"),
+        F.sum("d_lines").cast("long").alias("n_lines"),
+        F.sum("d_rep").cast("long").alias("n_boiler_lines"),
+    ).select(
+        "source",
+        "n_docs",
+        "boiler_docs",
+        "n_lines",
+        "n_boiler_lines",
+        F.when(
+            F.col("n_lines") > 0,
+            F.col("n_boiler_lines").cast("double")
+            / F.col("n_lines").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("boiler_frac"),
+    )
+
+
+register(
+    QuerySpec(
+        name="repeated_line_census",
+        description="CCNet/RefinedWeb line-level dedup census: per-source "
+        "counts and fraction of lines recurring across documents",
+        spark=q_repeated_line_census,
+        oracle=f"""
+            WITH lined AS MATERIALIZED ( {_LINED_DOCS_SQL} ),
+            occ AS (
+                SELECT doc_id, source,
+                       {h60_sql('l.line')} AS line_hash,
+                       len(string_split(l.line, ' ')) AS line_tok
+                FROM lined, unnest(lines) AS l(line)
+            ),
+            per_line AS (
+                SELECT line_hash, count(DISTINCT doc_id) AS line_docs
+                FROM occ GROUP BY 1
+            ),
+            per_doc AS (
+                SELECT o.source, o.doc_id,
+                       count(*) AS d_lines,
+                       sum(CASE WHEN p.line_docs >= 2
+                                 AND o.line_tok >= {_LINE_MIN_TOK}
+                                THEN 1 ELSE 0 END) AS d_rep
+                FROM occ o JOIN per_line p USING (line_hash)
+                GROUP BY 1, 2
+            ),
+            src_docs AS (
+                SELECT source, count(*) AS n_docs FROM lined GROUP BY 1
+            ),
+            census AS (
+                SELECT source,
+                       sum(CASE WHEN d_rep > 0 THEN 1 ELSE 0 END)
+                           AS boiler_docs,
+                       sum(d_lines) AS n_lines,
+                       sum(d_rep) AS n_boiler_lines
+                FROM per_doc GROUP BY 1
+            )
+            SELECT s.source,
+                   CAST(s.n_docs AS BIGINT) AS n_docs,
+                   CAST(COALESCE(c.boiler_docs, 0) AS BIGINT) AS boiler_docs,
+                   CAST(COALESCE(c.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(c.n_boiler_lines, 0) AS BIGINT)
+                       AS n_boiler_lines,
+                   CASE WHEN COALESCE(c.n_lines, 0) > 0
+                        THEN CAST(c.n_boiler_lines AS DOUBLE)
+                             / CAST(c.n_lines AS DOUBLE)
+                        ELSE 0.0 END AS boiler_frac
+            FROM src_docs s LEFT JOIN census c USING (source)
+        """,
+    )
+)
+
+
+def q_top_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 cross-document repeated lines — the strip-list a pipeline
+    owner feeds back into cleaning. Same line decomposition as the
+    census, grouped by line_hash (8-byte shuffle key; the line string
+    rides as min(), identical within a group), short-line guard applied,
+    TakeOrdered by (docs, occurrences, hash) — deterministic, bounded
+    output. The planted header (every 4th doc) and footer (every 6th)
+    must head the report by construction."""
+    occ = _lined_docs(spark, sf_dir).select(
+        "doc_id", F.explode("lines").alias("line")
+    ).select("doc_id", "line", X.h60(F.col("line")).alias("line_hash"))
+    return (
+        occ.groupBy("line_hash")
+        .agg(
+            F.min("line").alias("line"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(
+            (F.col("n_docs") >= 2)
+            & (F.size(F.split(F.col("line"), " ")) >= _LINE_MIN_TOK)
+        )
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("line_hash")
+        )
+        .limit(20)
+        .select("line_hash", "line", "n_docs", "n_occ")
+    )
+
+
+register(
+    QuerySpec(
+        name="top_repeated_lines",
+        description="top-20 cross-document repeated lines (boilerplate "
+        "strip-list) by document spread",
+        spark=q_top_repeated_lines,
+        oracle=f"""
+            WITH lined AS MATERIALIZED ( {_LINED_DOCS_SQL} ),
+            occ AS (
+                SELECT doc_id, l.line, {h60_sql('l.line')} AS line_hash
+                FROM lined, unnest(lines) AS l(line)
+            )
+            SELECT line_hash,
+                   min(line) AS line,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occ
+            FROM occ
+            GROUP BY line_hash
+            HAVING count(DISTINCT doc_id) >= 2
+               AND len(string_split(min(line), ' ')) >= {_LINE_MIN_TOK}
+            ORDER BY n_docs DESC, n_occ DESC, line_hash
+            LIMIT 20
+        """,
+    )
+)
