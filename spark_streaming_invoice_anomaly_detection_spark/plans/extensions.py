@@ -5779,6 +5779,10 @@ def q_tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf keywords per document: score = tf * (fp_log2(N) -
     fp_log2(df)) — all-int64 fixed-point idf (1/256-bit units), so the
     ranking and the hash are cross-engine exact with zero libm.
+    int64 bound: the idf factor is < 256*log2(N) <= 256*63 ~ 2^14, so
+    the product overflows only past tf ~ 5.7e14 occurrences of one term
+    in one document — unreachable for any real document at any corpus
+    size (the bound is per-(doc, term), not corpus-scale).
 
     Plan: one map-side-combined tf agg, a vocab-sized df agg joined back
     on the token key, the corpus count as a 1-row broadcast (crossJoin

@@ -500,3 +500,55 @@ class TestAdaptiveBucketModulus:
         # hard negatives: raw corpus, no base blocks
         assert _ladder_py(500, _HN_TARGET_BLOCK, _HN_PMAX) == 4
         assert _ladder_py(2000, _HN_TARGET_BLOCK, _HN_PMAX) == 16
+
+
+class TestFixedPointOverflowHorizons:
+    """r10 VERDICT #7: every fixed-point query documents its int64
+    overflow horizon; this pins the SHARED structural claim the notes
+    rely on — an fp_log2 factor is < 256*64, so products with per-doc
+    counts stay in int64 far past any physical document, while naive
+    count-by-count forms (which the queries avoid) blow up at corpus
+    scale.
+    """
+
+    # the documented per-(doc, term) horizon for tfidf_doc_keywords'
+    # tf * (L(N) - L(df)) product; dsir (2.8e14 grams/doc) and
+    # token_entropy (6e14 tokens/doc) share the same 256*log2 factor
+    # structure with one extra factor of 2 or not.
+    TFIDF_TF_HORIZON = 5.69e14
+
+    @given(
+        n=st.integers(min_value=1, max_value=2**62),
+        df_frac=st.floats(min_value=0.0, max_value=1.0),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_fp_log2_factor_bounded_and_horizon_safe(self, n, df_frac):
+        from spark_streaming_invoice_anomaly_detection_spark.functions.fplog2 import (
+            fp_log2_py,
+        )
+
+        df = max(1, min(n, int(n * df_frac)))
+        idf = fp_log2_py(n) - fp_log2_py(df)
+        # the factor every bound note cites: < 256*63 for any int64 arg
+        assert 0 <= idf < 256 * 63
+        # at the documented horizon the worst-case product is still int64
+        assert int(self.TFIDF_TF_HORIZON) * (256 * 63 - 1) < 2**63
+        # ...and the horizon is tight to within 2x (the note is not a
+        # vacuous underestimate)
+        assert int(2 * self.TFIDF_TF_HORIZON) * (256 * 63) > 2**63
+
+    def test_entropy_identity_exact_at_horizon_scale(self):
+        """h_fp = N*L(N) - sum(c*L(c)) evaluated with exact Python ints
+        at a 1e12-token synthetic histogram: the int64 range claimed by
+        the docstring holds and the identity is non-negative (Jensen),
+        i.e. the fixed-point form cannot wrap into a negative entropy.
+        """
+        from spark_streaming_invoice_anomaly_detection_spark.functions.fplog2 import (
+            fp_log2_py,
+        )
+
+        # heavy-head histogram totalling ~1e12 tokens
+        counts = [10**12 - 5 * 10**9] + [10**9] * 5
+        n = sum(counts)
+        h_fp = n * fp_log2_py(n) - sum(c * fp_log2_py(c) for c in counts)
+        assert 0 <= h_fp < 2**63

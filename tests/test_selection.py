@@ -153,6 +153,124 @@ def test_eval_split_prefilter_matches_plain_window_both_branches(spark):
     )
 
 
+def test_repetition_census_prefilter_matches_plain_window_both_branches(
+    spark,
+):
+    """r10 VERDICT #5: the histogram-prefiltered greedy-prefix census
+    must be byte-identical to the plain single-window plan. Checked
+    against an independent PYTHON twin (same h60 salt, same
+    (rank_key, doc_id) ordering, same running-char-sum cut) on a skewed
+    synthetic corpus with per-source char-size spread, under three
+    bucket-width settings:
+
+    - the production bits (tight covering edge for small remainders),
+    - bits=0 (one bucket — every row survives the cut and the plan IS
+      the plain window, the degenerate ceiling),
+    - bits=20 (a million buckets — mostly empty at this corpus size,
+      the tightest possible edge; exercises edge selection over sparse
+      bucket ids).
+
+    All three must agree with the Python twin exactly, and the
+    production cut must actually PRUNE (guards against the prefilter
+    silently keeping everything)."""
+    from spark_streaming_invoice_anomaly_detection_spark.operators.similarity import (
+        _h60_py,
+    )
+    from spark_streaming_invoice_anomaly_detection_spark.plans.selection import (
+        _REP_PRE_BITS,
+        _repetition_census_prefiltered,
+    )
+
+    # skewed corpus: big/mid/tiny sources, doc char sizes varied so the
+    # chars-vs-rank sampling noise the boost absorbs is actually present
+    sizes = {"web": 1500, "code": 800, "books": 120, "wiki": 7}
+    rows, did = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((src, did, 40 + (did * 37) % 400))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "source string, doc_id long, n_chars long"
+    )
+
+    # allocations chosen so remainders span the spectrum: tiny fraction
+    # (prefilter shines), ~half, near-full, and exact-zero remainder
+    size_chars = {
+        s: sum(c for src, _, c in rows if src == s) for s in sizes
+    }
+    rem_frac = {"web": 0.03, "code": 0.5, "books": 0.97, "wiki": 0.0}
+    ua_rows = [
+        (
+            s,
+            size_chars[s],
+            2 * size_chars[s] + int(rem_frac[s] * size_chars[s]),
+        )
+        for s in sizes
+    ]
+    ua = spark.createDataFrame(
+        ua_rows, "source string, size_chars long, alloc_chars long"
+    )
+
+    # independent census twin: salted-hash-ordered greedy char prefix
+    expected = {}
+    for s in sizes:
+        keyed = sorted(
+            (_h60_py(f"rep:{d}"), d, c) for src, d, c in rows if src == s
+        )
+        rem = (2 * size_chars[s] + int(rem_frac[s] * size_chars[s])) % (
+            size_chars[s]
+        )
+        cum = n_extra = extra = 0
+        for _h, _d, c in keyed:
+            cum += c
+            if cum <= rem:
+                n_extra += 1
+                extra += c
+        expected[s] = (len(keyed), n_extra, extra)
+
+    for bits in (_REP_PRE_BITS, 0, 20):
+        got = {
+            r.source: (r.n_docs, r.n_extra_docs, r.extra_chars)
+            for r in _repetition_census_prefiltered(
+                docs, ua, bits
+            ).collect()
+        }
+        assert got == expected, f"mismatch at bits={bits}"
+
+    # the production cut really does prune: the windowed survivor set
+    # for the small-remainder source must be far below its doc count
+    # (guards against the prefilter silently keeping everything)
+    from pyspark.sql import functions as F
+
+    from spark_streaming_invoice_anomaly_detection_spark.operators.text import (
+        h60,
+    )
+
+    shift = 60 - _REP_PRE_BITS
+    keyed = docs.withColumn(
+        "_rk", h60(F.concat(F.lit("rep:"), F.col("doc_id").cast("string")))
+    )
+    hist = keyed.groupBy(
+        "source", F.shiftright("_rk", shift).alias("bk")
+    ).agg(F.sum("n_chars").alias("mass"), F.count(F.lit(1)).alias("cnt"))
+    rows_h = hist.collect()
+    rem_web = (
+        2 * size_chars["web"] + int(rem_frac["web"] * size_chars["web"])
+    ) % size_chars["web"]
+    cum = surv = 0
+    for r in sorted(
+        (r for r in rows_h if r.source == "web"), key=lambda r: r.bk
+    ):
+        surv += r.cnt
+        cum += r.mass
+        if cum >= rem_web:
+            break
+    assert surv < sizes["web"] // 2, (
+        f"production cut kept {surv}/{sizes['web']} web docs for a "
+        f"{rem_frac['web']:.0%} remainder — the prefilter is not pruning"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weights
 # ---------------------------------------------------------------------------
