@@ -96,6 +96,13 @@ PROBE_QUERIES = (
     "dedup_recall_matrix",
     # r10: doc-level UniMax materialization (per-source running-sum window)
     "repetition_plan",
+    # r11: span-level substring dedup, line-level boilerplate dedup and
+    # its cleaning plan — all linear explode+hash-agg spines, no pair join
+    "substring_dup_census",
+    "top_repeated_spans",
+    "repeated_line_census",
+    "top_repeated_lines",
+    "line_dedup_cleaning_plan",
 )
 
 

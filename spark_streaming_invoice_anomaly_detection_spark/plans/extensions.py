@@ -38,9 +38,17 @@ _AUG_OFFSET = 1_000_000
 # ---------------------------------------------------------------------------
 
 
-def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents UNION mutated copies: id+1e6, first 20 chars dropped."""
+def _augmented_docs(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
+    """documents UNION mutated copies: id+1e6, first 20 chars dropped.
+    ``sample_mod`` keeps only ``doc_id % sample_mod == 0`` BEFORE the
+    augmentation — the APSS-slice pattern for routine-cadence runs of
+    the audit queries (the planted pair structure survives because both
+    sides of a plant share the base doc_id)."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
+    if sample_mod is not None:
+        docs = docs.filter(F.col("doc_id") % sample_mod == 0)
     mutated = docs.select(
         (F.col("doc_id") + _AUG_OFFSET).alias("doc_id"),
         F.substring(F.col("text"), 21, 1_000_000).alias("text"),
@@ -49,13 +57,21 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(mutated)
 
 
-_AUG_DOCS_SQL = f"""
-    SELECT doc_id, text, lang FROM documents
+def _aug_docs_sql(sample_mod: int | None = None) -> str:
+    """SQL twin of :func:`_augmented_docs` (same optional slice)."""
+    where = (
+        f" WHERE doc_id % {sample_mod} = 0" if sample_mod is not None else ""
+    )
+    return f"""
+    SELECT doc_id, text, lang FROM documents{where}
     UNION ALL
     SELECT doc_id + {_AUG_OFFSET} AS doc_id,
            substring(text, 21, 1000000) AS text, lang
-    FROM documents
+    FROM documents{where}
 """
+
+
+_AUG_DOCS_SQL = _aug_docs_sql()
 
 
 def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6567,7 +6583,17 @@ register(
 _SWEEP_THRESHOLDS = (0.2, 0.3, 0.5, 0.7, 0.9)
 
 
-def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Slice modulus for the routine-cadence variants of the two heavy dedup
+#: audits (r10 VERDICT "Next round" #6): doc_id % 5 keeps ~1/5 of the
+#: base corpus before planting/augmenting, cutting candidate-pair work
+#: ~25x while preserving the planted pair structure (both sides of a
+#: plant share the base doc_id, so a sliced base keeps whole pairs).
+_AUDIT_SAMPLE_MOD = 5
+
+
+def q_minhash_threshold_sweep(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
     """Dedup-threshold operating curve: for each candidate Jaccard
     threshold, how many verified LSH pairs survive and how many distinct
     documents they touch — the numbers that decide where to set the
@@ -6586,10 +6612,14 @@ def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ``dedup_recall_matrix``), not a routine query — at x100 it
     measured 36.8x / 85.8 s (scripts/probe_results/r10_*.json), the cost
     of exact-Jaccard-verifying every threshold-0 candidate; it is paid
-    when the corpus or the dedup knobs change.
+    when the corpus or the dedup knobs change. For routine monitoring,
+    ``minhash_threshold_sweep_sampled`` runs the same curve over the
+    ``doc_id % _AUDIT_SAMPLE_MOD`` slice (the APSS pattern: ~1/5 of
+    docs, ~1/25 of candidate-pair work) — full mode stays the audit of
+    record at corpus revisions.
     """
     pairs0 = D.minhash_near_dups(
-        _augmented_docs(spark, sf_dir),
+        _augmented_docs(spark, sf_dir, sample_mod),
         ngram=_MH_NGRAM,
         num_hashes=_MH_K,
         bands=_MH_BANDS,
@@ -6612,41 +6642,61 @@ def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sweep_oracle(sample_mod: int | None = None) -> str:
+    """Threshold-sweep oracle; ``sample_mod`` slices the base corpus
+    exactly as the Spark side's ``_augmented_docs`` does."""
+    return f"""
+        WITH pairs AS MATERIALIZED (
+            {_minhash_oracle(_MH_MAX_BUCKET, threshold=0.0,
+                             aug_sql=_aug_docs_sql(sample_mod))} ),
+        -- CAST: a bare decimal-literal list unnests as DECIMAL(2,1),
+        -- which pandas renders differently from Spark's float64
+        thr AS (SELECT unnest(CAST({list(_SWEEP_THRESHOLDS)!r}
+                                   AS DOUBLE[])) AS threshold),
+        swept AS (
+            SELECT t.threshold, p.id_a, p.id_b
+            FROM pairs p CROSS JOIN thr t
+            WHERE p.jaccard >= t.threshold
+        ),
+        np AS (
+            SELECT threshold, count(*) AS n_pairs
+            FROM swept GROUP BY 1
+        ),
+        ids AS (
+            SELECT threshold, id_a AS id FROM swept
+            UNION ALL
+            SELECT threshold, id_b AS id FROM swept
+        ),
+        ndocs AS (
+            SELECT threshold, count(DISTINCT id) AS n_docs
+            FROM ids GROUP BY 1
+        )
+        SELECT np.threshold,
+               CAST(np.n_pairs AS BIGINT) AS n_pairs,
+               CAST(ndocs.n_docs AS BIGINT) AS n_docs
+        FROM np JOIN ndocs USING (threshold)
+    """
+
+
 register(
     QuerySpec(
         name="minhash_threshold_sweep",
         description="near-dup threshold operating curve: surviving pair "
         "and doc counts at 5 candidate Jaccard cutoffs",
         spark=q_minhash_threshold_sweep,
-        oracle=f"""
-            WITH pairs AS MATERIALIZED ( {_minhash_oracle(_MH_MAX_BUCKET, threshold=0.0)} ),
-            -- CAST: a bare decimal-literal list unnests as DECIMAL(2,1),
-            -- which pandas renders differently from Spark's float64
-            thr AS (SELECT unnest(CAST({list(_SWEEP_THRESHOLDS)!r}
-                                       AS DOUBLE[])) AS threshold),
-            swept AS (
-                SELECT t.threshold, p.id_a, p.id_b
-                FROM pairs p CROSS JOIN thr t
-                WHERE p.jaccard >= t.threshold
-            ),
-            np AS (
-                SELECT threshold, count(*) AS n_pairs
-                FROM swept GROUP BY 1
-            ),
-            ids AS (
-                SELECT threshold, id_a AS id FROM swept
-                UNION ALL
-                SELECT threshold, id_b AS id FROM swept
-            ),
-            ndocs AS (
-                SELECT threshold, count(DISTINCT id) AS n_docs
-                FROM ids GROUP BY 1
-            )
-            SELECT np.threshold,
-                   CAST(np.n_pairs AS BIGINT) AS n_pairs,
-                   CAST(ndocs.n_docs AS BIGINT) AS n_docs
-            FROM np JOIN ndocs USING (threshold)
-        """,
+        oracle=_sweep_oracle(),
+    )
+)
+
+register(
+    QuerySpec(
+        name="minhash_threshold_sweep_sampled",
+        description="routine-cadence threshold operating curve over the "
+        "doc_id % 5 corpus slice (~1/25 the pair work of the full audit)",
+        spark=lambda spark, sf_dir: q_minhash_threshold_sweep(
+            spark, sf_dir, _AUDIT_SAMPLE_MOD
+        ),
+        oracle=_sweep_oracle(_AUDIT_SAMPLE_MOD),
     )
 )
 
@@ -7006,7 +7056,9 @@ _RECALL_PLANTS = (
 )
 
 
-def q_dedup_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_recall_matrix(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
     """Recall of each dedup modality against each planted duplicate
     pattern — the table that says WHICH detectors a 100 TB pipeline
     needs: exact (byte hash) sees only verbatim copies; bag-of-words
@@ -7037,9 +7089,15 @@ def q_dedup_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_threshold_sweep) — at x100 the r10 4-plant matrix measured
     69.3x / 236.8 s (scripts/probe_results/), dominated by the banded
     LSH pass over the planted corpus; it runs when the corpus or a
-    detector's knobs change, not per query.
+    detector's knobs change, not per query. For routine monitoring,
+    ``dedup_recall_matrix_sampled`` runs the same 25-cell matrix over
+    the ``doc_id % _AUDIT_SAMPLE_MOD`` base slice (~1/5 of plants,
+    ~1/25 of LSH pair work; slicing BEFORE planting keeps every planted
+    pair whole) — full mode stays the audit of record.
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    if sample_mod is not None:
+        docs = docs.filter(F.col("doc_id") % sample_mod == 0)
     mk = {
         "verbatim": F.col("text"),
         "token_reversed": F.array_join(
@@ -7188,11 +7246,16 @@ def q_dedup_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_oracle() -> str:
+def _recall_oracle(sample_mod: int | None = None) -> str:
     lo = X.ascii_lower_sql  # noqa: N806 — SQL twin of the tokenizer fold
     tok = lambda c: f"regexp_extract_all({lo(c)}, '[A-Za-z0-9]+')"
     bag = lambda c: h60_sql(
         f"COALESCE(array_to_string(list_sort({tok(c)}), ' '), '')"
+    )
+    documents = (
+        "documents"
+        if sample_mod is None
+        else f"(SELECT * FROM documents WHERE doc_id % {sample_mod} = 0)"
     )
     mk_sql = {
         "verbatim": "text",
@@ -7207,15 +7270,15 @@ def _recall_oracle() -> str:
             " || ' ' || reverse(substring(text, 1, 40))"
         ),
     }
-    aug_sql = "SELECT doc_id, text FROM documents" + "".join(
+    aug_sql = f"SELECT doc_id, text FROM {documents}" + "".join(
         f" UNION ALL SELECT doc_id + {off} AS doc_id, {mk_sql[kind]} AS text"
-        " FROM documents"
+        f" FROM {documents}"
         for kind, off in _RECALL_PLANTS
     )
     planted_sql = " UNION ALL ".join(
         f"SELECT doc_id AS id_a, doc_id + {off} AS id_b,"
         f" '{kind}' AS plant_kind, text AS text_a, {mk_sql[kind]} AS text_b"
-        " FROM documents"
+        f" FROM {documents}"
         for kind, off in _RECALL_PLANTS
     )
     melt_sql = " UNION ALL ".join(
@@ -7279,6 +7342,18 @@ register(
         "duplicate patterns",
         spark=q_dedup_recall_matrix,
         oracle=_recall_oracle(),
+    )
+)
+
+register(
+    QuerySpec(
+        name="dedup_recall_matrix_sampled",
+        description="routine-cadence 25-cell dedup recall matrix over "
+        "the doc_id % 5 base slice (~1/25 the LSH pair work)",
+        spark=lambda spark, sf_dir: q_dedup_recall_matrix(
+            spark, sf_dir, _AUDIT_SAMPLE_MOD
+        ),
+        oracle=_recall_oracle(_AUDIT_SAMPLE_MOD),
     )
 )
 
@@ -7527,6 +7602,334 @@ register(
                AND len(string_split(min(line), ' ')) >= {_LINE_MIN_TOK}
             ORDER BY n_docs DESC, n_occ DESC, line_hash
             LIMIT 20
+        """,
+    )
+)
+
+
+#: Minimum retained tokens for a document to survive line-dedup cleaning
+#: (RefinedWeb drops documents that fall below a length floor after
+#: boilerplate removal — a doc that was mostly chrome is not worth
+#: keeping as a 3-token stub).
+_CLEAN_MIN_TOK = 10
+
+
+def q_line_dedup_cleaning_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE output of line-level dedup — not the census but
+    the cleaning plan a 100 TB run materializes: strip every line whose
+    exact hash occurs in >= 2 distinct documents (and carries >=
+    _LINE_MIN_TOK tokens, the census's short-line guard), then drop
+    documents left with < _CLEAN_MIN_TOK tokens. Per source: docs
+    in/out, line and char mass before/after, and the retained char
+    fraction — the numbers that decide whether a source's allocation
+    (q_unimax_allocation) must be re-run post-cleaning.
+
+    Strip-all-copies semantics (CCNet's line dedup): a boilerplate line
+    is removed from EVERY carrier, so cleaning is idempotent — every
+    retained line is unique to its document, and a second pass strips
+    nothing (pinned in tests/test_line_dedup.py).
+
+    Shape: identical linear spine to q_repeated_line_census — one
+    explode_outer (~tokens/width rows, empty docs ride as a null row),
+    ONE hash agg for per-line doc counts, a line_hash-keyed left join
+    back, per-doc then per-source rollups. No pair join, nothing to
+    cap; all counts int64, the fraction is one double division.
+    """
+    occ = _lined_docs(spark, sf_dir).select(
+        "source", "doc_id", F.explode_outer("lines").alias("line")
+    ).select(
+        "source",
+        "doc_id",
+        X.h60(F.col("line")).alias("line_hash"),
+        F.size(F.split(F.col("line"), " ")).alias("line_tok"),
+        F.length("line").alias("line_chars"),
+    )
+    per_line = (
+        occ.filter(F.col("line_hash").isNotNull())
+        .groupBy("line_hash")
+        .agg(F.count_distinct("doc_id").alias("line_docs"))
+    )
+    strip = (F.col("line_docs") >= 2) & (F.col("line_tok") >= _LINE_MIN_TOK)
+    per_doc = (
+        occ.join(per_line, "line_hash", "left")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count_if(F.col("line_hash").isNotNull())
+            .cast("long")
+            .alias("d_lines"),
+            F.count_if(strip).cast("long").alias("d_stripped"),
+            F.coalesce(F.sum("line_chars"), F.lit(0))
+            .cast("long")
+            .alias("d_chars"),
+            F.coalesce(
+                F.sum(F.when(~strip, F.col("line_chars")).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("d_kept_chars"),
+            F.coalesce(
+                F.sum(F.when(~strip, F.col("line_tok")).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("d_kept_tok"),
+        )
+        .withColumn("kept", F.col("d_kept_tok") >= _CLEAN_MIN_TOK)
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("kept")).cast("long").alias("kept_docs"),
+        F.sum("d_lines").cast("long").alias("n_lines"),
+        F.sum("d_stripped").cast("long").alias("n_stripped_lines"),
+        F.sum("d_chars").cast("long").alias("chars_total"),
+        F.sum(F.when(F.col("kept"), F.col("d_kept_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_kept"),
+    ).select(
+        "source",
+        "n_docs",
+        "kept_docs",
+        "n_lines",
+        "n_stripped_lines",
+        "chars_total",
+        "chars_kept",
+        F.when(
+            F.col("chars_total") > 0,
+            F.col("chars_kept").cast("double")
+            / F.col("chars_total").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("retained_frac"),
+    )
+
+
+register(
+    QuerySpec(
+        name="line_dedup_cleaning_plan",
+        description="CCNet-style line-dedup cleaning plan: per-source "
+        "docs/lines/chars kept after stripping cross-document repeated "
+        "lines and dropping sub-minimum documents",
+        spark=q_line_dedup_cleaning_plan,
+        oracle=f"""
+            WITH lined AS MATERIALIZED ( {_LINED_DOCS_SQL} ),
+            occ AS (
+                SELECT doc_id, source,
+                       {h60_sql('l.line')} AS line_hash,
+                       len(string_split(l.line, ' ')) AS line_tok,
+                       length(l.line) AS line_chars
+                FROM lined, unnest(lines) AS l(line)
+            ),
+            per_line AS (
+                SELECT line_hash, count(DISTINCT doc_id) AS line_docs
+                FROM occ GROUP BY 1
+            ),
+            flagged AS (
+                SELECT o.source, o.doc_id, o.line_tok, o.line_chars,
+                       (p.line_docs >= 2 AND o.line_tok >= {_LINE_MIN_TOK})
+                           AS strip
+                FROM occ o JOIN per_line p USING (line_hash)
+            ),
+            per_doc AS (
+                SELECT source, doc_id,
+                       count(*) AS d_lines,
+                       sum(CASE WHEN strip THEN 1 ELSE 0 END) AS d_stripped,
+                       sum(line_chars) AS d_chars,
+                       sum(CASE WHEN NOT strip THEN line_chars ELSE 0 END)
+                           AS d_kept_chars,
+                       sum(CASE WHEN NOT strip THEN line_tok ELSE 0 END)
+                           AS d_kept_tok
+                FROM flagged GROUP BY 1, 2
+            ),
+            src_docs AS (
+                SELECT source, count(*) AS n_docs FROM lined GROUP BY 1
+            ),
+            census AS (
+                SELECT source,
+                       sum(CASE WHEN d_kept_tok >= {_CLEAN_MIN_TOK}
+                                THEN 1 ELSE 0 END) AS kept_docs,
+                       sum(d_lines) AS n_lines,
+                       sum(d_stripped) AS n_stripped_lines,
+                       sum(d_chars) AS chars_total,
+                       sum(CASE WHEN d_kept_tok >= {_CLEAN_MIN_TOK}
+                                THEN d_kept_chars ELSE 0 END) AS chars_kept
+                FROM per_doc GROUP BY 1
+            )
+            SELECT s.source,
+                   CAST(s.n_docs AS BIGINT) AS n_docs,
+                   CAST(COALESCE(c.kept_docs, 0) AS BIGINT) AS kept_docs,
+                   CAST(COALESCE(c.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(c.n_stripped_lines, 0) AS BIGINT)
+                       AS n_stripped_lines,
+                   CAST(COALESCE(c.chars_total, 0) AS BIGINT) AS chars_total,
+                   CAST(COALESCE(c.chars_kept, 0) AS BIGINT) AS chars_kept,
+                   CASE WHEN COALESCE(c.chars_total, 0) > 0
+                        THEN CAST(c.chars_kept AS DOUBLE)
+                             / CAST(c.chars_total AS DOUBLE)
+                        ELSE 0.0 END AS retained_frac
+            FROM src_docs s LEFT JOIN census c USING (source)
+        """,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Post-dedup mixture drift (r11): dedup changes the mixture you sampled.
+# ---------------------------------------------------------------------------
+
+
+def q_post_dedup_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How exact dedup SHIFTS the corpus mixture — per source, doc/char
+    mass before and after keeping one copy per sha256 content group
+    (keeper = min doc_id corpus-wide, the exact_dedup_groups canonical
+    rule), and the per-source share drift in exact basis points. This is
+    the audit that decides whether a mixture computed pre-dedup
+    (q_unimax_allocation, quotas, temperature sampling) must be re-run:
+    duplicates concentrate in template-heavy sources, so dedup silently
+    reweights the corpus toward the clean ones.
+
+    Planted structure (the test corpus has no NATURAL exact dups at
+    small SFs): every 4th document's text is syndicated verbatim into
+    the ROTATED source — source of ``(doc_id + 1) % 20`` via a 20-row
+    source map derived from the data itself — modeling cross-source
+    republication. Because 4 | 20, exactly 5 of the 20 sources receive
+    copies; dedup's min-doc_id keeper always picks the original, so
+    receiver sources lose their entire syndicated mass and the matrix
+    shows sharp, deterministic drift (pinned in tests/test_extensions).
+
+    Exactness: shares are int64 floor-division basis points
+    ``(10000 * chars) div total`` — int64 bound: 10000 * chars_total
+    < 2^63 holds to ~9.2e14 chars (~900 TB of text) per side; drift is
+    an int64 difference of two such shares.
+
+    Plan: ONE exchange for the content-hash window (partitions are
+    exact-dup groups — tiny by construction; min over the group marks
+    keepers with no join back), a broadcast 20-row source-map join for
+    the plant, one 20-row source rollup, and the corpus totals ride a
+    1-row broadcast crossJoin. No pair work at all: like the cleaning
+    plan, a million-copy template is one window partition, the
+    degenerate case pairwise detectors cap away is this operator's
+    happy path.
+    """
+    base = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    srcmap = (
+        base.groupBy((F.col("doc_id") % 20).alias("k"))
+        .agg(F.min("source").alias("c_source"))
+    )
+    copies = (
+        base.filter(F.col("doc_id") % 4 == 0)
+        .withColumn("k", (F.col("doc_id") + 1) % 20)
+        .join(F.broadcast(srcmap), "k")
+        .select(
+            (F.col("doc_id") + _AUG_OFFSET).alias("doc_id"),
+            F.col("c_source").alias("source"),
+            "n_chars",
+            "text",
+        )
+    )
+    docs = base.unionByName(copies).select(
+        "doc_id", "source", "n_chars", F.sha2(F.col("text"), 256).alias("h")
+    )
+    wk = Window.partitionBy("h")
+    flagged = docs.withColumn(
+        "kept", F.col("doc_id") == F.min("doc_id").over(wk)
+    )
+    per_src = (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_before"),
+            F.count_if(F.col("kept")).cast("long").alias("docs_after"),
+            F.sum("n_chars").cast("long").alias("chars_before"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_after"),
+        )
+        .localCheckpoint()  # 20 rows, feeds the total and the report
+    )
+    tot = per_src.agg(
+        F.sum("chars_before").cast("long").alias("tb"),
+        F.sum("chars_after").cast("long").alias("ta"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "docs_before",
+            "docs_after",
+            "chars_before",
+            "chars_after",
+            F.expr("(10000 * chars_before) div tb")
+            .cast("long")
+            .alias("share_before_bp"),
+            F.expr("(10000 * chars_after) div ta")
+            .cast("long")
+            .alias("share_after_bp"),
+            F.expr(
+                "(10000 * chars_after) div ta - (10000 * chars_before) div tb"
+            )
+            .cast("long")
+            .alias("drift_bp"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="post_dedup_mixture_drift",
+        description="per-source corpus-share drift (exact basis points) "
+        "after exact dedup keeps one copy per content hash",
+        spark=q_post_dedup_mixture_drift,
+        oracle=f"""
+            WITH srcmap AS (
+                SELECT doc_id % 20 AS k, min(source) AS c_source
+                FROM documents GROUP BY 1
+            ),
+            aug AS (
+                SELECT doc_id, source, n_chars, text FROM documents
+                UNION ALL
+                SELECT d.doc_id + {_AUG_OFFSET} AS doc_id,
+                       s.c_source AS source, d.n_chars, d.text
+                FROM documents d
+                JOIN srcmap s ON (d.doc_id + 1) % 20 = s.k
+                WHERE d.doc_id % 4 = 0
+            ),
+            hashed AS (
+                SELECT doc_id, source, n_chars, sha256(text) AS h
+                FROM aug
+            ),
+            flagged AS (
+                SELECT source, n_chars,
+                       (doc_id = min(doc_id) OVER (PARTITION BY h)) AS kept
+                FROM hashed
+            ),
+            per_src AS (
+                SELECT source,
+                       count(*) AS docs_before,
+                       sum(CASE WHEN kept THEN 1 ELSE 0 END) AS docs_after,
+                       sum(n_chars) AS chars_before,
+                       sum(CASE WHEN kept THEN n_chars ELSE 0 END)
+                           AS chars_after
+                FROM flagged GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(sum(chars_before) AS BIGINT) AS tb,
+                       CAST(sum(chars_after) AS BIGINT) AS ta
+                FROM per_src
+            )
+            SELECT source,
+                   CAST(docs_before AS BIGINT) AS docs_before,
+                   CAST(docs_after AS BIGINT) AS docs_after,
+                   CAST(chars_before AS BIGINT) AS chars_before,
+                   CAST(chars_after AS BIGINT) AS chars_after,
+                   CAST((10000 * chars_before) // tb AS BIGINT)
+                       AS share_before_bp,
+                   CAST((10000 * chars_after) // ta AS BIGINT)
+                       AS share_after_bp,
+                   CAST((10000 * chars_after) // ta
+                        - (10000 * chars_before) // tb AS BIGINT)
+                       AS drift_bp
+            FROM per_src, tot
         """,
     )
 )

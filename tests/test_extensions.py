@@ -1290,3 +1290,49 @@ class TestTfidfDocKeywords:
             want[(did, 1)][0] != max(c.items(), key=lambda kv: (kv[1], kv[0]))[0]
             for did, c in tfs.items()
         )
+
+
+class TestPostDedupMixtureDrift:
+    def test_conservation_and_bounds(self, spark, sf_dir):
+        """Mixture-drift arithmetic: kept mass conserved corpus-wide
+        (docs removed == docs - distinct content hashes), shares in
+        [0, 10000] with floor-rounding residue bounded by the source
+        count, and the natural corpus actually HAS exact dups (else the
+        query audits nothing)."""
+        import pyspark.sql.functions as F
+
+        from spark_streaming_invoice_anomaly_detection_spark.plans import (
+            extensions as E,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+
+        rows = E.q_post_dedup_mixture_drift(spark, sf_dir).collect()
+        assert len(rows) == 20
+        docs = load_table(spark, "documents", sf_dir)
+        n_base = docs.count()
+        n_copies = docs.filter(F.col("doc_id") % 4 == 0).count()
+        n_groups = docs.select(F.sha2(F.col("text"), 256)).distinct().count()
+        assert sum(r.docs_before for r in rows) == n_base + n_copies
+        # copies add no new text, so the kept set is the distinct-hash set
+        assert sum(r.docs_after for r in rows) == n_groups
+        assert n_copies > 0  # the plant guarantees dups at every SF
+        # exactly the 5 rotated receiver sources ((d+1)%20 for d%4==0)
+        # lose their syndicated mass — plus any natural-dup losers
+        losers = [r for r in rows if r.docs_after < r.docs_before]
+        assert len(losers) >= 5
+        for r in rows:
+            assert 0 <= r.docs_after <= r.docs_before
+            assert 0 <= r.chars_after <= r.chars_before
+            assert 0 <= r.share_before_bp <= 10000
+            assert 0 <= r.share_after_bp <= 10000
+            assert r.drift_bp == r.share_after_bp - r.share_before_bp
+        # floor-div shares sum to 10000 minus at most one unit per source
+        for col in ("share_before_bp", "share_after_bp"):
+            s = sum(getattr(r, col) for r in rows)
+            assert 10000 - len(rows) <= s <= 10000
+        # dedup removed mass somewhere, so at least one source drifted
+        # (shares are zero-sum in bp up to rounding, so a loser implies
+        # a gainer unless everything is flat)
+        assert any(r.docs_after < r.docs_before for r in rows)

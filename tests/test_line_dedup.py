@@ -104,3 +104,56 @@ def test_top_repeated_lines_planted_carriers(spark, sf_dir):
     assert keys == sorted(keys)
     # short-line guard: nothing below the token floor reaches the report
     assert all(len(r.line.split(" ")) >= E._LINE_MIN_TOK for r in rows)
+
+
+def test_cleaning_plan_consistency_and_census_agreement(spark, sf_dir):
+    """Cleaning plan internal arithmetic + cross-query agreement: the
+    plan's n_lines / n_docs columns must equal the census's (same
+    decomposition, same corpus), stripped mass must be bounded by the
+    census's boilerplate occurrence count per source (the census counts
+    the SAME strip condition), and the retained fraction is the exact
+    ratio of the counted columns."""
+    plan = {r.source: r for r in
+            E.q_line_dedup_cleaning_plan(spark, sf_dir).collect()}
+    census = {r.source: r for r in
+              E.q_repeated_line_census(spark, sf_dir).collect()}
+    assert set(plan) == set(census) and len(plan) == 20
+    for s, p in plan.items():
+        c = census[s]
+        assert (p.n_docs, p.n_lines) == (c.n_docs, c.n_lines)
+        assert p.n_stripped_lines == c.n_boiler_lines
+        assert 0 <= p.kept_docs <= p.n_docs
+        assert 0 <= p.chars_kept <= p.chars_total
+        assert p.retained_frac == pytest.approx(
+            p.chars_kept / p.chars_total if p.chars_total else 0.0
+        )
+
+
+def test_cleaning_is_idempotent(spark, sf_dir):
+    """Strip-all-copies semantics makes cleaning a fixpoint after one
+    pass: every RETAINED line is unique to its document (or below the
+    token guard), so a second pass would strip nothing. Verified on the
+    actual retained occurrence set, not on aggregates."""
+    occ = E._lined_docs(spark, sf_dir).select(
+        "doc_id", F.explode("lines").alias("line")
+    ).select(
+        "doc_id",
+        F.xxhash64("line").alias("lh"),  # any exact hash works here
+        F.size(F.split(F.col("line"), " ")).alias("tok"),
+    )
+    per_line = occ.groupBy("lh").agg(
+        F.count_distinct("doc_id").alias("docs")
+    )
+    retained = occ.join(per_line, "lh").filter(
+        ~((F.col("docs") >= 2) & (F.col("tok") >= E._LINE_MIN_TOK))
+    )
+    second_pass = (
+        retained.groupBy("lh")
+        .agg(
+            F.count_distinct("doc_id").alias("docs2"),
+            F.min("tok").alias("tok"),
+        )
+        .filter((F.col("docs2") >= 2) & (F.col("tok") >= E._LINE_MIN_TOK))
+        .count()
+    )
+    assert second_pass == 0
