@@ -103,6 +103,11 @@ PROBE_QUERIES = (
     "repeated_line_census",
     "top_repeated_lines",
     "line_dedup_cleaning_plan",
+    # r11: dedup x selection composition and the PII redaction plan —
+    # one-scan shapes (content-hash window / codegen regex fold)
+    "post_dedup_mixture_drift",
+    "pii_scrub_plan",
+    "encoding_integrity_census",
 )
 
 

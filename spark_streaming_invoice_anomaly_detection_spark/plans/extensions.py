@@ -7933,3 +7933,316 @@ register(
         """,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub plan (r11): the C4/RefinedWeb redaction pass, census + plan.
+# ---------------------------------------------------------------------------
+
+#: PII patterns, deliberately restricted to the regex subset whose
+#: semantics are IDENTICAL in Java regex (Spark) and RE2-ish DuckDB:
+#: character classes, bounded/unbounded greedy repetition, literal
+#: anchors — no backrefs, no lookaround, no \b. regexp_extract_all is
+#: leftmost non-overlapping in both engines.
+_PII_PATTERNS = (
+    ("email", "[a-z0-9]+@[a-z0-9]+[.][a-z]+"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"),
+)
+
+#: Planted PII (the word-salad corpus has none naturally): moduli coprime
+#: to the doc_id % 20 source stride so every source has carriers of each
+#: type. The email embeds doc_id so planted values are distinct; phone
+#: and IP are fixed boilerplate-style literals.
+_PII_EMAIL_MOD, _PII_PHONE_MOD, _PII_IP_MOD = 11, 13, 17
+
+
+def q_pii_scrub_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction plan a C4/RefinedWeb-style cleaning pass
+    materializes before training: per source, how many documents carry
+    PII-shaped spans (emails, phone numbers, IPv4 addresses), the match
+    counts per type, and the exact char mass a redactor would remove —
+    the number that decides whether redaction meaningfully shifts the
+    mixture (compose with post_dedup_mixture_drift's share math).
+
+    Planted structure: every 11th doc gains a doc_id-bearing email,
+    every 13th a phone, every 17th an IP (all moduli coprime to the
+    source stride; every 2431st doc carries all three). Detection runs
+    over the PLANTED text with the same leftmost-non-overlapping
+    ``regexp_extract_all`` in both engines, restricted to the
+    dialect-safe regex subset (_PII_PATTERNS).
+
+    Exactness: counts are int64; redact_chars folds match lengths
+    through an int64 ``F.aggregate``; the fraction is one double
+    division. Plan: ONE corpus scan into a 20-row hash agg (map-side
+    combined) — the regex work is codegen-side, no explode, no Python.
+    """
+    base = load_table(spark, "documents", sf_dir).select(
+        "source", "doc_id", "text"
+    )
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % _PII_EMAIL_MOD == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % _PII_PHONE_MOD == 0,
+            F.lit(" call 555-123-4567 now"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % _PII_IP_MOD == 0,
+            F.lit(" server 192.168.1.1 down"),
+        ).otherwise(F.lit("")),
+    )
+    d = base.withColumn("t", planted)
+    cols = {"n_chars_planted": F.length("t").cast("long")}
+    hit_any = F.lit(False)
+    for kind, pat in _PII_PATTERNS:
+        matches = F.expr(f"regexp_extract_all(t, '{pat}', 0)")
+        cols[f"n_{kind}"] = F.size(matches).cast("long")
+        cols[f"c_{kind}"] = F.expr(
+            f"aggregate(regexp_extract_all(t, '{pat}', 0), 0L,"
+            " (a, x) -> a + length(x))"
+        ).cast("long")
+        hit_any = hit_any | (F.size(matches) > 0)
+    per_doc = d.select(
+        "source",
+        hit_any.alias("has_pii"),
+        *[v.alias(k) for k, v in cols.items()],
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("has_pii")).cast("long").alias("pii_docs"),
+            *[
+                F.sum(f"n_{kind}").cast("long").alias(f"n_{kind}")
+                for kind, _ in _PII_PATTERNS
+            ],
+            F.sum(
+                sum(
+                    (F.col(f"c_{kind}") for kind, _ in _PII_PATTERNS),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("redact_chars"),
+            F.sum("n_chars_planted").cast("long").alias("chars_scanned"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "pii_docs",
+            "n_email",
+            "n_phone",
+            "n_ipv4",
+            "redact_chars",
+            "chars_scanned",
+            (
+                F.col("redact_chars").cast("double")
+                / F.col("chars_scanned").cast("double")
+            ).alias("redact_frac"),
+        )
+    )
+
+
+def _pii_oracle() -> str:
+    plant = (
+        "text"
+        f" || CASE WHEN doc_id % {_PII_EMAIL_MOD} = 0"
+        " THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " ELSE '' END"
+        f" || CASE WHEN doc_id % {_PII_PHONE_MOD} = 0"
+        " THEN ' call 555-123-4567 now' ELSE '' END"
+        f" || CASE WHEN doc_id % {_PII_IP_MOD} = 0"
+        " THEN ' server 192.168.1.1 down' ELSE '' END"
+    )
+    per_kind = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{kind},"
+        f" COALESCE(list_sum(list_transform(regexp_extract_all(t, '{pat}'),"
+        f" x -> length(x))), 0) AS c_{kind}"
+        for kind, pat in _PII_PATTERNS
+    )
+    n_sum = " + ".join(f"n_{kind}" for kind, _ in _PII_PATTERNS)
+    c_sum = " + ".join(f"c_{kind}" for kind, _ in _PII_PATTERNS)
+    return f"""
+        WITH planted AS (
+            SELECT source, doc_id, {plant} AS t FROM documents
+        ),
+        per_doc AS (
+            SELECT source, length(t) AS n_chars_planted, {per_kind}
+            FROM planted
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN {n_sum} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pii_docs,
+               CAST(sum(n_email) AS BIGINT) AS n_email,
+               CAST(sum(n_phone) AS BIGINT) AS n_phone,
+               CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+               CAST(sum({c_sum}) AS BIGINT) AS redact_chars,
+               CAST(sum(n_chars_planted) AS BIGINT) AS chars_scanned,
+               CAST(sum({c_sum}) AS DOUBLE) / CAST(sum(n_chars_planted)
+                   AS DOUBLE) AS redact_frac
+        FROM per_doc GROUP BY source
+    """
+
+
+register(
+    QuerySpec(
+        name="pii_scrub_plan",
+        description="PII redaction census + plan: per-source email/phone"
+        "/IPv4 match counts and the exact char mass a redactor removes",
+        spark=q_pii_scrub_plan,
+        oracle=_pii_oracle(),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Encoding integrity census (r11): mojibake / control-char artifacts.
+# ---------------------------------------------------------------------------
+
+#: Artifact plants for the encoding census (the word-salad corpus is
+#: clean ASCII): U+FFFD on every 19th doc (the decoder-replacement
+#: mojibake marker), BEL (\x07, a C0 control char) on every 23rd —
+#: moduli coprime to the doc_id % 20 source stride. Patterns stay in
+#: the Java/RE2-common subset; \t \n \r are NOT counted as artifacts.
+_ENC_FFFD_MOD, _ENC_CTRL_MOD = 19, 23
+#: DuckDB-side C0 class uses RE2 \x escapes; the Spark side builds the
+#: SAME class from chr() and ships it as a Column literal
+#: (F.regexp_extract_all with a lit pattern) because Spark's SQL string
+#: parser mangles \x escapes inside F.expr literals ('\x00' -> 'x00',
+#: silently turning the class into [x00-...] — measured 124k false
+#: matches at sf0.001 before this was caught by the planted-count test).
+_ENC_CTRL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+_ENC_CTRL_CLASS_RAW = (
+    f"[{chr(0)}-{chr(8)}{chr(11)}{chr(12)}{chr(14)}-{chr(31)}]"
+)
+
+
+def q_encoding_integrity_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source encoding-artifact census — the CCNet-style "garbage"
+    check a web pipeline runs before quality scoring: documents
+    carrying U+FFFD replacement characters (mis-decoded bytes) or C0
+    control characters (binary bleed-through), with per-type char
+    counts and the affected-doc fraction. Completes the cleaning trio:
+    repeated-line boilerplate (structure), PII (content), encoding
+    (representation).
+
+    Planted structure: U+FFFD appended to every 19th doc, BEL to every
+    23rd (coprime to the source stride; every 437th doc carries both).
+    Counting uses ``regexp_extract_all`` length with patterns from the
+    dialect-safe subset — the C0 class spells out hex ranges and
+    excludes tab/newline/CR, identical semantics in Java regex and
+    DuckDB's RE2.
+
+    Exactness: all counts int64; the fraction is one double division.
+    Plan: ONE codegen-side corpus scan into a 20-row map-side-combined
+    agg — the same single-exchange shape as pii_scrub_plan.
+    """
+    base = load_table(spark, "documents", sf_dir).select(
+        "source", "doc_id", "text"
+    )
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % _ENC_FFFD_MOD == 0,
+            F.lit(" broken � run"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % _ENC_CTRL_MOD == 0,
+            F.lit(" bell \x07 noise"),
+        ).otherwise(F.lit("")),
+    )
+    d = base.withColumn("t", planted)
+    n_fffd = F.size(
+        F.regexp_extract_all(F.col("t"), F.lit("�"), F.lit(0))
+    ).cast("long")
+    n_ctrl = F.size(
+        F.regexp_extract_all(
+            F.col("t"), F.lit(_ENC_CTRL_CLASS_RAW), F.lit(0)
+        )
+    ).cast("long")
+    per_doc = d.select(
+        "source",
+        n_fffd.alias("d_fffd"),
+        n_ctrl.alias("d_ctrl"),
+        F.length("t").cast("long").alias("d_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if((F.col("d_fffd") > 0) | (F.col("d_ctrl") > 0))
+            .cast("long")
+            .alias("artifact_docs"),
+            F.sum("d_fffd").cast("long").alias("n_fffd"),
+            F.sum("d_ctrl").cast("long").alias("n_ctrl"),
+            F.sum("d_chars").cast("long").alias("chars_scanned"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "artifact_docs",
+            "n_fffd",
+            "n_ctrl",
+            "chars_scanned",
+            (
+                F.col("artifact_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("artifact_doc_frac"),
+        )
+    )
+
+
+def _encoding_oracle() -> str:
+    plant = (
+        "text"
+        f" || CASE WHEN doc_id % {_ENC_FFFD_MOD} = 0"
+        " THEN ' broken ' || chr(65533) || ' run' ELSE '' END"
+        f" || CASE WHEN doc_id % {_ENC_CTRL_MOD} = 0"
+        " THEN ' bell ' || chr(7) || ' noise' ELSE '' END"
+    )
+    return f"""
+        WITH planted AS (
+            SELECT source, doc_id, {plant} AS t FROM documents
+        ),
+        per_doc AS (
+            SELECT source,
+                   len(regexp_extract_all(t, chr(65533))) AS d_fffd,
+                   len(regexp_extract_all(t, '{_ENC_CTRL_CLASS}'))
+                       AS d_ctrl,
+                   length(t) AS d_chars
+            FROM planted
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN d_fffd > 0 OR d_ctrl > 0 THEN 1 ELSE 0
+                        END) AS BIGINT) AS artifact_docs,
+               CAST(sum(d_fffd) AS BIGINT) AS n_fffd,
+               CAST(sum(d_ctrl) AS BIGINT) AS n_ctrl,
+               CAST(sum(d_chars) AS BIGINT) AS chars_scanned,
+               CAST(sum(CASE WHEN d_fffd > 0 OR d_ctrl > 0 THEN 1 ELSE 0
+                        END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS artifact_doc_frac
+        FROM per_doc GROUP BY source
+    """
+
+
+register(
+    QuerySpec(
+        name="encoding_integrity_census",
+        description="per-source mojibake/control-char artifact census "
+        "(U+FFFD and C0 counts, affected-doc fraction)",
+        spark=q_encoding_integrity_census,
+        oracle=_encoding_oracle(),
+    )
+)

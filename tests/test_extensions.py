@@ -1336,3 +1336,81 @@ class TestPostDedupMixtureDrift:
         # (shares are zero-sum in bp up to rounding, so a loser implies
         # a gainer unless everything is flat)
         assert any(r.docs_after < r.docs_before for r in rows)
+
+
+class TestPiiScrubPlan:
+    def test_planted_carriers_exact(self, spark, sf_dir):
+        """Every planted PII span is found: per-source email/phone/ip
+        counts equal the exact carrier counts from the doc_id moduli
+        (computed independently from the raw table), pii_docs matches
+        the union-of-moduli carrier set, and redact_chars equals the
+        summed literal lengths of the planted spans (the corpus itself
+        is PII-free word salad)."""
+        import pyspark.sql.functions as F  # noqa: F401
+
+        from spark_streaming_invoice_anomaly_detection_spark.plans import (
+            extensions as E,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+
+        rows = {r.source: r for r in
+                E.q_pii_scrub_plan(spark, sf_dir).collect()}
+        assert len(rows) == 20
+        ids = [
+            (r.source, r.doc_id)
+            for r in load_table(spark, "documents", sf_dir)
+            .select("source", "doc_id")
+            .collect()
+        ]
+        for s, r in rows.items():
+            sid = [d for src, d in ids if src == s]
+            em = [d for d in sid if d % E._PII_EMAIL_MOD == 0]
+            ph = [d for d in sid if d % E._PII_PHONE_MOD == 0]
+            ip = [d for d in sid if d % E._PII_IP_MOD == 0]
+            assert r.n_email == len(em)
+            assert r.n_phone == len(ph)
+            assert r.n_ipv4 == len(ip)
+            assert r.pii_docs == len(set(em) | set(ph) | set(ip))
+            want_chars = (
+                sum(len(f"user{d}@example.com") for d in em)
+                + len("555-123-4567") * len(ph)
+                + len("192.168.1.1") * len(ip)
+            )
+            assert r.redact_chars == want_chars
+            assert r.redact_frac == (
+                r.redact_chars / r.chars_scanned if r.chars_scanned else 0.0
+            )
+
+
+class TestEncodingIntegrityCensus:
+    def test_planted_artifacts_exact(self, spark, sf_dir):
+        """Per-source U+FFFD / C0 counts equal the exact carrier counts
+        from the doc_id moduli; the base corpus contributes zero
+        artifacts (clean ASCII word salad), so every count is fully
+        explained by the plant."""
+        from spark_streaming_invoice_anomaly_detection_spark.plans import (
+            extensions as E,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+
+        rows = {r.source: r for r in
+                E.q_encoding_integrity_census(spark, sf_dir).collect()}
+        assert len(rows) == 20
+        ids = [
+            (r.source, r.doc_id)
+            for r in load_table(spark, "documents", sf_dir)
+            .select("source", "doc_id")
+            .collect()
+        ]
+        for s, r in rows.items():
+            sid = [d for src, d in ids if src == s]
+            fd = [d for d in sid if d % E._ENC_FFFD_MOD == 0]
+            ct = [d for d in sid if d % E._ENC_CTRL_MOD == 0]
+            assert r.n_fffd == len(fd)
+            assert r.n_ctrl == len(ct)
+            assert r.artifact_docs == len(set(fd) | set(ct))
+            assert r.artifact_doc_frac == r.artifact_docs / r.n_docs
