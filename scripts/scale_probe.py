@@ -108,6 +108,7 @@ PROBE_QUERIES = (
     "post_dedup_mixture_drift",
     "pii_scrub_plan",
     "encoding_integrity_census",
+    "cleaning_funnel_report",
 )
 
 

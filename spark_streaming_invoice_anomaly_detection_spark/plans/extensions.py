@@ -8246,3 +8246,279 @@ register(
         oracle=_encoding_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Cleaning funnel report (r11 capstone): the end-to-end survivor funnel.
+# ---------------------------------------------------------------------------
+
+
+#: Pure-chrome plant for the funnel: every 29th doc (coprime to the
+#: source stride and every other plant modulus) is REPLACED by this
+#: EXACTLY-12-token boilerplate line plus a unique 1-token tail — the
+#: tail lands in its own second token_lines(width=12) line, so the
+#: shared line is cross-document repeated (stripped) while the full
+#: text stays distinct (exact dedup cannot catch it) and the surviving
+#: 1 token is under _CLEAN_MIN_TOK (the doc dies at the boilerplate
+#: stage, and ONLY there).
+_FUNNEL_CHROME_MOD = 29
+_FUNNEL_BOILER = (
+    "click here to sign up for our daily digest and special offers"
+)
+assert len(_FUNNEL_BOILER.split()) == _LINE_W
+
+
+def q_cleaning_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel a pipeline owner reads after wiring the whole cleaning
+    stack: per source, how many documents survive each stage, applied in
+    the production order (CCNet-style: exact dedup runs EARLY, before
+    line-level dedup, precisely so whole-document copies don't turn
+    every one of their lines into "cross-document boilerplate") —
+
+    1. corpus = documents with two plants applied: every 29th doc is
+       REPLACED by a shared 12-token boilerplate line plus a unique
+       1-token tail (the pure-chrome page: distinct text, so exact
+       dedup cannot catch it, but every content line is cross-document
+       repeated); then every 4th doc's text is syndicated verbatim into
+       the rotated source (the mixture-drift plant, exact dups at every
+       SF);
+    2. ENCODING gate: drop docs carrying U+FFFD / C0 artifacts (the
+       encoding census's moduli);
+    3. EXACT DEDUP: keep min-doc_id per sha256 among encoding
+       survivors — kills the syndicated copies;
+    4. BOILERPLATE strip over the DEDUPED corpus: remove cross-document
+       repeated lines (>=5-token guard), then drop docs left under
+       _CLEAN_MIN_TOK tokens — kills the pure-chrome plants (their
+       surviving unique tail is 1 token);
+    5. PII: redact-in-place among final survivors (counted, not
+       dropped — the C4 policy).
+
+    Every stage has a deterministic non-vacuous drop, and each stage's
+    arithmetic is pinned by its own family's oracled query; this report
+    composes them. The artifact/PII flags use the plant moduli directly
+    (this query owns the plant; the per-family censuses pin the
+    modulus<->regex equivalence against the real patterns).
+
+    Plan: encoding+dedup are flag logic plus one content-hash window;
+    the line spine (explode + per-line agg + hash join back) runs over
+    the already-deduped survivor set — strictly less work than the
+    census's full-corpus pass; one 20-row rollup each for the head and
+    tail of the funnel.
+    """
+    base = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    chrome = F.when(
+        F.col("doc_id") % _FUNNEL_CHROME_MOD == 0,
+        F.concat(
+            F.lit(_FUNNEL_BOILER + " u"), F.col("doc_id").cast("string")
+        ),
+    ).otherwise(F.col("text"))
+    planted = base.select("doc_id", "source", chrome.alias("text"))
+    srcmap = (
+        base.groupBy((F.col("doc_id") % 20).alias("k"))
+        .agg(F.min("source").alias("c_source"))
+        .localCheckpoint()  # 20 rows, reused by every corpus branch
+    )
+    copies = (
+        planted.filter(F.col("doc_id") % 4 == 0)
+        .withColumn("k", (F.col("doc_id") + 1) % 20)
+        .join(F.broadcast(srcmap), "k")
+        .select(
+            (F.col("doc_id") + _AUG_OFFSET).alias("doc_id"),
+            F.col("c_source").alias("source"),
+            "text",
+        )
+    )
+    corpus = planted.unionByName(copies)
+
+    has_artifact = (F.col("doc_id") % _ENC_FFFD_MOD == 0) | (
+        F.col("doc_id") % _ENC_CTRL_MOD == 0
+    )
+    has_pii = (
+        (F.col("doc_id") % _PII_EMAIL_MOD == 0)
+        | (F.col("doc_id") % _PII_PHONE_MOD == 0)
+        | (F.col("doc_id") % _PII_IP_MOD == 0)
+    )
+    flagged = corpus.select(
+        "doc_id",
+        "source",
+        "text",
+        has_artifact.alias("artifact"),
+        has_pii.alias("pii"),
+    )
+    s1 = flagged.filter(~F.col("artifact"))
+    wk = Window.partitionBy(F.sha2(F.col("text"), 256))
+    s2 = (
+        s1.withColumn("keep", F.col("doc_id") == F.min("doc_id").over(wk))
+        .filter(F.col("keep"))
+        .select("doc_id", "source", "text", "pii")
+    )
+    lined = s2.select(
+        "doc_id",
+        "source",
+        "pii",
+        F.explode_outer(D.token_lines(F.col("text"), _LINE_W)).alias(
+            "line"
+        ),
+    ).select(
+        "doc_id",
+        "source",
+        "pii",
+        X.h60(F.col("line")).alias("line_hash"),
+        F.size(F.split(F.col("line"), " ")).alias("line_tok"),
+    )
+    per_line = (
+        lined.filter(F.col("line_hash").isNotNull())
+        .groupBy("line_hash")
+        .agg(F.count_distinct("doc_id").alias("line_docs"))
+    )
+    strip = (F.col("line_docs") >= 2) & (F.col("line_tok") >= _LINE_MIN_TOK)
+    per_doc = (
+        lined.join(per_line, "line_hash", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.first("pii").alias("pii"),
+            F.coalesce(
+                F.sum(F.when(~strip, F.col("line_tok")).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("kept_tok"),
+        )
+    )
+    head = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.count_if(~F.col("artifact")).cast("long").alias("after_encoding"),
+    )
+    # after_dedup / kept / pii come from ONE aggregate over per_doc —
+    # every s2 survivor reaches per_doc (explode_outer keeps zero-line
+    # docs), so count(*) here IS the post-dedup census and the
+    # boilerplate gate is a conditional count, not a second pipeline
+    survive = F.col("kept_tok") >= _CLEAN_MIN_TOK
+    tail = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("after_dedup"),
+        F.count_if(survive).cast("long").alias("kept_docs"),
+        F.count_if(survive & F.col("pii")).cast("long").alias(
+            "pii_redacted"
+        ),
+    )
+    return (
+        head.join(F.broadcast(tail), "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            "after_encoding",
+            F.coalesce(F.col("after_dedup"), F.lit(0).cast("long")).alias(
+                "after_dedup"
+            ),
+            F.coalesce(F.col("kept_docs"), F.lit(0).cast("long")).alias(
+                "kept_docs"
+            ),
+            F.coalesce(F.col("pii_redacted"), F.lit(0).cast("long")).alias(
+                "pii_redacted"
+            ),
+            (
+                F.coalesce(F.col("kept_docs"), F.lit(0)).cast("double")
+                / F.col("docs_in").cast("double")
+            ).alias("kept_frac"),
+        )
+    )
+
+
+def _funnel_oracle() -> str:
+    return f"""
+        WITH srcmap AS (
+            SELECT doc_id % 20 AS k, min(source) AS c_source
+            FROM documents GROUP BY 1
+        ),
+        plantbase AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % {_FUNNEL_CHROME_MOD} = 0
+                        THEN '{_FUNNEL_BOILER} u' || CAST(doc_id AS VARCHAR)
+                        ELSE text END AS text
+            FROM documents
+        ),
+        corpus AS MATERIALIZED (
+            SELECT doc_id, source, text FROM plantbase
+            UNION ALL
+            SELECT d.doc_id + {_AUG_OFFSET}, s.c_source, d.text
+            FROM plantbase d
+            JOIN srcmap s ON (d.doc_id + 1) % 20 = s.k
+            WHERE d.doc_id % 4 = 0
+        ),
+        flagged AS (
+            SELECT doc_id, source, text,
+                   (doc_id % {_ENC_FFFD_MOD} = 0
+                    OR doc_id % {_ENC_CTRL_MOD} = 0) AS artifact,
+                   (doc_id % {_PII_EMAIL_MOD} = 0
+                    OR doc_id % {_PII_PHONE_MOD} = 0
+                    OR doc_id % {_PII_IP_MOD} = 0) AS pii
+            FROM corpus
+        ),
+        s2 AS MATERIALIZED (
+            SELECT doc_id, source, text, pii
+            FROM (
+                SELECT *, (doc_id = min(doc_id)
+                           OVER (PARTITION BY sha256(text))) AS keep
+                FROM flagged WHERE NOT artifact
+            ) WHERE keep
+        ),
+        lined AS (
+            SELECT doc_id, source, pii,
+                   {h60_sql('l.line')} AS line_hash,
+                   len(string_split(l.line, ' ')) AS line_tok
+            FROM s2, unnest({_lines_sql(_TOKENS_SQL)}) AS l(line)
+        ),
+        per_line AS (
+            SELECT line_hash, count(DISTINCT doc_id) AS line_docs
+            FROM lined GROUP BY 1
+        ),
+        per_doc AS (
+            SELECT o.doc_id, o.source, bool_or(o.pii) AS pii,
+                   sum(CASE WHEN NOT (p.line_docs >= 2
+                                      AND o.line_tok >= {_LINE_MIN_TOK})
+                            THEN o.line_tok ELSE 0 END) AS kept_tok
+            FROM lined o JOIN per_line p USING (line_hash)
+            GROUP BY 1, 2
+        ),
+        s3 AS (
+            SELECT doc_id, source, pii FROM per_doc
+            WHERE kept_tok >= {_CLEAN_MIN_TOK}
+        ),
+        head AS (
+            SELECT source, count(*) AS docs_in,
+                   sum(CASE WHEN NOT artifact THEN 1 ELSE 0 END)
+                       AS after_encoding
+            FROM flagged GROUP BY 1
+        ),
+        mid AS (SELECT source, count(*) AS after_dedup FROM s2 GROUP BY 1),
+        tail AS (
+            SELECT source, count(*) AS kept_docs,
+                   sum(CASE WHEN pii THEN 1 ELSE 0 END) AS pii_redacted
+            FROM s3 GROUP BY 1
+        )
+        SELECT h.source,
+               CAST(h.docs_in AS BIGINT) AS docs_in,
+               CAST(h.after_encoding AS BIGINT) AS after_encoding,
+               CAST(COALESCE(m.after_dedup, 0) AS BIGINT) AS after_dedup,
+               CAST(COALESCE(t.kept_docs, 0) AS BIGINT) AS kept_docs,
+               CAST(COALESCE(t.pii_redacted, 0) AS BIGINT) AS pii_redacted,
+               CAST(COALESCE(t.kept_docs, 0) AS DOUBLE)
+                   / CAST(h.docs_in AS DOUBLE) AS kept_frac
+        FROM head h
+        LEFT JOIN mid m USING (source)
+        LEFT JOIN tail t USING (source)
+    """
+
+
+register(
+    QuerySpec(
+        name="cleaning_funnel_report",
+        description="end-to-end cleaning funnel: per-source survivors "
+        "through encoding gate -> exact dedup -> boilerplate strip + "
+        "min-length -> PII redaction census",
+        spark=q_cleaning_funnel_report,
+        oracle=_funnel_oracle(),
+    )
+)

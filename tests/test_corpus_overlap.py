@@ -233,9 +233,17 @@ def test_dedup_recall_matrix_shape(spark, sf_dir):
     rows = E.q_dedup_recall_matrix(spark, sf_dir).collect()
     got = {(r.modality, r.plant_kind): r for r in rows}
     kinds = {k for k, _ in E._RECALL_PLANTS}
+    # the substring_span modality/plant pair (r11) has its own support
+    # story pinned in tests/test_span_dedup.py
     assert set(got) == {
         (m, k)
-        for m in ("exact", "bag_of_words", "prefix_containment", "minhash_lsh")
+        for m in (
+            "exact",
+            "bag_of_words",
+            "prefix_containment",
+            "minhash_lsh",
+            "substring_span",
+        )
         for k in kinds
     }
     n = got[("exact", "verbatim")].n_planted

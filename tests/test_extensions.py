@@ -1414,3 +1414,60 @@ class TestEncodingIntegrityCensus:
             assert r.n_ctrl == len(ct)
             assert r.artifact_docs == len(set(fd) | set(ct))
             assert r.artifact_doc_frac == r.artifact_docs / r.n_docs
+
+
+class TestCleaningFunnelReport:
+    def test_monotone_and_cross_pinned(self, spark, sf_dir):
+        """Funnel invariants: stage counts are monotone non-increasing,
+        docs_in matches the mixture-drift corpus (same syndication
+        plant), and the stage-1 drop equals the exact artifact-carrier
+        count over the funnel corpus (encoding census moduli applied to
+        base + shifted copy ids)."""
+        from spark_streaming_invoice_anomaly_detection_spark.plans import (
+            extensions as E,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+
+        rows = {r.source: r for r in
+                E.q_cleaning_funnel_report(spark, sf_dir).collect()}
+        assert len(rows) == 20
+        drift = {r.source: r for r in
+                 E.q_post_dedup_mixture_drift(spark, sf_dir).collect()}
+        for s, r in rows.items():
+            # same syndication plant -> same per-source corpus size
+            assert r.docs_in == drift[s].docs_before
+            assert r.docs_in >= r.after_encoding >= r.after_dedup
+            assert r.after_dedup >= r.kept_docs >= 0
+            assert 0 <= r.pii_redacted <= r.kept_docs
+            assert r.kept_frac == r.kept_docs / r.docs_in
+        # exact stage-1 arithmetic, computed independently
+        base = [
+            (r.source, r.doc_id)
+            for r in load_table(spark, "documents", sf_dir)
+            .select("source", "doc_id")
+            .collect()
+        ]
+        by_k: dict = {}
+        for s, d in base:
+            k = d % 20
+            by_k[k] = min(by_k.get(k, s), s)
+        corpus = [(s, d) for s, d in base] + [
+            (by_k[(d + 1) % 20], d + E._AUG_OFFSET)
+            for s, d in base
+            if d % 4 == 0
+        ]
+        for s, r in rows.items():
+            ids = [d for src, d in corpus if src == s]
+            artifacts = [
+                d for d in ids
+                if d % E._ENC_FFFD_MOD == 0 or d % E._ENC_CTRL_MOD == 0
+            ]
+            assert r.docs_in - r.after_encoding == len(artifacts)
+        # every stage funnels corpus-wide: artifacts at encoding,
+        # syndicated copies at dedup, pure-chrome plants at boilerplate
+        tot = lambda col: sum(getattr(r, col) for r in rows.values())
+        assert tot("docs_in") > tot("after_encoding")
+        assert tot("after_encoding") > tot("after_dedup")
+        assert tot("after_dedup") > tot("kept_docs")

@@ -308,6 +308,15 @@ def test_registry_plan_hygiene(spark, sf_dir):
     # gate (2), plus one bucket-stats agg and one 16-group census — each
     # keyed on int64 ids or 60-bit bucket hashes, nothing quadratic.
     shuffle_allow.add("dedup_recall_matrix")
+    # the r11 five-stage cleaning funnel composes four oracled families
+    # in sequence (8 exchanges, itemized): pre-dedup head census (1),
+    # content-hash dedup window (1), per-line doc-count agg (1) + the
+    # line_hash join back (2), per-doc rollup (1), post-dedup tail
+    # census (1), plus the corpus union's source map (1, 20-row
+    # localCheckpoint). Every exchange is keyed on int64 hashes, doc
+    # ids, or the 20-value source column; nothing quadratic, and the
+    # line spine runs over the already-deduped survivor set.
+    shuffle_allow.add("cleaning_funnel_report")
     # training queries execute .fit() at build time — cost, not plan shape;
     # their serving plans are pinned in tests/test_ml.py
     skip_build = {"kmeans_invoice_anomalies", "bisecting_invoice_anomalies"}

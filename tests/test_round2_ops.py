@@ -246,32 +246,47 @@ class TestRegistryRotation:
         """The driver walks queries() in order under a wall-clock budget;
         the rotation contract (derived entirely from parsed CORRECTNESS
         files, round-3 VERDICT #1/#2): latest-row-failed queries first,
-        then never-driver-checked ones, then green ones oldest-round-first.
-        Since r8 a green query whose DEFINITION changed after its green
-        row (fingerprint mismatch) rides the never-checked tier — exclude
-        those here; test_verification_staleness.py pins their placement."""
+        then changed-since-green (r8), then AT-RISK greens (r9 VERDICT
+        #2: a green whose verification age at the next judging is within
+        one round of the staleness SLA is promoted AHEAD of new
+        never-checked registrations — the new ones have no deadline, the
+        stale cohort does), then never-checked, then the remaining
+        greens oldest-round-first. This tier model only diverges from
+        the old failed/never/green 3-tier one in rounds where BOTH the
+        at-risk and never tiers are simultaneously non-empty (first hit
+        r11: the r6 cohort aged into at-risk while the round registered
+        new queries)."""
         from spark_streaming_invoice_anomaly_detection_spark.plans.registry import (
             _DRIVER_HISTORY,
             changed_since_verification,
+            max_age_rounds,
             queries,
         )
 
         names = list(queries())
         hist = _DRIVER_HISTORY
         changed = changed_since_verification()
+        newest = max((rnd for rnd, _ok in hist.values()), default=0)
+        threshold = max_age_rounds() - 1
 
         def tier(n):
-            if n not in hist or n in changed:
-                return 1
-            return 0 if not hist[n][1] else 2
+            if n in hist and n not in changed and not hist[n][1]:
+                return 0  # failed-latest
+            if n in hist and n in changed:
+                return 1  # changed-since-green
+            if n in hist and newest + 1 - hist[n][0] >= threshold:
+                return 2  # at-risk green (promoted ahead of never)
+            if n not in hist:
+                return 3  # never driver-checked
+            return 4  # green, inside the SLA
 
         tiers = [tier(n) for n in names]
         assert tiers == sorted(tiers), (
-            "order must be failed-latest, never-checked/changed, green"
+            "order must be failed, changed, at-risk green, never, green"
         )
-        green = [n for n in names if tier(n) == 2]
+        green = [n for n in names if tier(n) in (2, 4)]
         rounds = [hist[n][0] for n in green]
-        assert rounds == sorted(rounds), "green tier must be oldest-round-first"
+        assert rounds == sorted(rounds), "green tiers must be oldest-round-first"
 
     def test_history_parses_pass_fail(self):
         """A row with any *_match False or a real err counts as failed;
