@@ -109,6 +109,7 @@ PROBE_QUERIES = (
     "pii_scrub_plan",
     "encoding_integrity_census",
     "cleaning_funnel_report",
+    "vocab_growth_curve",
 )
 
 

@@ -8522,3 +8522,147 @@ register(
         oracle=_funnel_oracle(),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (r11): Heaps-law audit per source.
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth per source: distinct-token count as a
+    function of corpus fraction — the curve that says whether MORE data
+    from a source still buys new vocabulary (natural text keeps growing
+    ~ N^beta; template/spam sources flatline, and a flat curve at small
+    fractions is the cheap tell).
+
+    The fraction axis is a RANDOM subsample, not ingestion order: each
+    document lands in one of 10 buckets by uniform hash
+    (h60('vg:' || doc_id) % 10 + 1 — modulo, NOT a *10 scale, which
+    would overflow int64 at h > 2^59.8; the mod-10 bias over a 2^60
+    hash space is 6/2^60, and identical in both engines, which is what
+    the hash check needs), and the curve reports cumulative distinct
+    vocabulary and token mass over buckets 1..d. Random subsampling is
+    the statistically right x-axis for Heaps (ingestion order conflates
+    topical drift with growth) AND the scale-right plan: no per-source
+    window over the corpus at all — a token's first-seen bucket is
+    ``min(bucket)`` in the same hash aggregation that dedups it, and
+    the cumulative sums run over the 200-row (source, decile) grid.
+
+    Exactness: all counts int64; no division at all. Plan: one
+    tokenize+explode into a (source, token) agg carrying min(bucket)
+    and count; two tiny grid rollups + one 200-row window.
+    """
+    docs = spread_if_narrow(
+        load_table(spark, "documents", sf_dir)
+    ).filter(F.col("text").isNotNull())
+    bucket = (
+        X.h60(F.concat(F.lit("vg:"), F.col("doc_id").cast("string")))
+        % F.lit(10)
+        + F.lit(1)
+    ).cast("int")
+    toks = docs.select(
+        "source",
+        bucket.alias("b"),
+        F.explode(X.tokenize(F.col("text"))).alias("token"),
+    )
+    per_tok = toks.groupBy("source", "token").agg(
+        F.min("b").alias("first_b")
+    )
+    # occurrences per (source, bucket) need the per-bucket split, which
+    # the (source, token) agg above collapses — count them directly from
+    # the exploded frame (same shuffle key family, map-side combined)
+    occ = toks.groupBy("source", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    vocab = per_tok.groupBy("source", F.col("first_b").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_vocab")
+    )
+    # complete (source x decile) grid: a decile that happened to receive
+    # no documents still gets a curve point carrying the running totals
+    full = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("b"),
+        )
+    )
+    grid = (
+        full.join(occ, ["source", "b"], "left")
+        .join(vocab, ["source", "b"], "left")
+        .select(
+            "source",
+            "b",
+            F.coalesce(F.col("occ"), F.lit(0).cast("long")).alias("occ"),
+            F.coalesce(F.col("new_vocab"), F.lit(0).cast("long")).alias(
+                "new_vocab"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.select(
+        "source",
+        F.col("b").alias("decile"),
+        F.sum("occ").over(w).cast("long").alias("tokens_cum"),
+        F.sum("new_vocab").over(w).cast("long").alias("vocab_cum"),
+    )
+
+
+def _vocab_growth_oracle() -> str:
+    h = h60_sql("'vg:' || CAST(doc_id AS VARCHAR)")
+    bucket = f"CAST({h} % 10 AS INT) + 1"
+    return f"""
+        WITH toks AS (
+            SELECT source, {bucket} AS b, t.token
+            FROM documents, unnest({_TOKENS_SQL}) AS t(token)
+            WHERE text IS NOT NULL
+        ),
+        per_tok AS (
+            SELECT source, token, min(b) AS first_b
+            FROM toks GROUP BY 1, 2
+        ),
+        occ AS (
+            SELECT source, b, count(*) AS occ FROM toks GROUP BY 1, 2
+        ),
+        vocab AS (
+            SELECT source, first_b AS b, count(*) AS new_vocab
+            FROM per_tok GROUP BY 1, 2
+        ),
+        full_grid AS (
+            SELECT s.source, CAST(r.b AS INT) AS b
+            FROM (SELECT DISTINCT source FROM documents
+                  WHERE text IS NOT NULL) s,
+                 range(1, 11) r(b)
+        ),
+        grid AS (
+            SELECT f.source, f.b,
+                   COALESCE(o.occ, 0) AS occ,
+                   COALESCE(v.new_vocab, 0) AS new_vocab
+            FROM full_grid f
+            LEFT JOIN occ o ON f.source = o.source AND f.b = o.b
+            LEFT JOIN vocab v ON f.source = v.source AND f.b = v.b
+        )
+        SELECT source,
+               CAST(b AS INT) AS decile,
+               CAST(sum(occ) OVER (PARTITION BY source ORDER BY b
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+               CAST(sum(new_vocab) OVER (PARTITION BY source ORDER BY b
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+        FROM grid
+    """
+
+
+register(
+    QuerySpec(
+        name="vocab_growth_curve",
+        description="Heaps-law vocabulary growth per source over "
+        "hash-decile subsamples (cumulative vocab + token mass)",
+        spark=q_vocab_growth_curve,
+        oracle=_vocab_growth_oracle(),
+    )
+)

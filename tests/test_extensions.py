@@ -1471,3 +1471,57 @@ class TestCleaningFunnelReport:
         assert tot("docs_in") > tot("after_encoding")
         assert tot("after_encoding") > tot("after_dedup")
         assert tot("after_dedup") > tot("kept_docs")
+
+
+class TestVocabGrowthCurve:
+    def test_monotone_and_endpoints(self, spark, sf_dir):
+        """Curve invariants: exactly 10 deciles per source, both
+        cumulatives monotone non-decreasing, and the endpoints equal
+        independently-computed per-source totals (decile 10 sees the
+        whole source: vocab_cum == distinct tokens, tokens_cum == total
+        token occurrences)."""
+        import pyspark.sql.functions as F
+
+        from spark_streaming_invoice_anomaly_detection_spark.operators import (
+            text as X,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.plans import (
+            extensions as E,
+        )
+        from spark_streaming_invoice_anomaly_detection_spark.sources.catalog import (
+            load_table,
+        )
+
+        rows = E.q_vocab_growth_curve(spark, sf_dir).collect()
+        by_src: dict = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append(r)
+        assert len(by_src) == 20
+        tok = (
+            load_table(spark, "documents", sf_dir)
+            .filter(F.col("text").isNotNull())
+            .select(
+                "source", F.explode(X.tokenize(F.col("text"))).alias("t")
+            )
+        )
+        want = {
+            r.source: (r.n_tok, r.n_vocab)
+            for r in tok.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_tok"),
+                F.count_distinct("t").alias("n_vocab"),
+            )
+            .collect()
+        }
+        for s, curve in by_src.items():
+            curve.sort(key=lambda r: r.decile)
+            assert [r.decile for r in curve] == list(range(1, 11))
+            toks = [r.tokens_cum for r in curve]
+            voc = [r.vocab_cum for r in curve]
+            assert toks == sorted(toks) and voc == sorted(voc)
+            assert (toks[-1], voc[-1]) == want[s]
+            # Heaps: vocabulary grows strictly slower than token mass
+            # (sub-linearity shows up even at test SFs: the decile-1
+            # vocab fraction exceeds the decile-1 token fraction only
+            # if every token were unique)
+            assert voc[0] <= want[s][1]
