@@ -110,6 +110,11 @@ PROBE_QUERIES = (
     "encoding_integrity_census",
     "cleaning_funnel_report",
     "vocab_growth_curve",
+    # r11: routine-cadence slices of the two heavy audits — probed so
+    # the sampled-vs-full ratio is on record at the scale where pair
+    # work (not fixed overhead) dominates
+    "minhash_threshold_sweep_sampled",
+    "dedup_recall_matrix_sampled",
 )
 
 

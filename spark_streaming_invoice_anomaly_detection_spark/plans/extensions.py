@@ -6616,7 +6616,10 @@ def q_minhash_threshold_sweep(
     ``minhash_threshold_sweep_sampled`` runs the same curve over the
     ``doc_id % _AUDIT_SAMPLE_MOD`` slice (the APSS pattern: ~1/5 of
     docs, ~1/25 of candidate-pair work) — full mode stays the audit of
-    record at corpus revisions.
+    record at corpus revisions. Measured at x100, where pair work (not
+    fixed overhead) dominates: sampled 13.5 s vs full 85.8 s, >6x on a
+    like-for-like box (scripts/probe_results/ r11 vs r10; at sf0.1 the
+    gap is only ~1.2x because session+tokenize overheads dominate).
     """
     pairs0 = D.minhash_near_dups(
         _augmented_docs(spark, sf_dir, sample_mod),
@@ -7093,7 +7096,9 @@ def q_dedup_recall_matrix(
     ``dedup_recall_matrix_sampled`` runs the same 25-cell matrix over
     the ``doc_id % _AUDIT_SAMPLE_MOD`` base slice (~1/5 of plants,
     ~1/25 of LSH pair work; slicing BEFORE planting keeps every planted
-    pair whole) — full mode stays the audit of record.
+    pair whole) — full mode stays the audit of record. Measured at
+    x100: sampled 73.3 s vs full 236.8 s (>3x; the matrix's fixed
+    banded-pipeline setup amortizes less than the sweep's).
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     if sample_mod is not None:
