@@ -52,6 +52,32 @@ def spread_if_narrow(df: DataFrame) -> DataFrame:
     return df
 
 
+def cluster_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition a NARROW scan by the downstream aggregation/join
+    key — :func:`spread_if_narrow`'s keyed twin (r11 optimization round).
+
+    Where the round-robin spread adds an exchange on top of the one the
+    downstream groupBy needs anyway, the keyed spread IS that exchange:
+    ``repartition(target, key)`` satisfies the aggregation's required
+    distribution, so EnsureRequirements inserts no second shuffle and the
+    (otherwise single-threaded) aggregation work runs cluster-wide after
+    the one exchange. Trade-off vs the default map-side-combine plan: the
+    exchange carries raw rows instead of partial aggregates — a win
+    exactly when the upstream side is too narrow to combine in parallel
+    (measured on invoice_featurize at sf0.1: 1.25 s -> 1.01 s; the
+    round-robin spread measured a LOSS there, 1.22 s, because its extra
+    exchange carries the same raw rows without widening the agg's).
+
+    Same guard as spread_if_narrow: a real cluster scan with enough
+    splits skips the repartition entirely, so this is a no-op at 100 TB
+    and the plan keeps its map-side combine there.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < target:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

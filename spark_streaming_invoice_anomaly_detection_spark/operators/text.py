@@ -151,15 +151,20 @@ def quality_score(text_col: Column | str) -> Column:
 def word_ngrams(tokens: Column, n: int) -> Column:
     """Word n-gram strings from a token array (space-joined, distinct).
 
-    Guarded for short docs: Spark's sequence(1, 0) would count DOWN
-    ([1, 0]), so fewer-than-n tokens must short-circuit to an empty array.
+    Guarded for short docs: fewer-than-n tokens short-circuit to an empty
+    array (a negative slice length is never evaluated — CaseWhen only
+    runs the matching branch per row).
 
-    Grams are built with per-position ``element_at`` + one flat ``concat``
-    rather than ``concat_ws(" ", slice(tokens, i, n))``: the slice form
-    allocates a sub-array per gram position and measured 2.8x slower on
-    the x10 scale corpus (2.11 s vs 0.75 s for the shingle projection).
-    Output is byte-identical — regexp tokens are never null, so the flat
-    concat with literal separators equals concat_ws.
+    Grams are built as a fold of ``zip_with`` over n shifted whole-array
+    slices (r11 optimization round): slice j is the token array offset by
+    j, and each zip_with appends one token + separator to every gram in
+    a single linear pass. This replaces the r7 shape
+    (``transform(sequence(1, count), i -> concat(element_at...))``),
+    which itself replaced per-gram sub-array slices (2.8x slower still).
+    Measured at sf0.1: dsir's bigram stage 1.71 s -> 0.84 s, the MinHash
+    shingle projection 0.72 s -> 0.66 s; output byte-identical (regexp
+    tokens are never null, so concat with literal separators preserves
+    the exact gram strings, same order, then the same array_distinct).
 
     ``tokens`` is LET-BOUND before use: the expression is wrapped in a
     1-element array and entered through a ``transform`` lambda, so
@@ -174,17 +179,15 @@ def word_ngrams(tokens: Column, n: int) -> Column:
 
     def grams(ts: Column) -> Column:
         count = F.size(ts) - (n - 1)
-
-        def gram(i: Column) -> Column:
-            parts: list[Column] = []
-            for j in range(n):
-                if j:
-                    parts.append(F.lit(" "))
-                parts.append(F.element_at(ts, i + F.lit(j)))
-            return F.concat(*parts)
-
+        g = F.slice(ts, 1, count)
+        for j in range(1, n):
+            g = F.zip_with(
+                g,
+                F.slice(ts, 1 + j, count),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
         return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
-            F.array_distinct(F.transform(F.sequence(F.lit(1), count), gram))
+            F.array_distinct(g)
         )
 
     return F.element_at(F.transform(F.array(tokens), grams), 1)

@@ -29,8 +29,18 @@ def q_invoice_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     what keeps this viable at 100 TB. The average uses exact scaled-int64
     arithmetic (see functions.exactmath) so it's oracle-hashable;
     min/max/count/sum-of-integer-valued-doubles are exact as-is.
+
+    r11: the scan is keyed-spread when narrow (cluster_if_narrow) so the
+    aggregation runs cluster-wide behind ONE exchange instead of
+    single-threaded in front of it; no-op on a real multi-split scan,
+    where the map-side-combine shape above is unchanged. Values are
+    order-independent (int64 sums, min/max, integer-valued double sums).
     """
-    li = load_table(spark, "lineitem", sf_dir)
+    from ..operators.layout import cluster_if_narrow
+
+    li = cluster_if_narrow(
+        load_table(spark, "lineitem", sf_dir), "l_orderkey"
+    )
     return li.groupBy(F.col("l_orderkey").alias("invoice_no")).agg(
         exact_avg("l_extendedprice", 2).alias("avg_unit_price"),
         F.min("l_extendedprice").alias("min_unit_price"),
@@ -79,7 +89,11 @@ def q_invoice_featurize_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-hash/sort-merge on o_orderkey; broadcast is right for dim-sized
     sides, AQE picks for us when sizes allow).
     """
-    li = load_table(spark, "lineitem", sf_dir)
+    from ..operators.layout import cluster_if_narrow
+
+    li = cluster_if_narrow(
+        load_table(spark, "lineitem", sf_dir), "l_orderkey"
+    )
     orders = load_table(spark, "orders", sf_dir)
     feats = li.groupBy(F.col("l_orderkey").alias("invoice_no")).agg(
         exact_avg("l_extendedprice", 2).alias("avg_unit_price"),

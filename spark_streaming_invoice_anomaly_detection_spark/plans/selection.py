@@ -87,23 +87,37 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences), so |w_fp| <= n_grams(doc) * 2^15 — overflow needs a
     single document of ~2.8e14 grams; corpus-scale counts only ever
     appear INSIDE fp_log2 arguments, never as factors.
+
+    r11 (optimization round): the bigram builder is ``zip_with`` over two
+    shifted slices of a HOISTED token projection, replacing
+    ``transform(sequence(1, n-1), i -> concat_ws(element_at, element_at))``
+    over the raw ``tokenize(text)`` expression. Two stacked effects, both
+    byte-identical in output: the old lambda body referenced the
+    un-hoisted token expression, so CollapseProject inlined the regexp
+    tokenizer into the per-ELEMENT loop (the r7 higher-order-function
+    trap, word_ngrams' sibling), and per-position ``element_at`` pairs
+    cost more than one linear ``zip_with`` pass. Measured on the dbc
+    histogram stage at sf0.1: 1.71 s -> 0.84 s; query end-to-end
+    1.88 s -> ~1.0 s (plans/r11/dsir_importance_weights_*.txt).
     """
     b_ = _DSIR_BUCKETS
     docs = spread_if_narrow(
         load_table(spark, "documents", sf_dir)
     ).filter(F.col("text").isNotNull())
-    toks = X.tokenize(F.col("text"))
+    toked = docs.select(
+        "doc_id", "lang", X.tokenize(F.col("text")).alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    eb = docs.select(
+    eb = toked.select(
         "doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("g")
     ).select("doc_id", "lang", (X.h60(F.col("g")) % b_).alias("b"))
     # bounded per-(doc, bucket) histogram, materialized once for both
