@@ -261,6 +261,23 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
+def jaccard_distinct(a: Column, b: Column) -> Column:
+    """:func:`jaccard` for inputs KNOWN to be duplicate-free arrays (all
+    shingle columns — word_ngrams applies array_distinct): |a ∪ b| is
+    then |a| + |b| - |a ∩ b| by inclusion-exclusion, so the union's
+    second per-pair hash-set build is replaced by integer arithmetic
+    (r11 optimization round; one set op per pair instead of two). Same
+    ints, same single double division — bit-identical to :func:`jaccard`
+    on distinct inputs (pinned in tests/test_r11_optimizations.py); NOT
+    equivalent on inputs with duplicates, where array_union dedups but
+    size(a) + size(b) does not."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -308,7 +325,11 @@ def minhash_near_dups(
     # iff tokens < ngram), and a size(shingles)>0 filter pushed through
     # the projection re-evaluated the whole shingle expression in an
     # interpreted (non-codegen) Filter: measured 54 s vs 5 s for the
-    # identical stage on the x10 scale corpus.
+    # identical stage on the x10 scale corpus. (r11 probe: moving the
+    # filter AFTER the persist to drop the prefilter's second tokenize
+    # measured 1.517 s vs 1.527 s end-to-end at sf0.1 — codegen already
+    # de-duplicates the two tokenize evaluations within the fill stage,
+    # so the r7 shape is kept.)
     shingled = shingle_docs(
         df.filter(F.size(tokenize(F.col(text_col))) >= F.lit(ngram)),
         text_col,
@@ -337,7 +358,7 @@ def minhash_near_dups(
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .withColumn("jaccard", jaccard_distinct(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
@@ -467,7 +488,7 @@ def ngram_jaccard_pairs(
     )
     return (
         a.join(b, (F.col("block") == F.col("block_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .withColumn("jaccard", jaccard_distinct(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )

@@ -35,7 +35,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import band_entries, jaccard, minhash_signature, shingle_docs
+from .dedup import (
+    band_entries,
+    jaccard_distinct,
+    minhash_signature,
+    shingle_docs,
+)
 from .layout import spread_if_narrow
 
 
@@ -158,7 +163,7 @@ def probe_index(
             .select(
                 "id_new",
                 "id_match",
-                jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+                jaccard_distinct(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
             )
             .filter(F.col("jaccard") >= threshold)
             .withColumn("matched_in", F.lit(label))

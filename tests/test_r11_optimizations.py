@@ -117,6 +117,38 @@ class TestClusterIfNarrow:
         assert plain == spread
 
 
+class TestJaccardDistinct:
+    """jaccard_distinct (inclusion-exclusion union size) must bit-match
+    jaccard on duplicate-free arrays — the only inputs its call sites
+    (shingle columns) ever produce — and is allowed to diverge on
+    duplicate-bearing arrays (documented)."""
+
+    def test_matches_jaccard_on_distinct_arrays(self, spark):
+        from spark_streaming_invoice_anomaly_detection_spark.operators.dedup import (
+            jaccard,
+            jaccard_distinct,
+        )
+
+        rows = [
+            (["a", "b", "c"], ["b", "c", "d"]),
+            (["a"], ["a"]),
+            (["a"], ["b"]),
+            ([], ["a", "b"]),
+            ([], []),
+            (["x", "y", "z", "w"], ["y"]),
+        ]
+        df = spark.createDataFrame(
+            rows, "a array<string>, b array<string>"
+        )
+        mism = df.select(
+            (
+                jaccard(F.col("a"), F.col("b"))
+                != jaccard_distinct(F.col("a"), F.col("b"))
+            ).alias("d")
+        ).filter("d").count()
+        assert mism == 0
+
+
 class TestTableHandleCache:
     def test_same_handle_same_key(self, spark, sf_dir):
         a = catalog.load_table(spark, "orders", sf_dir)
