@@ -150,12 +150,26 @@ def _cc_propagation(
     # current label in an earlier round, so skipping it loses nothing.
     frontier = labels
     history: list[int] = []
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(frontier, edges.v == frontier.node)
-            .groupBy("u")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
+    for _round in range(max_iter):
+        if _round == 0:
+            # Round 1 shortcut (r11 optimization round): every node's
+            # label IS its id (comp(v) = v), so joining edges to the
+            # all-nodes frontier is an identity join — min(comp(v)) over
+            # neighbors is just min(v). Skipping the join removes the
+            # labels-side shuffle from the one round that always touches
+            # the FULL edge set (later frontiers collapse), at every
+            # scale. Same aggregation result by construction; fixpoint
+            # parity with star/union-find stays pinned in
+            # tests/test_graph.py.
+            nbr_min = edges.groupBy("u").agg(
+                F.min("v").alias("nbr_comp")
+            )
+        else:
+            nbr_min = (
+                edges.join(frontier, edges.v == frontier.node)
+                .groupBy("u")
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
         # The convergence flag is FUSED into the propagation projection:
         # detecting "did any label change" is then a predicate scan of the
         # frame we just checkpointed anyway, not (as a naive loop writes
