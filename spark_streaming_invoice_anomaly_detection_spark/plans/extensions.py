@@ -321,7 +321,11 @@ def q_lsh_capped_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     binding cap drops, with its size — what a production pipeline feeds
     to a downstream exact/sampled-verify pass so capped recall loss is
     measured, not assumed (operators/dedup.py:lsh_oversized_buckets)."""
-    docs = _augmented_docs(spark, sf_dir)
+    # r11: spread before the tokenize/8-md5-signature pipeline — this
+    # audit rebuilds the spine OUTSIDE minhash_near_dups (which spreads
+    # internally), so the CPU-heavy stages ran on the 2-task union scan.
+    # Measured 3.11 s -> see OPTIMIZATION_r11.md; no-op on wide scans.
+    docs = spread_if_narrow(_augmented_docs(spark, sf_dir))
     shingled = D.shingle_docs(
         docs.filter(
             F.size(X.tokenize(F.col("text"))) >= F.lit(_MH_NGRAM)
@@ -5132,7 +5136,11 @@ def q_minhash_estimator_calibration(
     signature/shingle joins, then ONE ~9-row hash agg; candidates are
     bucket-capped so pair work stays corpus-linear.
     """
-    docs = _augmented_docs(spark, sf_dir)
+    # r11: spread before the tokenize/signature pipeline (this audit
+    # rebuilds the spine outside minhash_near_dups and both
+    # localCheckpoints MATERIALIZE on the input's width — previously the
+    # 2-task union scan). Measured 3.87 s -> see OPTIMIZATION_r11.md.
+    docs = spread_if_narrow(_augmented_docs(spark, sf_dir))
     shingled = D.shingle_docs(
         docs.filter(F.size(X.tokenize(F.col("text"))) >= F.lit(_MH_NGRAM)),
         "text",
