@@ -1,23 +1,30 @@
-"""Co-grouped Arrow-batched operators (``groupBy().cogroup().applyInPandas``).
+"""Co-grouped Arrow-batched operators (``groupBy().cogroup().applyInArrow``).
 
 The cogroup surface is Spark's answer to per-key algorithms that need BOTH
 sides of a join materialized together (merge_asof, windowed attribution,
-per-key reconciliation): each side shuffles ONCE on the key, and the pandas
-function sees the two aligned groups without a row-multiplying join. For a
-time-range count per order ("events in the 7 days before the order"), a
-plain range join multiplies rows (orders x matching events) before
-re-aggregating; the cogrouped form counts inside the group with two
+per-key reconciliation): each side shuffles ONCE on the key, and the
+per-group function sees the two aligned groups without a row-multiplying
+join. For a time-range count per order ("events in the 7 days before the
+order"), a plain range join multiplies rows (orders x matching events)
+before re-aggregating; the cogrouped form counts inside the group with two
 binary searches per order — O(n log n) per key, no intermediate blow-up,
 and per-key memory bounded by that key's rows (the property that matters
 when a 100 TB corpus shuffles onto 1000 executors).
 
+r12: the per-group function is ``applyInArrow`` (FlatMapCoGroupsInArrow),
+not ``applyInPandas`` — groups cross the Python boundary as Arrow record
+batches and the math runs on NumPy views of the Arrow buffers, skipping
+the pandas Block/Series construction per group that dominated the
+pandas-cogroup floor (guide §4: Arrow batches over pandas rows; measured
+on the registered query, see OPTIMIZATION_r12.md).
+
 No reference counterpart (the reference has no joins, SURVEY.md §2.3 note);
 this generalizes the asof/range-join family to arbitrary per-key logic.
 
-The pandas function is defined INSIDE the operator builder so cloudpickle
-serializes it by value: the grading driver's Python workers do not have
-this package on their import path, so a module-level function (pickled by
-reference) would fail with ModuleNotFoundError on the executor.
+The per-group function is defined INSIDE the operator builder so
+cloudpickle serializes it by value: the grading driver's Python workers do
+not have this package on their import path, so a module-level function
+(pickled by reference) would fail with ModuleNotFoundError on the executor.
 """
 
 from __future__ import annotations
@@ -36,28 +43,37 @@ def event_attribution(events: DataFrame, orders: DataFrame) -> DataFrame:
     empty event side).
     """
 
-    def count_recent(events_pdf, orders_pdf):
+    def count_recent(events_tbl, orders_tbl):
         # worker-side: keep all imports/constants local (pickled by value)
-        import pandas as pd
+        import numpy as np
+        import pyarrow as pa
 
-        window = pd.Timedelta(days=7)
-        if orders_pdf.empty:
-            return pd.DataFrame(
+        if orders_tbl.num_rows == 0:
+            return pa.table(
                 {
-                    "o_orderkey": pd.Series(dtype="int64"),
-                    "n_events_7d": pd.Series(dtype="int64"),
+                    "o_orderkey": pa.array([], type=pa.int64()),
+                    "n_events_7d": pa.array([], type=pa.int64()),
                 }
             )
-        if events_pdf.empty:
-            ts = pd.Series(dtype="datetime64[us]").to_numpy()
+        if events_tbl.num_rows == 0:
+            ts = np.array([], dtype="datetime64[us]")
         else:
-            ts = events_pdf["ts"].sort_values().to_numpy()
-        hi = orders_pdf["o_orderdate"].to_numpy()
-        lo = hi - window.to_numpy()
+            # Arrow timestamp[us] -> datetime64[us] view; sort is the only
+            # O(n log n) term, identical to the pandas-path sort_values
+            ts = np.sort(
+                events_tbl.column("ts").to_numpy(zero_copy_only=False)
+            )
+        # date32 -> datetime64[D]; numpy aligns units in the comparisons,
+        # so (lo, hi] below is the same half-open day-boundary predicate
+        hi = orders_tbl.column("o_orderdate").to_numpy(zero_copy_only=False)
+        lo = hi - np.timedelta64(7, "D")
         # half-open (lo, hi]: right-side searchsorted at both bounds
         n = ts.searchsorted(hi, side="right") - ts.searchsorted(lo, side="right")
-        return pd.DataFrame(
-            {"o_orderkey": orders_pdf["o_orderkey"].to_numpy(), "n_events_7d": n}
+        return pa.table(
+            {
+                "o_orderkey": orders_tbl.column("o_orderkey"),
+                "n_events_7d": pa.array(n.astype("int64"), type=pa.int64()),
+            }
         )
 
     # Explicit width on both cogroup inputs: the cost of this stage is
@@ -77,5 +93,5 @@ def event_attribution(events: DataFrame, orders: DataFrame) -> DataFrame:
             .repartition(n, "o_custkey")
             .groupBy("o_custkey")
         )
-        .applyInPandas(count_recent, schema=_OUT_SCHEMA)
+        .applyInArrow(count_recent, schema=_OUT_SCHEMA)
     )

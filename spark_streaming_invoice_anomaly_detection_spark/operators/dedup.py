@@ -262,15 +262,23 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def jaccard_distinct(a: Column, b: Column) -> Column:
-    """:func:`jaccard` for inputs KNOWN to be duplicate-free arrays (all
-    shingle columns — word_ngrams applies array_distinct): |a ∪ b| is
-    then |a| + |b| - |a ∩ b| by inclusion-exclusion, so the union's
-    second per-pair hash-set build is replaced by integer arithmetic
-    (r11 optimization round; one set op per pair instead of two). Same
-    ints, same single double division — bit-identical to :func:`jaccard`
-    on distinct inputs (pinned in tests/test_r11_optimizations.py); NOT
-    equivalent on inputs with duplicates, where array_union dedups but
-    size(a) + size(b) does not."""
+    """:func:`jaccard` for inputs KNOWN to be duplicate-free, NON-NULL
+    arrays (all shingle columns — word_ngrams applies array_distinct and
+    returns [] for short docs): |a ∪ b| is then |a| + |b| - |a ∩ b| by
+    inclusion-exclusion, so the union's second per-pair hash-set build is
+    replaced by integer arithmetic (r11 optimization round; one set op
+    per pair instead of two). Same ints, same single double division —
+    bit-identical to :func:`jaccard` on distinct inputs (pinned in
+    tests/test_r11_optimizations.py); NOT equivalent on inputs with
+    duplicates, where array_union dedups but size(a) + size(b) does not,
+    NULL caveat (r11 ADVICE): under this engine's Spark-4/ANSI semantics
+    size(NULL) is NULL, so a NULL side propagates to a NULL "union", the
+    ``union > 0`` guard falls through, and both forms return 0.0 —
+    parity pinned in tests/test_r12_optimizations.py. Under LEGACY
+    sizeOfNull (= -1, pre-3.0 default) the forms WOULD diverge (negative
+    ratios); don't export this helper into a session running that conf.
+    Every current call site receives word_ngrams output through a
+    non-null prefilter either way."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(

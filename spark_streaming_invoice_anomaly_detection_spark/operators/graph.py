@@ -41,7 +41,9 @@ sees the single boolean "did any label change".
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import uuid
+
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -90,10 +92,12 @@ def connected_components(
                                     finishes a 25-round     rounds for
                                     budget                  any 100 TB
                                                             graph
-    unknown / mixed at 100 TB       use ``"auto"``: pays one extra
-                                    count per round, switches once the
-                                    frontier stops halving (checked
-                                    from round 3), keeps both bounds
+    unknown / mixed at 100 TB       use ``"auto"``: the stall probe reads
+                                    the changed count the round's
+                                    checkpoint job already observes (free
+                                    since r12), switches once the frontier
+                                    stops halving (checked from round 3),
+                                    keeps both bounds
     ==============================  ======================  =============
     """
     if algorithm == "star":
@@ -173,10 +177,19 @@ def _cc_propagation(
         # The convergence flag is FUSED into the propagation projection:
         # detecting "did any label change" is then a predicate scan of the
         # frame we just checkpointed anyway, not (as a naive loop writes
-        # it) a second old-vs-new join — one fewer shuffle per round.
+        # it) a second old-vs-new join — one fewer shuffle per round. The
+        # changed COUNT is fused further (r12): an observed metric on the
+        # checkpointed plan is computed DURING the checkpoint
+        # materialization, so each round is ONE job instead of
+        # checkpoint + count (the accumulator-in-the-checkpoint-job fusion
+        # r11 left open; measured min 2.27 s vs 2.68 s / median 2.58 vs
+        # 3.30 on the sf0.1 LSH graph, faster on 6 of 6 interleaved
+        # alternations). Both modes now read the exact count for free, so
+        # the stall probe no longer costs an extra aggregation.
         new_comp = F.least(
             F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
         )
+        obs = Observation(f"cc_changed_{uuid.uuid4().hex}")
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
@@ -184,15 +197,10 @@ def _cc_propagation(
                 new_comp.alias("comp"),
                 (new_comp < F.col("comp")).alias("changed"),
             )
+            .observe(obs, F.count_if(F.col("changed")).alias("n_changed"))
             .localCheckpoint()
         )
-        # Plain mode only needs existence (limit-1 count); the stall probe
-        # needs the real count — the one extra aggregation per round the
-        # "auto" row of the crossover table charges for.
-        if star_on_stall:
-            changed = new_labels.filter("changed").count()
-        else:
-            changed = new_labels.filter("changed").limit(1).count()
+        changed = obs.get["n_changed"]
         # Both views are filters over the frame just checkpointed — no
         # recomputation, and the frontier's runtime row count is visible
         # to AQE for the next round's join-strategy choice.
@@ -250,7 +258,26 @@ def _cc_star(
     Self-loops in ``pairs`` contribute a node but no edge; like the
     propagation variant, every node appearing in ``pairs`` gets a label
     row (singletons label themselves).
+
+    r12 round shape (measured min 2.68 s vs 3.77 s / median 3.31 vs 4.03
+    on the sf0.1 LSH graph, faster on 6 of 6 interleaved alternations;
+    labels pinned identical to the r11 shape):
+
+    - per-center mins come from a WINDOW aggregate (``min over
+      (partition by key)``) instead of groupBy + self-join — one exchange
+      of the edge set per star step instead of two (the agg's and the
+      join's), at every scale;
+    - ``large`` is no longer checkpointed: each round starts from the
+      checkpointed ``small`` of the previous round, so lineage stays
+      bounded at two star steps and the mid-round materialization was
+      pure overhead;
+    - the fixpoint count rides as an observed metric on the round's one
+      checkpoint job (same fusion as the propagation loop), and the
+      initial edge count on canon's — no standalone count jobs;
+    - ``nodes`` checkpoints lazily: nothing reads it until the final
+      label join, so its materialization job is deferred into that join.
     """
+    obs0 = Observation(f"cc_star_n0_{uuid.uuid4().hex}")
     canon = (
         pairs.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -258,51 +285,53 @@ def _cc_star(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
+    n_edges = obs0.get["n"]
     # nodes captured up front: star rounds rewrite edges, and a component
     # min drops out of the 'b' side entirely at the fixpoint
     nodes = (
         pairs.select(F.col(src).alias("node"))
         .unionByName(pairs.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edges = canon
-    n_edges = edges.count()
     for _ in range(max_iter):
         # -- large-star over the symmetric neighborhood view
         sym = edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         ).select(F.col("a").alias("u"), F.col("b").alias("v"))
-        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        lg = sym.withColumn("mn", F.min("v").over(Window.partitionBy("u")))
         large = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
+            lg.filter(F.col("v") > F.col("u"))
             .select(
                 F.least(F.col("u"), F.col("mn")).alias("a"),
                 F.col("v").alias("b"),
             )
             .distinct()
-            .localCheckpoint()
         )
         # -- small-star over the canonical (smaller-neighbor) orientation:
-        # center b, neighbors a < b, m = min(a)
-        smins = large.groupBy("b").agg(F.min("a").alias("mn"))
+        # center b, neighbors a < b, m = min(a). The union's second branch
+        # feeds (mn, b) per large ROW rather than per center; the existing
+        # distinct collapses them to the identical edge set.
+        sm = large.withColumn("mn", F.min("a").over(Window.partitionBy("b")))
+        obs = Observation(f"cc_star_n_{uuid.uuid4().hex}")
         small = (
-            large.join(smins, "b")
-            .filter(F.col("a") != F.col("mn"))
+            sm.filter(F.col("a") != F.col("mn"))
             .select(F.col("mn").alias("a"), F.col("a").alias("b"))
             .unionByName(
-                smins.select(F.col("mn").alias("a"), F.col("b").alias("b"))
+                sm.select(F.col("mn").alias("a"), F.col("b").alias("b"))
             )
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
         # fixpoint test: the rewritten set equals the round's input
         # (cheap count gate first — the input's count is carried over
         # from last round — exceptAll only when counts agree)
-        n_new = small.count()
+        n_new = obs.get["n"]
         if n_new == n_edges:
             if small.exceptAll(edges).limit(1).count() == 0:
                 edges = small

@@ -8008,9 +8008,19 @@ def q_pii_scrub_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     through an int64 ``F.aggregate``; the fraction is one double
     division. Plan: ONE corpus scan into a 20-row hash agg (map-side
     combined) — the regex work is codegen-side, no explode, no Python.
+
+    r12: the scan is spread when narrow — this query is six
+    regexp_extract_all passes per document (exactly the regex-heavy
+    per-row profile that cleared the spread bar in r11's measurements),
+    and it landed mid-BUILD in r11 without the guard, so at driver SFs
+    the whole regex stage ran on the one-file scan's single task. The
+    exchange carries raw rows but the agg above is 20 rows; no-op on a
+    real multi-split scan.
     """
-    base = load_table(spark, "documents", sf_dir).select(
-        "source", "doc_id", "text"
+    base = spread_if_narrow(
+        load_table(spark, "documents", sf_dir).select(
+            "source", "doc_id", "text"
+        )
     )
     planted = F.concat(
         F.col("text"),

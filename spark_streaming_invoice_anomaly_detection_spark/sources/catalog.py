@@ -34,7 +34,15 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 #: safe). Measured effect at sf0.1: join_five_way_volume build time
 #: 0.52 s -> 0.11 s (6 tables), top_returning_customers 0.36 s -> 0.08 s.
 #: Keyed by applicationId, not id(spark): Python ids are reused after GC
-#: across the many short-lived test sessions.
+#: across the many short-lived test sessions. Entries from OTHER
+#: applications are evicted on insert (see load_table), so the dict is
+#: bounded by one application's (sf_dir, table) working set.
+#:
+#: SHARED-HANDLE CONTRACT: the memoized DataFrame is the same object for
+#: every consumer — never ``.cache()``/``.persist()`` a handle returned by
+#: ``load_table`` (it would silently pin cached data for every other query
+#: in the session; pinned by tests/test_r12_optimizations.py). Persist a
+#: derived frame (``df.select(...)``) instead.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -49,10 +57,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     ``_TABLE_CACHE``; pure plan-object reuse, no data caching.
     """
     sf_dir = sf_dir or sf_dir_from_env()
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # Evict entries from other applications on insert (r11 ADVICE): keys
+    # from stopped sessions would otherwise pin py4j DataFrame references
+    # forever across long multi-session test runs. One application's
+    # handles (all sf_dirs) stay cached for its lifetime.
+    for stale in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[stale]
     if name in _NANOS_TS_COLS:
         # runtime-settable SQLConf; required before the scan is planned
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -250,9 +250,10 @@ class TestTpchShapePlans:
         assert "hashpartitioning(term" in plan
 
     def test_cogroup_shuffles_each_side_once(self, spark, sf_dir, q):
-        """FlatMapCoGroupsInPandas: one exchange per input, no join node."""
+        """FlatMapCoGroupsInArrow (r12: Arrow batches, not pandas blocks,
+        cross the Python boundary): one exchange per input, no join node."""
         plan = plan_of(q["cogroup_event_attribution"](spark, sf_dir), "simple")
-        assert "FlatMapCoGroupsInPandas" in plan
+        assert "FlatMapCoGroupsInArrow" in plan
         assert plan.count("Exchange") == 2
         assert "Join" not in plan
 

@@ -57,20 +57,24 @@ class TestWordNgramsZipWith:
             ("one two three four five six seven eight nine ten",),
         ]
         df = spark.createDataFrame(rows, "text string")
-        toks = df.select(tokenize(F.col("text")).alias("t"))
+        toks = df.select("text", tokenize(F.col("text")).alias("t"))
         for n in (1, 2, 3, 5):
-            got = toks.select(word_ngrams(F.col("t"), n).alias("g"))
-            want = toks.select(self._reference(F.col("t"), n).alias("g"))
-            mism = (
-                got.withColumn("i", F.monotonically_increasing_id())
-                .join(
-                    want.withColumn("i", F.monotonically_increasing_id()),
-                    "i",
-                )
-                .filter(got["g"] != want["g"])
-                .count()
-            )
-            assert mism == 0, f"n={n} diverged"
+            # keyed on the source text (unique per row), not on
+            # monotonically_increasing_id alignment of two separate plans
+            # (r11 ADVICE: a planner change could silently misalign rows)
+            got = {
+                r.text: r.g
+                for r in toks.select(
+                    "text", word_ngrams(F.col("t"), n).alias("g")
+                ).collect()
+            }
+            want = {
+                r.text: r.g
+                for r in toks.select(
+                    "text", self._reference(F.col("t"), n).alias("g")
+                ).collect()
+            }
+            assert got == want, f"n={n} diverged"
 
     def test_short_doc_returns_empty(self, spark):
         df = spark.createDataFrame([("a b",)], "text string")
@@ -155,9 +159,19 @@ class TestTableHandleCache:
         b = catalog.load_table(spark, "orders", sf_dir)
         assert a is b  # plan-object reuse, the whole point
 
-    def test_distinct_keys_distinct_handles(self, spark):
-        a = catalog.load_table(spark, "orders", "/root/testdata/sf0.001")
-        b = catalog.load_table(spark, "orders", "/root/testdata/sf0.01")
+    def test_distinct_keys_distinct_handles(self, spark, sf_dir, tmp_path):
+        # second sf_dir derived from the fixture via symlink (r11 ADVICE:
+        # don't hardcode two dataset paths — the property under test only
+        # needs two distinct keys over readable parquet)
+        import os
+
+        alt = tmp_path / "alt_sf"
+        alt.mkdir()
+        os.symlink(
+            os.path.join(sf_dir, "orders.parquet"), alt / "orders.parquet"
+        )
+        a = catalog.load_table(spark, "orders", sf_dir)
+        b = catalog.load_table(spark, "orders", str(alt))
         assert a is not b
 
     def test_no_data_caching(self, spark, sf_dir):
