@@ -20,6 +20,13 @@ Measurement discipline: NEVER run this (or any timing probe) while another
 Spark job shares the box — co-tenant load inflates wall times 10-500%
 uniformly (the r7-r9 "+10%" drift saga; the 17k-vs-78k monitor incident).
 Serialize all measurements; check `pgrep -f pytest` first.
+
+Parallel-scaling evidence does NOT come from this bench: at sf0.1 every
+table is one parquet file (1 scan task) and per-query times are fixed-
+overhead dominated, so 8-vs-32-core ratios here read ~1 by construction.
+`scripts/cpu_scaling_probe.py` supplies that evidence on CPU-bound stages
+over multi-file probe corpora (archived in
+scripts/probe_results/cpu_scaling_r{N}.json; see README).
 """
 
 from __future__ import annotations

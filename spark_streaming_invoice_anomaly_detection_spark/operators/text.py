@@ -134,7 +134,15 @@ def quality_score(text_col: Column | str) -> Column:
     tokens = tokenize(c)
     n_tok = F.size(tokens)
     n_chars = F.length(c)
-    n_alnum = F.size(F.regexp_extract_all(c, F.lit("[A-Za-z0-9]"), F.lit(0)))
+    # alnum-char count as a length difference, NOT
+    # size(regexp_extract_all(c, '[A-Za-z0-9]')): the extract_all form
+    # allocates one array element PER CHARACTER, and the resulting GC
+    # pressure is what capped this scan at 1.6x going 8 -> 32 cores on
+    # the r12 CPU-scaling probe (allocation-bound, not CPU-bound). Same
+    # integer by construction (single-char matches can't overlap), same
+    # NULL propagation; value identity pinned in
+    # tests/test_r12_optimizations.py.
+    n_alnum = n_chars - F.length(F.regexp_replace(c, "[A-Za-z0-9]", ""))
     n_stop = stopword_hits(tokens, "en")
 
     len_ok = ((n_chars >= 50) & (n_chars <= 2000)).cast("double")

@@ -219,6 +219,90 @@ class TestJaccardDistinctNulls:
             assert row.jd == 0.0
 
 
+class TestQualityScoreAlnumRewrite:
+    """quality_score's alnum-char count moved from
+    size(regexp_extract_all(c, '[A-Za-z0-9]')) — one array element PER
+    CHARACTER — to a length difference over regexp_replace. Same integer
+    by construction (single-char matches cannot overlap), same NULL
+    propagation; this pins the full score against the definitional
+    form on the edge rows."""
+
+    def _score_old(self, c):
+        from spark_streaming_invoice_anomaly_detection_spark.operators.text import (
+            stopword_hits,
+            tokenize,
+        )
+
+        tokens = tokenize(c)
+        n_tok = F.size(tokens)
+        n_chars = F.length(c)
+        n_alnum = F.size(
+            F.regexp_extract_all(c, F.lit("[A-Za-z0-9]"), F.lit(0))
+        )
+        n_stop = stopword_hits(tokens, "en")
+        len_ok = ((n_chars >= 50) & (n_chars <= 2000)).cast("double")
+        alnum_ratio = n_alnum.cast("double") / F.greatest(
+            n_chars, F.lit(1)
+        ).cast("double")
+        stop_ratio = n_stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast(
+            "double"
+        )
+        mean_wordlen = n_alnum.cast("double") / F.greatest(
+            n_tok, F.lit(1)
+        ).cast("double")
+        wordlen_ok = ((mean_wordlen >= 2.0) & (mean_wordlen <= 12.0)).cast(
+            "double"
+        )
+        return (
+            len_ok * 0.25
+            + alnum_ratio * 0.25
+            + stop_ratio * 0.25
+            + wordlen_ok * 0.25
+        )
+
+    def test_matches_definitional_form(self, spark):
+        from spark_streaming_invoice_anomaly_detection_spark.operators.text import (
+            quality_score,
+        )
+
+        rows = [
+            ("the quick brown fox 123",),
+            ("",),
+            (None,),
+            ("   ",),
+            ("日本語テキスト no ascii here 漢字",),
+            ("a" * 3000,),
+            ("!!! ### ...",),
+            ("the and of to in is that it for was " * 10,),
+        ]
+        df = spark.createDataFrame(rows, "text string")
+        got = df.select(
+            "text",
+            quality_score(F.col("text")).alias("a"),
+            self._score_old(F.col("text")).alias("b"),
+        ).collect()
+        for r in got:
+            assert r.a == r.b, r.text
+
+    def test_matches_on_real_corpus(self, spark, sf_dir):
+        from spark_streaming_invoice_anomaly_detection_spark.operators.text import (
+            quality_score,
+        )
+
+        docs = catalog.load_table(spark, "documents", sf_dir)
+        mism = (
+            docs.select(
+                (
+                    quality_score(F.col("text"))
+                    != self._score_old(F.col("text"))
+                ).alias("d")
+            )
+            .filter("d")
+            .count()
+        )
+        assert mism == 0
+
+
 class TestTableCacheEviction:
     def test_other_application_keys_evicted_on_insert(self, spark, sf_dir):
         stale_key = ("app-from-a-stopped-session", sf_dir, "orders")
